@@ -1,0 +1,512 @@
+"""The BFS-wave crawl driver: the reference's worker loop
+(brink.go:72-138) restated as per-wave Ray Data pipelines.
+
+Ordering model
+--------------
+The reference's ordering is only well-defined at WorkerCount=1, where
+the bounded channel is a FIFO queue. In FIFO order, every wave-k item
+is dequeued before any wave-(k+1) item (children enqueue behind the
+remaining wave-k items), and within wave k items appear in
+(parent-order, document-position) order. The engine encodes that as an
+``order_key`` path label: the seed is "000000", a child is
+``parent_key + "/" + zero-padded position``. Within a wave all keys
+have equal segment count, so lexicographic order of (wave, order_key)
+IS the FIFO order — no global sequence counter, no coordination;
+the intra-wave dedup winner is simply min(order_key), i.e. the
+occurrence the FIFO loop would have fetched.
+
+Wave anatomy (each stage a Ray Data op; shuffles marked):
+  1 map_batches(normalize)                [stateless, Arrow]
+  2 groupby(canon).map_groups(winner)     [SHUFFLE: intra-wave dedup]
+  3 winners -> seen-shard check           [actor calls from tasks]
+  4 novel -> groupby(domain) politeness   [SHUFFLE, only when enabled]
+  5 map_batches(Fetcher actor pool)       [lookup-join + gates + mark]
+  6 extract text; materialize (barrier: marks visible)
+  7 non-winners + seen winners -> cached-replay rows (post-mark lookup)
+  8 write wave results; expansion gate; flat-map links -> next frontier
+
+Quirk preservation: errors are dropped inside the fetch stage without
+marking (so rediscoveries re-fetch); cached replays of a canon whose
+winner errored find no mark and drop too — exactly the FIFO outcome;
+handlers (the results table) receive non-200 and forbidden-path pages,
+which are then excluded only from expansion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..ref.config import CrawlConfig
+from ..state.politeness import PolitenessClient, PolitenessShard
+from ..state.seen import SeenShard, ShardedSeenSet
+from .fetch import Fetcher
+from .index import PageIndex, build_page_index
+from .stages import (
+    FRONTIER_SCHEMA,
+    extract_text_stage,
+    make_extract_links_fn,
+    make_forbidden_filter,
+    make_normalize_fn,
+)
+
+__all__ = ["EngineOptions", "CrawlEngine", "CrawlResult"]
+
+RESULT_COLS = ["wave", "order_key", "linked_from", "url", "status", "cached", "body", "text"]
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("wave", pa.int32()),
+        ("order_key", pa.string()),
+        ("linked_from", pa.string()),
+        ("url", pa.string()),
+        ("status", pa.int32()),
+        ("cached", pa.bool_()),
+        ("body", pa.binary()),
+        ("text", pa.string()),
+    ]
+)
+
+
+@dataclass
+class EngineOptions:
+    seen_shards: int = 4
+    seen_capacity_per_shard: int = 1 << 17
+    politeness_shards: int = 2
+    per_host_budget: int | None = None
+    per_host_wave_limit: int | None = None
+    fetch_concurrency: int = 2
+    fetch_batch_size: int = 1024
+    fetch_num_cpus: float = 0.5
+    extract_fast: bool = True
+    store_body: bool = True
+    checkpoint_dir: str | None = None
+    max_waves: int | None = None
+
+
+@dataclass
+class CrawlResult:
+    waves: int
+    results: list  # one materialized Dataset per wave
+    metrics: list[dict] = field(default_factory=list)
+    seen: dict[str, int] = field(default_factory=dict)
+
+    def events_table(self) -> pa.Table:
+        """All handler events in FIFO-equivalent order."""
+        tables = [
+            pa.concat_tables(
+                [
+                    b.select(RESULT_COLS).cast(RESULT_SCHEMA)
+                    for b in ray.get(ds.to_arrow_refs())
+                    if b.num_rows
+                ]
+            )
+            for ds in self.results
+            if ds.count() > 0
+        ]
+        if not tables:
+            return RESULT_SCHEMA.empty_table()
+        t = pa.concat_tables(tables)
+        return t.sort_by([("wave", "ascending"), ("order_key", "ascending")])
+
+
+def _empty_frontier() -> pa.Table:
+    return FRONTIER_SCHEMA.empty_table()
+
+
+def _seed_frontier(seeds: list[str]) -> pa.Table:
+    return pa.table(
+        {
+            "href": pa.array(seeds, pa.string()),
+            "linked_from": pa.array(["start"] * len(seeds), pa.string()),
+            "target": pa.array([""] * len(seeds), pa.string()),
+            "order_key": pa.array([f"{i:06d}" for i in range(len(seeds))], pa.string()),
+            "wave": pa.array([0] * len(seeds), pa.int32()),
+        }
+    )
+
+
+@ray.remote
+def _block_ends(tbl: pa.Table):
+    if tbl.num_rows == 0:
+        return None
+    return tbl["canon"][0].as_py(), tbl["canon"][-1].as_py()
+
+
+@ray.remote
+def _block_mark_winners(tbl: pa.Table, first_is_winner: bool) -> pa.Table:
+    n = tbl.num_rows
+    if n == 0:
+        return tbl.append_column("is_winner", pa.array([], pa.bool_()))
+    c = tbl["canon"].combine_chunks()
+    if n == 1:
+        flags = pa.array([first_is_winner])
+    else:
+        same_as_prev = pc.equal(c.slice(1), c.slice(0, n - 1))
+        rest = pc.invert(same_as_prev)
+        if isinstance(rest, pa.ChunkedArray):
+            rest = rest.combine_chunks()
+        flags = pa.concat_arrays([pa.array([first_is_winner]), rest])
+    return tbl.append_column("is_winner", flags)
+
+
+def _mark_winners(norm_ds) -> "rd.Dataset":
+    """Intra-wave dedup (D2): the FIFO-first occurrence of each canon
+    (min order_key) is the winner; the rest become cached-replay
+    candidates. Implemented as ONE native sort by (canon, order_key)
+    followed by vectorized run-boundary marking per block (a
+    per-group Python callback would not survive million-row waves)."""
+    s = norm_ds.sort(["canon", "order_key"]).materialize()
+    refs = s.to_arrow_refs()
+    ends = ray.get([_block_ends.remote(r) for r in refs])
+    flags = []
+    prev_last = None
+    for e in ends:
+        if e is None:
+            flags.append(True)
+            continue
+        first, last = e
+        flags.append(first != prev_last)
+        prev_last = last
+    marked = [
+        _block_mark_winners.remote(r, f) for r, f in zip(refs, flags)
+    ]
+    return rd.from_arrow_refs(marked)
+
+
+def _make_seen_check_fn(actors: list, nshards: int):
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("seen_status", pa.array([], pa.int32()))
+        seen = ShardedSeenSet(nshards, actors=actors)
+        statuses = seen.check(t["canon"].to_pylist())
+        return t.append_column("seen_status", pa.array(statuses, pa.int32()))
+
+    return fn
+
+
+def _make_politeness_fn(actors: list, nshards: int, wave_limit: int | None):
+    """Per-domain admission in frontier order; one actor call per
+    domain per wave => deterministic token consumption."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.append_column("disposition", pa.array([], pa.string()))
+        g = group.sort_by("order_key")
+        domain = g["domain"][0].as_py()
+        n = g.num_rows
+        n_now = n if wave_limit is None else min(n, wave_limit)
+        client = PolitenessClient(nshards, actors=actors)
+        k = client.take(domain, n_now)
+        disposition = ["admit"] * k + ["drop"] * (n_now - k) + ["defer"] * (n - n_now)
+        return g.append_column("disposition", pa.array(disposition, pa.string()))
+
+    return fn
+
+
+def _project_result_fetched(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "wave": t["wave"],
+            "order_key": t["order_key"],
+            "linked_from": t["linked_from"],
+            "url": t["canon"],
+            "status": t["status"],
+            "cached": pa.array([False] * t.num_rows, pa.bool_()),
+            "body": t["body"],
+            "text": t["text"],
+        }
+    )
+
+
+def _project_result_cached(t: pa.Table) -> pa.Table:
+    """Cached replay: stored status, EMPTY body (brink.go:86-88)."""
+    return pa.table(
+        {
+            "wave": t["wave"],
+            "order_key": t["order_key"],
+            "linked_from": t["linked_from"],
+            "url": t["canon"],
+            "status": t["seen_status"],
+            "cached": pa.array([True] * t.num_rows, pa.bool_()),
+            "body": pa.array([b""] * t.num_rows, pa.binary()),
+            "text": pa.array([""] * t.num_rows, pa.string()),
+        }
+    )
+
+
+def _filter_batches(ds, predicate):
+    return ds.map_batches(
+        lambda t: t.filter(predicate(t)), batch_format="pyarrow"
+    )
+
+
+class CrawlEngine:
+    """One crawl run: holds the actors, the page index and the config."""
+
+    def __init__(self, cfg: CrawlConfig, options: EngineOptions | None = None):
+        self.cfg = cfg
+        self.opts = options or EngineOptions()
+        self.seen_actors = [
+            SeenShard.remote(i, self.opts.seen_capacity_per_shard)
+            for i in range(self.opts.seen_shards)
+        ]
+        self.seen = ShardedSeenSet(self.opts.seen_shards, actors=self.seen_actors)
+        self._politeness_on = (
+            self.opts.per_host_budget is not None
+            or self.opts.per_host_wave_limit is not None
+        )
+        self.politeness_actors = [
+            PolitenessShard.remote(self.opts.per_host_budget)
+            for i in range(self.opts.politeness_shards)
+        ]
+        self.index: PageIndex | None = None
+
+    # ---------------------------------------------------------------- setup
+    def set_pages(self, pages) -> None:
+        """Build + broadcast the page index (Dataset or pyarrow Table)."""
+        self.index = build_page_index(pages, self.cfg)
+
+    # ---------------------------------------------------------------- run
+    def run(self, seeds: list[str] | None = None, resume: bool = False) -> CrawlResult:
+        assert self.index is not None, "call set_pages() first"
+        opts = self.opts
+        ckpt = opts.checkpoint_dir
+
+        start_wave = 0
+        frontier_tbl = _seed_frontier(seeds or [self.cfg.root_domain])
+        results: list = []
+        metrics: list[dict] = []
+
+        if resume and ckpt:
+            state = self._load_latest_checkpoint(ckpt)
+            if state is not None:
+                start_wave, frontier_tbl, results, metrics = state
+
+        frontier = rd.from_arrow(frontier_tbl)
+        wave = start_wave
+        normalize_fn = make_normalize_fn(self.cfg)
+        extract_links_fn = make_extract_links_fn(fast=opts.extract_fast)
+        forbidden_gate = make_forbidden_filter(self.cfg)
+        seen_check_fn = _make_seen_check_fn(self.seen_actors, opts.seen_shards)
+
+        while True:
+            if opts.max_waves is not None and wave >= opts.max_waves:
+                break
+            t0 = time.monotonic()
+            frontier_n = frontier.count()
+            if frontier_n == 0:
+                break
+
+            # 1 normalize (drops unparseable hrefs)
+            norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
+
+            # 2 intra-wave dedup (shuffle on canon)
+            grouped = _mark_winners(norm).materialize()
+
+            # 3 seen check for winners
+            winners = _filter_batches(grouped, lambda t: t["is_winner"])
+            winners = winners.map_batches(
+                seen_check_fn, batch_format="pyarrow"
+            ).materialize()
+            novel = _filter_batches(
+                winners, lambda t: pc.equal(t["seen_status"], -1)
+            )
+            cached_w = _filter_batches(
+                winners, lambda t: pc.not_equal(t["seen_status"], -1)
+            )
+
+            # 4 politeness / budget (shuffle on domain, only when enabled)
+            deferred = None
+            if self._politeness_on:
+                admit_fn = _make_politeness_fn(
+                    self.politeness_actors,
+                    opts.politeness_shards,
+                    opts.per_host_wave_limit,
+                )
+                disp = novel.groupby("domain").map_groups(
+                    admit_fn, batch_format="pyarrow"
+                ).materialize()
+                novel = _filter_batches(
+                    disp, lambda t: pc.equal(t["disposition"], "admit")
+                ).drop_columns(["disposition"])
+                deferred = _filter_batches(
+                    disp, lambda t: pc.equal(t["disposition"], "defer")
+                )
+
+            # 5+6 fetch (actor pool) + text extraction; materialize = the
+            # wave barrier after which all marks are visible
+            fetched = novel.map_batches(
+                Fetcher,
+                fn_constructor_args=(
+                    self.cfg,
+                    self.index,
+                    self.seen_actors,
+                    opts.seen_shards,
+                ),
+                batch_format="pyarrow",
+                batch_size=opts.fetch_batch_size,
+                concurrency=opts.fetch_concurrency,
+                num_cpus=opts.fetch_num_cpus,
+            )
+            fetched = fetched.map_batches(
+                extract_text_stage, batch_format="pyarrow"
+            ).materialize()
+
+            # 7 cached replays: seen winners + duplicate occurrences whose
+            # winner got marked (post-barrier lookup; misses drop, exactly
+            # the FIFO outcome for duplicates of error URLs)
+            dups = _filter_batches(grouped, lambda t: pc.invert(t["is_winner"]))
+            dup_checked = dups.map_batches(seen_check_fn, batch_format="pyarrow")
+            dup_cached = _filter_batches(
+                dup_checked, lambda t: pc.not_equal(t["seen_status"], -1)
+            )
+            cached = cached_w.union(dup_cached)
+
+            # 8 results table for the wave
+            res_fetched = fetched.map_batches(
+                _project_result_fetched, batch_format="pyarrow"
+            )
+            res_cached = cached.map_batches(
+                _project_result_cached, batch_format="pyarrow"
+            )
+            wave_results = res_fetched.union(res_cached).materialize()
+            results.append(wave_results)
+
+            # expansion -> next frontier
+            expandable = fetched.map_batches(forbidden_gate, batch_format="pyarrow")
+            links = expandable.map_batches(
+                extract_links_fn, batch_format="pyarrow"
+            )
+            if deferred is not None:
+                links = links.union(
+                    deferred.map_batches(
+                        lambda t: pa.table(
+                            {
+                                "href": t["href"],
+                                "linked_from": t["linked_from"],
+                                "target": t["target"],
+                                # deferred rows precede new discoveries
+                                "order_key": pc.binary_join_element_wise(
+                                    pa.array(["!"] * t.num_rows), t["order_key"], ""
+                                ),
+                                "wave": pc.add(t["wave"], 1).cast(pa.int32()),
+                            }
+                        ),
+                        batch_format="pyarrow",
+                    )
+                )
+            next_frontier = links.materialize()
+
+            m = {
+                "wave": wave,
+                "frontier": frontier_n,
+                "fetched": fetched.count(),
+                "cached": wave_results.count() - fetched.count(),
+                "next_frontier": next_frontier.count(),
+                "seen_total": self.seen.size(),
+                "wall_sec": round(time.monotonic() - t0, 3),
+            }
+            metrics.append(m)
+
+            if ckpt:
+                self._write_checkpoint(ckpt, wave, wave_results, next_frontier, m)
+
+            frontier = next_frontier
+            wave += 1
+
+        if ckpt:
+            os.makedirs(ckpt, exist_ok=True)
+            with open(os.path.join(ckpt, "_DONE"), "w") as f:
+                f.write(json.dumps({"waves": wave}))
+
+        return CrawlResult(
+            waves=wave, results=results, metrics=metrics, seen=self.seen.all_items()
+        )
+
+    # ---------------------------------------------------------------- ckpt
+    def _wave_dir(self, ckpt: str, wave: int) -> str:
+        return os.path.join(ckpt, f"wave_{wave:04d}")
+
+    def _write_checkpoint(self, ckpt, wave, wave_results, next_frontier, m) -> None:
+        """Per-wave layout: results + next frontier parquet, serialized
+        actor state, metrics + lineage, then an atomic _COMPLETE marker
+        — resume loads the latest complete wave and skips all finished
+        work (partition-level resumability)."""
+        d = self._wave_dir(ckpt, wave)
+        os.makedirs(os.path.join(d, "state"), exist_ok=True)
+        if wave_results.count() > 0:
+            wave_results.write_parquet(os.path.join(d, "results"))
+        if next_frontier.count() > 0:
+            next_frontier.write_parquet(os.path.join(d, "next_frontier"))
+        for i, dump in enumerate(self.seen.dump()):
+            with open(os.path.join(d, "state", f"seen_shard_{i}.pkl"), "wb") as f:
+                pickle.dump(dump, f)
+        pol = PolitenessClient(
+            self.opts.politeness_shards, actors=self.politeness_actors
+        )
+        with open(os.path.join(d, "state", "politeness.pkl"), "wb") as f:
+            pickle.dump(pol.dump(), f)
+        with open(os.path.join(d, "metrics.json"), "w") as f:
+            json.dump(m, f)
+        lineage = {
+            "wave": wave,
+            "in_frontier_rows": m["frontier"],
+            "out_results_rows": m["fetched"] + m["cached"],
+            "out_frontier_rows": m["next_frontier"],
+            "seen_total": m["seen_total"],
+        }
+        with open(os.path.join(d, "lineage.json"), "w") as f:
+            json.dump(lineage, f)
+        with open(os.path.join(d, "_COMPLETE"), "w") as f:
+            f.write("ok")
+
+    def _load_latest_checkpoint(self, ckpt: str):
+        if not os.path.isdir(ckpt):
+            return None
+        waves = sorted(
+            int(name.split("_")[1])
+            for name in os.listdir(ckpt)
+            if name.startswith("wave_")
+            and os.path.exists(os.path.join(ckpt, name, "_COMPLETE"))
+        )
+        if not waves:
+            return None
+        last = waves[-1]
+        d = self._wave_dir(ckpt, last)
+        # restore actor state
+        states = []
+        for i in range(self.opts.seen_shards):
+            with open(os.path.join(d, "state", f"seen_shard_{i}.pkl"), "rb") as f:
+                states.append(pickle.load(f))
+        self.seen.restore(states)
+        with open(os.path.join(d, "state", "politeness.pkl"), "rb") as f:
+            PolitenessClient(
+                self.opts.politeness_shards, actors=self.politeness_actors
+            ).restore(pickle.load(f))
+        # earlier results re-loaded lazily from parquet
+        results = []
+        metrics = []
+        for w in waves:
+            rdir = os.path.join(self._wave_dir(ckpt, w), "results")
+            if os.path.isdir(rdir):
+                results.append(rd.read_parquet(rdir).materialize())
+            with open(os.path.join(self._wave_dir(ckpt, w), "metrics.json")) as f:
+                metrics.append(json.load(f))
+        fdir = os.path.join(d, "next_frontier")
+        if os.path.isdir(fdir):
+            frontier_tbl = pa.concat_tables(
+                ray.get(rd.read_parquet(fdir).to_arrow_refs())
+            ).select([f.name for f in FRONTIER_SCHEMA])
+            frontier_tbl = frontier_tbl.cast(FRONTIER_SCHEMA)
+        else:
+            frontier_tbl = _empty_frontier()
+        return last + 1, frontier_tbl, results, metrics

@@ -1,0 +1,149 @@
+"""The fetch stage: an actor pool implementing Fetch's gate order
+(brink.go:166-229) as a vectorized lookup-join against the page index.
+
+Stateful pieces living in each actor (reference: crawler.go:36-38):
+the zero-copy page index mapping, the cookie jar + header session
+(CookieSession below), and the seen-shard handles used to mark
+successful fetches (brink.go:103) before the batch returns — so the
+wave barrier guarantees marks are visible to the next wave's check.
+
+Error rows (transport / NotAllowed / ContentTooLarge) are dropped
+inside the stage — the silent-drop semantic (brink.go:95-101): never
+marked, never emitted.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..ref.config import AUTHORIZATION_HEADER, Cookie, CrawlConfig
+from ..state.seen import ShardedSeenSet
+from .index import PageIndex
+
+__all__ = ["CookieSession", "Fetcher", "HttpFetcher"]
+
+
+class CookieSession:
+    """Cookie jar + request-header state (brink.go:166-203, 256-274).
+
+    Reproduced quirks: the jar is keyed by cookie NAME only (no host
+    scoping, crawler.go:36); once any request carries a cookie whose
+    name case-insensitively matches SessionCookieNames, the
+    Authorization header is deleted PERMANENTLY (brink.go:178-183);
+    response cookies merge into the jar by name (brink.go:267-274).
+
+    The reference shares one jar across all workers; here each fetcher
+    actor owns a jar (SURVEY §7 hard part 4) — conformance tests run
+    cookie-free configs, and the jar contract is unit-tested directly.
+    """
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cookies: dict[str, Cookie] = dict(cfg.opts.cookies)
+        self.headers: dict[str, str] = dict(cfg.req_headers)
+        self._session_names = {n.lower() for n in cfg.opts.session_cookie_names}
+
+    def prepare_headers(self) -> dict[str, str]:
+        """Headers for the next request: cookies first (possibly
+        dropping Authorization), then the header store."""
+        headers: dict[str, str] = {}
+        if self.cookies:
+            parts = []
+            for c in self.cookies.values():
+                parts.append(f"{c.name}={c.value}")
+                if c.name.lower() in self._session_names:
+                    self.headers.pop(AUTHORIZATION_HEADER, None)
+            headers["Cookie"] = "; ".join(parts)
+        headers.update(self.headers)
+        return headers
+
+    def merge_response_cookies(self, cookies: list[Cookie]) -> None:
+        for c in cookies:
+            self.cookies[c.name] = c
+
+
+class Fetcher:
+    """Callable class for ``map_batches(Fetcher, concurrency=N)``.
+
+    __init__ runs once per actor: maps the broadcast index zero-copy,
+    builds the session. __call__ fetches one frontier batch and returns
+    only the OK rows, after marking them seen.
+    """
+
+    def __init__(
+        self,
+        cfg: CrawlConfig,
+        index: PageIndex,
+        seen_actors: list,
+        nshards: int,
+    ):
+        tbl: pa.Table = ray.get(index.table_ref)
+        self._canon = tbl["canon"].combine_chunks()
+        self._status = tbl["status"].combine_chunks()
+        self._html = tbl["html"].combine_chunks()
+        self._known_hosts = pa.array(sorted(index.known_hosts), pa.string())
+        self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
+        self._max_cl = cfg.max_content_length
+        self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+        self.session = CookieSession(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("status", pa.array([], pa.int32())).append_column(
+                "body", pa.array([], pa.binary())
+            )
+        # session fidelity: the header/jar state advances per request
+        # (on the sandbox world the headers have no observable effect)
+        self.session.prepare_headers()
+
+        # (a) the request: unknown domain or /err/ path => transport error
+        domain_known = pc.is_in(batch["domain"], value_set=self._known_hosts)
+        err_path = pc.starts_with(batch["path"], "/err/")
+        transport_ok = pc.and_(domain_known, pc.invert(err_path))
+
+        # the lookup-join (J1): canon -> (status, html); miss => 404, b""
+        idx = pc.index_in(batch["canon"], value_set=self._canon)
+        hit = pc.is_valid(idx)
+        idx_f = pc.fill_null(idx, 0)
+        status = pc.if_else(
+            hit, pc.take(self._status, idx_f), pa.scalar(404, pa.int32())
+        )
+        body = pc.if_else(
+            hit, pc.take(self._html, idx_f), pa.scalar(b"", pa.binary())
+        )
+
+        # (e) domain gate after the request (NotAllowed discards status)
+        allowed = pc.is_in(batch["domain"], value_set=self._allowed)
+        # (f) content-length gate
+        fits = pc.less_equal(pc.binary_length(body), pa.scalar(self._max_cl))
+
+        ok = pc.and_(pc.and_(transport_ok, allowed), fits)
+        kept = batch.filter(ok)
+        out = kept.append_column("status", status.filter(ok)).append_column(
+            "body", body.filter(ok)
+        )
+        # (4) mark visited BEFORE returning (brink.go:103); the wave
+        # barrier makes this visible to every later lookup
+        if out.num_rows:
+            self._seen.mark(out["canon"].to_pylist(), out["status"].to_pylist())
+        return out
+
+
+class HttpFetcher:
+    """Real-web fetcher stub: same stage contract as ``Fetcher`` but
+    backed by live HTTP. The sandbox has no network; the Ray-side
+    plumbing (actor signature, batch schema, session state) is real,
+    the transport is not.
+    """
+
+    def __init__(self, cfg: CrawlConfig, seen_actors: list, nshards: int):
+        self.cfg = cfg
+        self.session = CookieSession(cfg)
+        self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "live HTTP fetch is unavailable in this environment; "
+            "use Fetcher with a PageIndex (fetch-as-join) instead"
+        )

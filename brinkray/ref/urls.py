@@ -201,16 +201,12 @@ def absolute_links_in(
 # --------------------------------------------------------------------------
 
 
-def normalize_url(
+def normalize_parts(
     url: str, ignored_params: frozenset[str] | set[str] = frozenset(), fuzzy: bool = False
-) -> str:
-    """urls.go:111-155 — canonical form keyed into the seen set.
-
-    Trim; parse (error => caller drops the URL); drop ignored GET params
-    (exact, plus substring match when ``fuzzy``); render ``k=v`` (bare
-    ``k`` for empty values); sort the *rendered strings*
-    lexicographically; rebuild ``scheme://host+path[?joined]``.
-    """
+) -> tuple[str, str, str, str]:
+    """``normalize_url`` plus its parse by-products in one pass:
+    returns (canon, scheme, host, path) — the engine's normalize stage
+    needs the domain and path columns anyway."""
     u = parse_request_uri(url.strip())  # strings.TrimSpace
     params = parse_query(u.raw_query)
 
@@ -226,9 +222,27 @@ def normalize_url(
             result.append(key if val == "" else f"{key}={val}")
 
     if not result:
-        return f"{u.scheme}://{u.host}{u.path}"
+        return f"{u.scheme}://{u.host}{u.path}", u.scheme, u.host, u.path
     result.sort()
-    return f"{u.scheme}://{u.host}{u.path}?{'&'.join(result)}"
+    return (
+        f"{u.scheme}://{u.host}{u.path}?{'&'.join(result)}",
+        u.scheme,
+        u.host,
+        u.path,
+    )
+
+
+def normalize_url(
+    url: str, ignored_params: frozenset[str] | set[str] = frozenset(), fuzzy: bool = False
+) -> str:
+    """urls.go:111-155 — canonical form keyed into the seen set.
+
+    Trim; parse (error => caller drops the URL); drop ignored GET params
+    (exact, plus substring match when ``fuzzy``); render ``k=v`` (bare
+    ``k`` for empty values); sort the *rendered strings*
+    lexicographically; rebuild ``scheme://host+path[?joined]``.
+    """
+    return normalize_parts(url, ignored_params, fuzzy)[0]
 
 
 def get_path(url: str) -> str:

@@ -128,7 +128,9 @@ class CuckooFilter:
     @classmethod
     def restore(cls, state: dict) -> "CuckooFilter":
         f = cls.__new__(cls)
-        f.buckets = np.asarray(state["buckets"], dtype=np.uint16)
+        # force a writable copy: arrays arriving via ray.get are backed
+        # by the read-only object store
+        f.buckets = np.array(state["buckets"], dtype=np.uint16, copy=True)
         f.nbuckets = f.buckets.shape[0]
         f.mask = np.uint64(f.nbuckets - 1)
         f.overflow = set(int(x) for x in state["overflow"])

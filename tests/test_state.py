@@ -1,0 +1,141 @@
+"""Unit tests: cuckoo filter, seen shards, politeness, cookie session."""
+
+import numpy as np
+import pytest
+
+from brinkray.state.cuckoo import CuckooFilter, sha1_64
+
+
+def test_cuckoo_basic():
+    f = CuckooFilter(capacity=1 << 12)
+    keys = [f"https://h.test/p/{i}" for i in range(2000)]
+    for k in keys:
+        f.add(k)
+    # no false negatives, ever
+    assert all(k in f for k in keys)
+    # false-positive rate on fresh keys stays tiny
+    fresh = [f"https://other.test/q/{i}" for i in range(4000)]
+    fp = sum(1 for k in fresh if k in f)
+    assert fp / len(fresh) < 0.01
+
+
+def test_cuckoo_batch_matches_scalar():
+    f = CuckooFilter(capacity=1 << 10)
+    ins = [f"k{i}" for i in range(300)]
+    for k in ins:
+        f.add(k)
+    probe = ins[:50] + [f"x{i}" for i in range(50)]
+    hashes = np.array([sha1_64(k) for k in probe], dtype=np.uint64)
+    batch = f.contains_many(hashes)
+    scalar = [k in f for k in probe]
+    assert list(batch) == scalar
+
+
+def test_cuckoo_overflow_keeps_correctness():
+    f = CuckooFilter(capacity=16)  # deliberately tiny
+    keys = [f"k{i}" for i in range(200)]
+    for k in keys:
+        f.add(k)
+    assert all(k in f for k in keys)  # overflow set guarantees no false negatives
+
+
+def test_cuckoo_dump_restore():
+    f = CuckooFilter(capacity=1 << 10)
+    for i in range(100):
+        f.add(f"k{i}")
+    g = CuckooFilter.restore(f.dump())
+    assert all(f"k{i}" in g for i in range(100))
+    assert g.count == f.count
+
+
+def test_sha1_64_stable():
+    # pinned: sharding must be stable across processes/versions
+    assert sha1_64("https://site-a.test") == int.from_bytes(
+        __import__("hashlib").sha1(b"https://site-a.test").digest()[:8], "big"
+    )
+
+
+def test_seen_shards(ray_session):
+    from brinkray.state.seen import ShardedSeenSet
+
+    s = ShardedSeenSet(3)
+    canons = [f"https://h.test/p/{i}" for i in range(50)]
+    assert s.check(canons) == [-1] * 50
+    s.mark(canons[:30], [200] * 30)
+    got = s.check(canons)
+    assert got[:30] == [200] * 30
+    assert got[30:] == [-1] * 20
+    # first-write-wins (brink.go:103 marks once)
+    s.mark(canons[:5], [404] * 5)
+    assert s.check(canons[:5]) == [200] * 5
+    assert s.size() == 30
+    items = s.all_items()
+    assert len(items) == 30 and items[canons[0]] == 200
+    # dump/restore round-trip
+    dumps = s.dump()
+    s2 = ShardedSeenSet(3)
+    s2.restore(dumps)
+    assert s2.check(canons) == got
+
+
+def test_politeness_budget(ray_session):
+    from brinkray.state.politeness import PolitenessClient
+
+    p = PolitenessClient(2, per_host_budget=10)
+    assert p.take("https://a.test", 7) == 7
+    assert p.take("https://a.test", 7) == 3  # capped
+    assert p.take("https://a.test", 1) == 0
+    assert p.take("https://b.test", 4) == 4  # independent per host
+    assert p.usage() == {"https://a.test": 10, "https://b.test": 4}
+
+
+def test_politeness_unlimited(ray_session):
+    from brinkray.state.politeness import PolitenessClient
+
+    p = PolitenessClient(2, per_host_budget=None)
+    assert p.take("https://a.test", 10**6) == 10**6
+
+
+def test_cookie_session_auth_drop():
+    """brink.go:173-192: the Authorization header is deleted permanently
+    once any request carries a session cookie (case-insensitive name)."""
+    from brinkray.engine.fetch import CookieSession
+    from brinkray.ref import AUTH_BASIC, Cookie, CrawlOptions, new_config_with_opts
+
+    opts = CrawlOptions(
+        auth_type=AUTH_BASIC,
+        user="u",
+        password="p",
+        cookies={"JSESSIONID": Cookie(name="JSESSIONID", value="abc")},
+        session_cookie_names=["jsessionid"],
+    )
+    cfg = new_config_with_opts("https://a.test", opts)
+    s = CookieSession(cfg)
+    h1 = s.prepare_headers()
+    # the deletion happens while cookies are attached, BEFORE headers
+    # are added — so even the first request loses Authorization
+    assert "Authorization" not in h1
+    assert h1["Cookie"] == "JSESSIONID=abc"
+    assert "Authorization" not in s.prepare_headers()
+
+
+def test_cookie_session_no_session_cookie_keeps_auth():
+    from brinkray.engine.fetch import CookieSession
+    from brinkray.ref import AUTH_BASIC, Cookie, CrawlOptions, new_config_with_opts
+
+    opts = CrawlOptions(
+        auth_type=AUTH_BASIC,
+        user="u",
+        password="p",
+        cookies={"other": Cookie(name="other", value="1")},
+        session_cookie_names=["jsessionid"],
+    )
+    cfg = new_config_with_opts("https://a.test", opts)
+    s = CookieSession(cfg)
+    assert s.prepare_headers()["Authorization"].startswith("Basic ")
+    # response cookies merge by name (brink.go:267-274)
+    s.merge_response_cookies([Cookie(name="other", value="2")])
+    assert s.cookies["other"].value == "2"
+    # ...and a session cookie arriving later drops auth from then on
+    s.merge_response_cookies([Cookie(name="JSessionID", value="z")])
+    assert "Authorization" not in s.prepare_headers()

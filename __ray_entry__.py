@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initializes Ray itself before importing this module; nothing
+here (or in brinkray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (synthesize a Common-Crawl-shaped
+web from sf0.001 documents, crawl it with the BFS-wave engine) and
+returns the handler-event table. ``queries()`` exposes one callable per
+implemented operator family (SURVEY.md §2 + the training-data ops);
+``oracle_sql()`` gives the DuckDB-checkable subset — column names match
+exactly between the Ray results and the SQL.
 """
 
 from __future__ import annotations
@@ -18,27 +16,382 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+_memo: dict[str, Any] = {}
+
+
+def _ds(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _to_pandas(ds):
+    """ds.to_pandas() loses the schema on empty datasets; rebuild it."""
+    import pyarrow as pa
+
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        schema = ds.schema()
+        df = pa.schema(zip(schema.names, schema.types)).empty_table().to_pandas()
+    return df
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize pages from sf0.001 documents, run the full
+    crawl, return the FIFO-ordered events table (drops bodies)."""
+    from brinkray.engine.crawl import EngineOptions
+    from brinkray.pipelines import crawl_documents_site
+
+    result = crawl_documents_site(
+        SF0001, pages_per_doc=1.0, cap=400, options=EngineOptions(seen_shards=2)
+    )
+    t = result.events_table()
+    return t.select(["wave", "order_key", "linked_from", "url", "status", "cached"])
+
+
+def _crawl_result(sf_dir: str):
+    if sf_dir not in _memo:
+        from brinkray.engine.crawl import EngineOptions
+        from brinkray.pipelines import crawl_documents_site
+
+        _memo[sf_dir] = crawl_documents_site(
+            sf_dir, pages_per_doc=1.0, cap=800, options=EngineOptions(seen_shards=2)
+        )
+    return _memo[sf_dir]
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_distinct_users(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ev = _ds(sf_dir, "events").select_columns(["event_type", "user_id"])
+    pairs = ev.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+
+
+def _q_status_routing(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _ds(sf_dir, "events")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+
+
+def _q_substring_detector(sf_dir: str):
+    import pyarrow.compute as pc
+
+    docs = _ds(sf_dir, "documents").select_columns(["doc_id", "source", "text"])
+    hits = docs.map_batches(
+        lambda t: t.filter(pc.match_substring(t["text"], "window")).select(
+            ["doc_id", "source"]
+        ),
+        batch_format="pyarrow",
+    )
+    return hits.to_pandas()
+
+
+def _q_per_source_budget(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _ds(sf_dir, "documents")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+
+
+def _q_frontier_ordering(sf_dir: str):
+    return (
+        _ds(sf_dir, "events")
+        .select_columns(["event_id", "ts", "event_type"])
+        .sort(["ts", "event_id"])
+        .limit(100)
+        .to_pandas()
+    )
+
+
+def _q_normalize_projection(sf_dir: str):
+    import pyarrow as pa
+
+    from brinkray.ref.urls import normalize_url
+
+    ignored = frozenset({"session"})
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        canons = [
+            normalize_url(f"https://{s}.test/d/{i}?b=2&a=1&session=x{i}", ignored)
+            for i, s in zip(ids, srcs)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "canon_url": pa.array(canons, pa.string()),
+            }
+        )
+
+    return (
+        _ds(sf_dir, "documents")
+        .select_columns(["doc_id", "source"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def _q_fetch_join(sf_dir: str):
+    """Fetch-as-join (J1): broadcast the small side, look up per batch."""
+    import pyarrow as pa
+    import ray
+
+    cust = _ds(sf_dir, "customer").select_columns(["c_custkey", "c_name"]).to_pandas()
+    max_ck = int(cust["c_custkey"].max())
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def fn(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        eids = t["event_id"].to_pylist()
+        uids = t["user_id"].to_pylist()
+        out_e, out_n = [], []
+        for e, u in zip(eids, uids):
+            name = lookup.get(u % max_ck + 1)
+            if name is not None:
+                out_e.append(e)
+                out_n.append(name)
+        return pa.table(
+            {
+                "event_id": pa.array(out_e, pa.int64()),
+                "c_name": pa.array(out_n, pa.string()),
+            }
+        )
+
+    return (
+        _ds(sf_dir, "events")
+        .select_columns(["event_id", "user_id"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    from brinkray.textproc.dedup import exact_dedup
+
+    return exact_dedup(_ds(sf_dir, "documents")).to_pandas()
+
+
+def _q_token_counts(sf_dir: str):
+    from brinkray.textproc.quality import add_token_counts
+
+    ds = add_token_counts(_ds(sf_dir, "documents").select_columns(["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "n_tokens", "n_bpe_ish"]).to_pandas()
+
+
+def _q_quality_basic(sf_dir: str):
+    from brinkray.textproc.quality import add_quality_signals
+
+    ds = add_quality_signals(_ds(sf_dir, "documents").select_columns(["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "q_chars", "punct_ratio"]).to_pandas()
+
+
+def _q_quality_signals(sf_dir: str):
+    from brinkray.textproc.quality import add_quality_signals
+
+    ds = add_quality_signals(_ds(sf_dir, "documents").select_columns(["doc_id", "text"]))
+    return ds.select_columns(
+        ["doc_id", "q_chars", "punct_ratio", "stopword_ratio", "alpha_ratio", "quality"]
+    ).to_pandas()
+
+
+def _q_lang_id(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from brinkray.textproc.quality import add_lang_id
+
+    ds = add_lang_id(_ds(sf_dir, "documents").select_columns(["doc_id", "text"]))
+    return ds.groupby("lang_pred").aggregate(Count(alias_name="n")).to_pandas()
+
+
+def _q_fingerprints(sf_dir: str):
+    from brinkray.textproc.quality import add_fingerprint
+
+    ds = add_fingerprint(_ds(sf_dir, "documents").select_columns(["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "fp"]).to_pandas()
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from brinkray.textproc.dedup import minhash_lsh_pairs
+
+    return _to_pandas(minhash_lsh_pairs(_ds(sf_dir, "documents"), threshold=0.2))
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from brinkray.textproc.dedup import simhash_pairs
+
+    return _to_pandas(simhash_pairs(_ds(sf_dir, "documents"), max_hamming=8))
+
+
+def _q_dedup_ngram(sf_dir: str):
+    from brinkray.textproc.dedup import ngram_jaccard_pairs
+
+    return _to_pandas(ngram_jaccard_pairs(_ds(sf_dir, "documents"), threshold=0.1))
+
+
+def _q_embedding_dups(sf_dir: str):
+    from brinkray.textproc.dedup import embedding_dup_pairs
+
+    return _to_pandas(embedding_dup_pairs(_ds(sf_dir, "embeddings"), threshold=0.9))
+
+
+def _query_vec(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    return t["embedding"][0].as_py()
+
+
+def _q_ann_topk(sf_dir: str):
+    from brinkray.textproc.similarity import cosine_topk
+
+    return cosine_topk(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10).to_pandas()
+
+
+def _q_ann_ivf(sf_dir: str):
+    from brinkray.textproc.similarity import ivf_topk
+
+    return ivf_topk(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10).to_pandas()
+
+
+def _q_crawl_seen(sf_dir: str):
+    import pandas as pd
+
+    res = _crawl_result(sf_dir)
+    items = sorted(res.seen.items())
+    return pd.DataFrame(
+        {"url": [u for u, _ in items], "status": [s for _, s in items]}
+    )
+
+
+def _q_crawl_events(sf_dir: str):
+    res = _crawl_result(sf_dir)
+    return res.events_table().select(
+        ["wave", "order_key", "linked_from", "url", "status", "cached"]
+    )
+
+
+def _q_crawl_extract_links(sf_dir: str):
+    """Phase-1 slice: pages -> normalize -> extract links (no loop)."""
+    import ray.data as rd
+
+    from brinkray.engine.stages import make_extract_links_fn
+    from brinkray.pipelines import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=500)
+    import pyarrow as pa
+
+    src = pa.table(
+        {
+            "href": pages["url"],
+            "linked_from": pages["url"],
+            "target": pa.array([""] * pages.num_rows, pa.string()),
+            "order_key": pa.array(
+                [f"{i:06d}" for i in range(pages.num_rows)], pa.string()
+            ),
+            "wave": pa.array([0] * pages.num_rows, pa.int32()),
+            "body": pages["html"],
+        }
+    )
+    links = rd.from_arrow(src).map_batches(
+        make_extract_links_fn(), batch_format="pyarrow"
+    )
+    return links.select_columns(["href", "linked_from", "target"]).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl-operator analogues over the shared testdata views
+        "distinct_users_per_event_type": _q_distinct_users,
+        "status_routing_counts": _q_status_routing,
+        "substring_detector": _q_substring_detector,
+        "per_source_budget": _q_per_source_budget,
+        "frontier_ordering": _q_frontier_ordering,
+        "normalize_projection": _q_normalize_projection,
+        "fetch_join": _q_fetch_join,
+        # training-data operators
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "quality_basic": _q_quality_basic,
+        "quality_signals": _q_quality_signals,
+        "lang_id_counts": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "embedding_dups": _q_embedding_dups,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf,
+        # the crawl engine itself (non-SQL-expressible: stateful wave loop)
+        "crawl_seen_set": _q_crawl_seen,
+        "crawl_events": _q_crawl_events,
+        "crawl_extract_links": _q_crawl_extract_links,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "distinct_users_per_event_type": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "status_routing_counts": (
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+        ),
+        "substring_detector": (
+            "SELECT doc_id, source FROM documents WHERE text LIKE '%window%'"
+        ),
+        "per_source_budget": (
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "frontier_ordering": (
+            "SELECT event_id, ts, event_type FROM events "
+            "ORDER BY ts, event_id LIMIT 100"
+        ),
+        "normalize_projection": (
+            "SELECT doc_id, 'https://' || source || '.test/d/' || "
+            "CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canon_url FROM documents"
+        ),
+        "fetch_join": (
+            "SELECT e.event_id, c.c_name FROM events e JOIN customer c "
+            "ON ((e.user_id % (SELECT MAX(c_custkey) FROM customer)) + 1) = c.c_custkey"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS h, MIN(doc_id) AS doc_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_ish "
+            "FROM documents"
+        ),
+        "quality_basic": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_chars, "
+            "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) "
+            "AS punct_ratio FROM documents"
+        ),
+    }

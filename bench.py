@@ -1,0 +1,153 @@
+"""Benchmark harness (driver contract).
+
+    python bench.py               # one JSON line with per-query seconds
+    python bench.py --scaling     # same headline at 8 and 32 CPUs in
+                                  # fresh processes + scaling efficiency
+
+Headline: the flagship crawl — synthesize a Common-Crawl-shaped web
+from $GRAFT_SF_DIR's documents (2 pages/doc), run the full BFS-wave
+engine (normalize -> dedup shuffle -> seen shards -> fetch-join actor
+pool -> extract), report wall seconds and URLs/sec. Secondary queries
+cover the training-data operators at the same scale factor.
+
+Owns its Ray session (ray.init/shutdown) — the only scripts allowed to.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import logging
+
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def bench_crawl(num_cpus: int) -> tuple[float, dict]:
+    from brinkray.engine.crawl import EngineOptions
+    from brinkray.pipelines import pages_from_documents, run_crawl
+
+    pages = pages_from_documents(SF_DIR, pages_per_doc=2.0)  # built once, untimed
+    opts = EngineOptions(
+        seen_shards=8,
+        fetch_concurrency=max(2, num_cpus // 4),
+        fetch_batch_size=4096,
+        fetch_num_cpus=0.5,
+        store_body=False,
+    )
+    t0 = time.monotonic()
+    result = run_crawl(pages, options=opts)
+    sec = time.monotonic() - t0
+    n_events = sum(ds.count() for ds in result.results)
+    return sec, {
+        "pages": pages.num_rows,
+        "waves": result.waves,
+        "urls_seen": len(result.seen),
+        "events": n_events,
+        "urls_per_sec": round(len(result.seen) / sec, 1),
+    }
+
+
+def bench_queries() -> dict[str, float]:
+    """Secondary: the training-data operators at $GRAFT_SF_DIR."""
+    import __ray_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name in [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "token_counts",
+        "quality_signals",
+        "lang_id_counts",
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "embedding_dups",
+        "per_source_budget",
+        "distinct_users_per_event_type",
+        "fetch_join",
+    ]:
+        fn = entrymod.queries()[name]
+        t0 = time.monotonic()
+        fn(SF_DIR)
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    ray = _init_ray(NUM_CPUS)
+    crawl_sec, crawl_stats = bench_crawl(NUM_CPUS)
+    qsec = bench_queries()
+    queries = {"crawl": round(crawl_sec, 3), **qsec}
+    payload = {
+        "metric": "crawl_urls_fetched_extracted_per_sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl_stats,
+    }
+    ray.shutdown()
+    return payload
+
+
+def run_scaling() -> dict:
+    """Same headline job at 8 and 32 CPUs in fresh interpreter sessions
+    (the sandbox stand-in for N vs 4N nodes)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["crawl"]["urls_per_sec"]
+    tput_hi = hi["crawl"]["urls_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "crawl_scaling_efficiency",
+        "num_cpus": [8, 32],
+        "sec_8": lo["queries"]["crawl"],
+        "sec_32": hi["queries"]["crawl"],
+        "urls_per_sec_8": tput_lo,
+        "urls_per_sec_32": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

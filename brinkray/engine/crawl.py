@@ -212,19 +212,26 @@ def _make_politeness_fn(actors: list, nshards: int, wave_limit: int | None):
     return fn
 
 
-def _project_result_fetched(t: pa.Table) -> pa.Table:
-    return pa.table(
-        {
-            "wave": t["wave"],
-            "order_key": t["order_key"],
-            "linked_from": t["linked_from"],
-            "url": t["canon"],
-            "status": t["status"],
-            "cached": pa.array([False] * t.num_rows, pa.bool_()),
-            "body": t["body"],
-            "text": t["text"],
-        }
-    )
+def _make_project_result_fetched(store_body: bool):
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "wave": t["wave"],
+                "order_key": t["order_key"],
+                "linked_from": t["linked_from"],
+                "url": t["canon"],
+                "status": t["status"],
+                "cached": pa.array([False] * t.num_rows, pa.bool_()),
+                # store_body=False keeps results lean (bench / huge runs);
+                # the text column remains the conformance surface
+                "body": t["body"]
+                if store_body
+                else pa.array([b""] * t.num_rows, pa.binary()),
+                "text": t["text"],
+            }
+        )
+
+    return project
 
 
 def _project_result_cached(t: pa.Table) -> pa.Table:
@@ -301,6 +308,10 @@ class CrawlEngine:
         while True:
             if opts.max_waves is not None and wave >= opts.max_waves:
                 break
+            if getattr(self, "stopping", False):
+                # Stop() semantics (brink.go:145-149): finish the
+                # completed wave, stop pulling new frontier work
+                break
             t0 = time.monotonic()
             frontier_n = frontier.count()
             if frontier_n == 0:
@@ -373,7 +384,7 @@ class CrawlEngine:
 
             # 8 results table for the wave
             res_fetched = fetched.map_batches(
-                _project_result_fetched, batch_format="pyarrow"
+                _make_project_result_fetched(opts.store_body), batch_format="pyarrow"
             )
             res_cached = cached.map_batches(
                 _project_result_cached, batch_format="pyarrow"

@@ -1,0 +1,88 @@
+"""Stable hashing + tokenization shared by the dedup/quality operators.
+
+Everything is deterministic across processes and runs (blake2b, fixed
+seeds) — a cluster-wide shuffle keyed on these hashes must agree
+between tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+MERSENNE61 = np.uint64((1 << 61) - 1)
+NUM_PERM = 64
+SHINGLE_K = 3
+
+_rng = np.random.default_rng(0xB81C)  # fixed: permutation params are part of the format
+MINHASH_A = _rng.integers(1, 1 << 61, size=NUM_PERM, dtype=np.uint64) | np.uint64(1)
+MINHASH_B = _rng.integers(0, 1 << 61, size=NUM_PERM, dtype=np.uint64)
+
+
+def blake64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def tokens_of(text: str) -> list[str]:
+    return TOKEN_RE.findall(text.lower())
+
+
+def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """k-token shingles -> uint64 hashes (short docs: one whole-text shingle)."""
+    toks = tokens_of(text)
+    if len(toks) < k:
+        return np.array([blake64(" ".join(toks).encode())], dtype=np.uint64)
+    out = np.empty(len(toks) - k + 1, dtype=np.uint64)
+    for i in range(len(toks) - k + 1):
+        out[i] = blake64(" ".join(toks[i : i + k]).encode())
+    return out
+
+
+def minhash_signature(sh: np.ndarray) -> np.ndarray:
+    """NUM_PERM-wide signature via universal hashing mod 2^61-1."""
+    x = sh.astype(np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        hashed = (x * MINHASH_A[None, :] + MINHASH_B[None, :]) % MERSENNE61
+    return hashed.min(axis=0)
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> list[int]:
+    rows = len(sig) // bands
+    return [
+        blake64(sig[b * rows : (b + 1) * rows].tobytes()) & ((1 << 62) - 1)
+        for b in range(bands)
+    ]
+
+
+def simhash64(text: str) -> int:
+    toks = tokens_of(text)
+    if not toks:
+        return 0
+    h = np.fromiter((blake64(t.encode()) for t in toks), dtype=np.uint64, count=len(toks))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).sum(
+        axis=0
+    )
+    sig = (2 * bits > len(toks)).astype(np.uint64)
+    return int((sig << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+_FP_BASE = 1_000_003
+_FP_MOD = (1 << 61) - 1
+_WS_RE = re.compile(r"\s+")
+
+
+def fingerprint(text: str) -> str:
+    """Rolling polynomial hash of the whitespace-normalized lowercase
+    text, rendered as 16 hex chars — a cheap stable document id."""
+    norm = _WS_RE.sub(" ", text.lower()).strip()
+    h = 0
+    for ch in norm.encode("utf-8"):
+        h = (h * _FP_BASE + ch) % _FP_MOD
+    return f"{h:016x}"

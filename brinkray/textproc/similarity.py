@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``cosine_topk``   — brute-force baseline: per-batch numpy matmul
+  against a broadcast query vector, per-batch partial top-k, tiny
+  driver-side merge (the only rows reaching the driver are k per
+  batch).
+* ``ivf_topk``      — the scale path: deterministic k-means coarse
+  quantizer built on a sample, assignment as a map_batches stage, probe
+  the ``nprobe`` nearest centroids only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+__all__ = ["cosine_topk", "ivf_topk", "build_ivf_centroids"]
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    return v / np.maximum(n, 1e-12)
+
+
+def cosine_topk(ds, query: np.ndarray, k: int = 10, vec_col="embedding", id_col="vec_id"):
+    """Exact cosine top-k. Returns pa.Table (vec_id, cosine) sorted
+    descending, ties broken by id (deterministic)."""
+    q = _unit(np.asarray(query, dtype=np.float64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        cos = _unit(_as_matrix(t[vec_col])) @ q
+        if len(ids) > k:
+            idx = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[idx], cos[idx]
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()), "cosine": pa.array(cos, pa.float64())}
+        )
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    ids = np.asarray(parts[id_col].to_pylist(), dtype=np.int64)
+    cos = np.asarray(parts["cosine"].to_pylist())
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order], pa.int64()),
+            "cosine": pa.array(cos[order], pa.float64()),
+        }
+    )
+
+
+def build_ivf_centroids(
+    ds, n_centroids: int = 16, iters: int = 5, vec_col="embedding", sample_mod: int = 1
+) -> np.ndarray:
+    """Deterministic k-means on a sampled, materialized slice (the
+    coarse quantizer is tiny and reused; the corpus itself never leaves
+    the cluster)."""
+    sample = pa.concat_tables(
+        ray.get(ds.limit(4096 * sample_mod).to_arrow_refs())
+    )
+    x = _unit(_as_matrix(sample[vec_col]))
+    # deterministic init: evenly spaced sample rows
+    step = max(1, len(x) // n_centroids)
+    cents = x[::step][:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = _unit(m.mean(axis=0))
+    return cents
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col="embedding",
+    id_col="vec_id",
+):
+    """IVF-style approximate top-k: search only the ``nprobe`` clusters
+    nearest to the query. Recall < 1 by design; the candidate scan
+    shrinks by ~n_centroids/nprobe."""
+    cents = build_ivf_centroids(ds, n_centroids, vec_col=vec_col)
+    q = _unit(np.asarray(query, dtype=np.float64))
+    probe = set(np.argsort(-(cents @ q))[:nprobe].tolist())
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        unit = _unit(_as_matrix(t[vec_col]))
+        assign = np.argmax(unit @ cents.T, axis=1)
+        mask = np.isin(assign, list(probe))
+        ids, unit = ids[mask], unit[mask]
+        cos = unit @ q
+        if len(ids) > k:
+            idx = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[idx], cos[idx]
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()), "cosine": pa.array(cos, pa.float64())}
+        )
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    ids = np.asarray(parts[id_col].to_pylist(), dtype=np.int64)
+    cos = np.asarray(parts["cosine"].to_pylist())
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order], pa.int64()),
+            "cosine": pa.array(cos[order], pa.float64()),
+        }
+    )

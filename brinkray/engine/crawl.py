@@ -158,13 +158,15 @@ def _block_mark_winners(tbl: pa.Table, first_is_winner: bool) -> pa.Table:
     return tbl.append_column("is_winner", flags)
 
 
-def _mark_winners(norm_ds) -> "rd.Dataset":
+def _mark_winners(norm_ds, target_blocks: int) -> "rd.Dataset":
     """Intra-wave dedup (D2): the FIFO-first occurrence of each canon
     (min order_key) is the winner; the rest become cached-replay
     candidates. Implemented as ONE native sort by (canon, order_key)
     followed by vectorized run-boundary marking per block (a
-    per-group Python callback would not survive million-row waves)."""
-    s = norm_ds.sort(["canon", "order_key"]).materialize()
+    per-group Python callback would not survive million-row waves).
+    The repartition sets the wave's parallelism: everything downstream
+    (seen check, fetch pool, extract) works block-wise."""
+    s = norm_ds.repartition(target_blocks).sort(["canon", "order_key"])
     refs = s.to_arrow_refs()
     ends = ray.get([_block_ends.remote(r) for r in refs])
     flags = []
@@ -221,9 +223,10 @@ def _make_project_result_fetched(store_body: bool):
                 "linked_from": t["linked_from"],
                 "url": t["canon"],
                 "status": t["status"],
-                "cached": pa.array([False] * t.num_rows, pa.bool_()),
+                "cached": t["cached"],
                 # store_body=False keeps results lean (bench / huge runs);
-                # the text column remains the conformance surface
+                # the text column remains the conformance surface. Cached
+                # rows already carry b"" bodies (brink.go:86-88).
                 "body": t["body"]
                 if store_body
                 else pa.array([b""] * t.num_rows, pa.binary()),
@@ -317,27 +320,27 @@ class CrawlEngine:
             if frontier_n == 0:
                 break
 
-            # 1 normalize (drops unparseable hrefs)
+            # 1+2 normalize then intra-wave dedup (ONE all-to-all exec;
+            # the repartition sets downstream block parallelism)
+            target_blocks = max(1, min(frontier_n // opts.fetch_batch_size + 1, 64))
             norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
+            grouped = _mark_winners(norm, target_blocks)  # concrete blocks
 
-            # 2 intra-wave dedup (shuffle on canon)
-            grouped = _mark_winners(norm).materialize()
-
-            # 3 seen check for winners
+            # 3 winners -> seen check, fused straight into the fetch pool
             winners = _filter_batches(grouped, lambda t: t["is_winner"])
-            winners = winners.map_batches(
-                seen_check_fn, batch_format="pyarrow"
-            ).materialize()
-            novel = _filter_batches(
-                winners, lambda t: pc.equal(t["seen_status"], -1)
-            )
-            cached_w = _filter_batches(
-                winners, lambda t: pc.not_equal(t["seen_status"], -1)
-            )
+            winners_checked = winners.map_batches(seen_check_fn, batch_format="pyarrow")
 
-            # 4 politeness / budget (shuffle on domain, only when enabled)
+            # 4 politeness / budget (shuffle on domain, only when enabled;
+            # conformance default is off => zero extra executions)
             deferred = None
             if self._politeness_on:
+                winners_checked = winners_checked.materialize()
+                novel = _filter_batches(
+                    winners_checked, lambda t: pc.equal(t["seen_status"], -1)
+                )
+                cached_w = _filter_batches(
+                    winners_checked, lambda t: pc.not_equal(t["seen_status"], -1)
+                )
                 admit_fn = _make_politeness_fn(
                     self.politeness_actors,
                     opts.politeness_shards,
@@ -346,16 +349,20 @@ class CrawlEngine:
                 disp = novel.groupby("domain").map_groups(
                     admit_fn, batch_format="pyarrow"
                 ).materialize()
-                novel = _filter_batches(
+                admitted = _filter_batches(
                     disp, lambda t: pc.equal(t["disposition"], "admit")
                 ).drop_columns(["disposition"])
                 deferred = _filter_batches(
                     disp, lambda t: pc.equal(t["disposition"], "defer")
                 )
+                fetch_input = admitted.union(cached_w)
+            else:
+                fetch_input = winners_checked
 
-            # 5+6 fetch (actor pool) + text extraction; materialize = the
-            # wave barrier after which all marks are visible
-            fetched = novel.map_batches(
+            # 5+6 fetch (actor pool; seen winners pass through as cached
+            # replays) + text extraction; materialize = the wave barrier
+            # after which all marks are visible
+            processed = fetch_input.map_batches(
                 Fetcher,
                 fn_constructor_args=(
                     self.cfg,
@@ -368,31 +375,31 @@ class CrawlEngine:
                 concurrency=opts.fetch_concurrency,
                 num_cpus=opts.fetch_num_cpus,
             )
-            fetched = fetched.map_batches(
+            processed = processed.map_batches(
                 extract_text_stage, batch_format="pyarrow"
             ).materialize()
 
-            # 7 cached replays: seen winners + duplicate occurrences whose
-            # winner got marked (post-barrier lookup; misses drop, exactly
-            # the FIFO outcome for duplicates of error URLs)
+            # 7 cached replays for duplicate occurrences (post-barrier
+            # lookup; misses drop — exactly the FIFO outcome for
+            # duplicates of error or budget-dropped URLs)
             dups = _filter_batches(grouped, lambda t: pc.invert(t["is_winner"]))
             dup_checked = dups.map_batches(seen_check_fn, batch_format="pyarrow")
             dup_cached = _filter_batches(
                 dup_checked, lambda t: pc.not_equal(t["seen_status"], -1)
             )
-            cached = cached_w.union(dup_cached)
 
             # 8 results table for the wave
-            res_fetched = fetched.map_batches(
+            res_main = processed.map_batches(
                 _make_project_result_fetched(opts.store_body), batch_format="pyarrow"
             )
-            res_cached = cached.map_batches(
+            res_dup = dup_cached.map_batches(
                 _project_result_cached, batch_format="pyarrow"
             )
-            wave_results = res_fetched.union(res_cached).materialize()
+            wave_results = res_main.union(res_dup).materialize()
             results.append(wave_results)
 
-            # expansion -> next frontier
+            # expansion -> next frontier (cached replays never expand)
+            fetched = _filter_batches(processed, lambda t: pc.invert(t["cached"]))
             expandable = fetched.map_batches(forbidden_gate, batch_format="pyarrow")
             links = expandable.map_batches(
                 extract_links_fn, batch_format="pyarrow"
@@ -417,11 +424,12 @@ class CrawlEngine:
                 )
             next_frontier = links.materialize()
 
+            processed_n = processed.count()
             m = {
                 "wave": wave,
                 "frontier": frontier_n,
-                "fetched": fetched.count(),
-                "cached": wave_results.count() - fetched.count(),
+                "processed": processed_n,
+                "results": wave_results.count(),
                 "next_frontier": next_frontier.count(),
                 "seen_total": self.seen.size(),
                 "wall_sec": round(time.monotonic() - t0, 3),
@@ -471,7 +479,7 @@ class CrawlEngine:
         lineage = {
             "wave": wave,
             "in_frontier_rows": m["frontier"],
-            "out_results_rows": m["fetched"] + m["cached"],
+            "out_results_rows": m["results"],
             "out_frontier_rows": m["next_frontier"],
             "seen_total": m["seen_total"],
         }

@@ -88,46 +88,84 @@ class Fetcher:
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
         self.session = CookieSession(cfg)
 
+    def _empty_out(self, batch: pa.Table) -> pa.Table:
+        return (
+            batch.append_column("status", pa.array([], pa.int32()))
+            .append_column("body", pa.array([], pa.binary()))
+            .append_column("cached", pa.array([], pa.bool_()))
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Mixed winner batch: rows with seen_status != -1 pass through
+        as cached replays (stored status, empty body, brink.go:83-93);
+        novel rows go through the fetch gates; error rows vanish."""
         if batch.num_rows == 0:
-            return batch.append_column("status", pa.array([], pa.int32())).append_column(
-                "body", pa.array([], pa.binary())
+            return self._empty_out(batch)
+        novel_mask = pc.equal(batch["seen_status"], pa.scalar(-1, pa.int32()))
+        seen_rows = batch.filter(pc.invert(novel_mask))
+        batch = batch.filter(novel_mask)
+
+        out_parts: list[pa.Table] = []
+        if seen_rows.num_rows:
+            out_parts.append(
+                seen_rows.append_column(
+                    "status", seen_rows["seen_status"].cast(pa.int32())
+                )
+                .append_column(
+                    "body", pa.array([b""] * seen_rows.num_rows, pa.binary())
+                )
+                .append_column(
+                    "cached", pa.array([True] * seen_rows.num_rows, pa.bool_())
+                )
             )
-        # session fidelity: the header/jar state advances per request
-        # (on the sandbox world the headers have no observable effect)
-        self.session.prepare_headers()
 
-        # (a) the request: unknown domain or /err/ path => transport error
-        domain_known = pc.is_in(batch["domain"], value_set=self._known_hosts)
-        err_path = pc.starts_with(batch["path"], "/err/")
-        transport_ok = pc.and_(domain_known, pc.invert(err_path))
+        if batch.num_rows:
+            # session fidelity: the header/jar state advances per request
+            # (on the sandbox world the headers have no observable effect)
+            self.session.prepare_headers()
 
-        # the lookup-join (J1): canon -> (status, html); miss => 404, b""
-        idx = pc.index_in(batch["canon"], value_set=self._canon)
-        hit = pc.is_valid(idx)
-        idx_f = pc.fill_null(idx, 0)
-        status = pc.if_else(
-            hit, pc.take(self._status, idx_f), pa.scalar(404, pa.int32())
-        )
-        body = pc.if_else(
-            hit, pc.take(self._html, idx_f), pa.scalar(b"", pa.binary())
-        )
+            # (a) the request: unknown domain or /err/ path => transport error
+            domain_known = pc.is_in(batch["domain"], value_set=self._known_hosts)
+            err_path = pc.starts_with(batch["path"], "/err/")
+            transport_ok = pc.and_(domain_known, pc.invert(err_path))
 
-        # (e) domain gate after the request (NotAllowed discards status)
-        allowed = pc.is_in(batch["domain"], value_set=self._allowed)
-        # (f) content-length gate
-        fits = pc.less_equal(pc.binary_length(body), pa.scalar(self._max_cl))
+            # the lookup-join (J1): canon -> (status, html); miss => 404, b""
+            idx = pc.index_in(batch["canon"], value_set=self._canon)
+            hit = pc.is_valid(idx)
+            idx_f = pc.fill_null(idx, 0)
+            status = pc.if_else(
+                hit, pc.take(self._status, idx_f), pa.scalar(404, pa.int32())
+            )
+            body = pc.if_else(
+                hit, pc.take(self._html, idx_f), pa.scalar(b"", pa.binary())
+            )
 
-        ok = pc.and_(pc.and_(transport_ok, allowed), fits)
-        kept = batch.filter(ok)
-        out = kept.append_column("status", status.filter(ok)).append_column(
-            "body", body.filter(ok)
-        )
-        # (4) mark visited BEFORE returning (brink.go:103); the wave
-        # barrier makes this visible to every later lookup
-        if out.num_rows:
-            self._seen.mark(out["canon"].to_pylist(), out["status"].to_pylist())
-        return out
+            # (e) domain gate after the request (NotAllowed discards status)
+            allowed = pc.is_in(batch["domain"], value_set=self._allowed)
+            # (f) content-length gate
+            fits = pc.less_equal(pc.binary_length(body), pa.scalar(self._max_cl))
+
+            ok = pc.and_(pc.and_(transport_ok, allowed), fits)
+            kept = batch.filter(ok)
+            fetched = (
+                kept.append_column("status", status.filter(ok))
+                .append_column("body", body.filter(ok))
+                .append_column(
+                    "cached", pa.array([False] * kept.num_rows, pa.bool_())
+                )
+            )
+            # (4) mark visited BEFORE returning (brink.go:103); the wave
+            # barrier makes this visible to every later lookup
+            if fetched.num_rows:
+                self._seen.mark(
+                    fetched["canon"].to_pylist(), fetched["status"].to_pylist()
+                )
+            out_parts.append(fetched)
+
+        if not out_parts:
+            return self._empty_out(batch)
+        out = pa.concat_tables(out_parts) if len(out_parts) > 1 else out_parts[0]
+        return out.sort_by("order_key")
 
 
 class HttpFetcher:

@@ -50,7 +50,7 @@ def bench_crawl(num_cpus: int) -> tuple[float, dict]:
     from brinkray.engine.crawl import EngineOptions
     from brinkray.pipelines import pages_from_documents, run_crawl
 
-    pages = pages_from_documents(SF_DIR, pages_per_doc=2.0)  # built once, untimed
+    pages = pages_from_documents(SF_DIR, pages_per_doc=4.0, fanout=8)  # built once, untimed
     opts = EngineOptions(
         seen_shards=8,
         fetch_concurrency=max(2, num_cpus // 4),

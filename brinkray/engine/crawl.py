@@ -86,6 +86,8 @@ class EngineOptions:
     fetch_concurrency: int = 2
     fetch_batch_size: int = 1024
     fetch_num_cpus: float = 0.5
+    robots_enabled: bool = False
+    robots_agent: str = "*"
     extract_fast: bool = True
     store_body: bool = True
     checkpoint_dir: str | None = None
@@ -303,6 +305,15 @@ class CrawlEngine:
 
         frontier = rd.from_arrow(frontier_tbl)
         wave = start_wave
+        robots_gate = None
+        if opts.robots_enabled:
+            from .robots import RobotsPolicy
+            from .stages import make_robots_filter
+
+            policy = RobotsPolicy.from_pages(
+                self.index.robots_bodies or {}, opts.robots_agent
+            )
+            robots_gate = make_robots_filter(policy)
         normalize_fn = make_normalize_fn(self.cfg)
         extract_links_fn = make_extract_links_fn(fast=opts.extract_fast)
         forbidden_gate = make_forbidden_filter(self.cfg)
@@ -324,6 +335,8 @@ class CrawlEngine:
             # the repartition sets downstream block parallelism)
             target_blocks = max(1, min(frontier_n // opts.fetch_batch_size + 1, 64))
             norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
+            if robots_gate is not None:
+                norm = norm.map_batches(robots_gate, batch_format="pyarrow")
             grouped = _mark_winners(norm, target_blocks)  # concrete blocks
 
             # 3 winners -> seen check, fused straight into the fetch pool

@@ -36,6 +36,7 @@ class PageIndex:
     table_ref: "ray.ObjectRef"  # pa.Table(canon, status, html)
     known_hosts: frozenset[str]
     n_pages: int
+    robots_bodies: dict[str, str] = None  # domain -> robots.txt text
 
 
 def index_batch_fn(cfg: CrawlConfig):
@@ -100,8 +101,18 @@ def build_page_index(pages, cfg: CrawlConfig) -> PageIndex:
 
     known_hosts = frozenset(tbl["domain"].to_pylist())
     index_tbl = tbl.select(["canon", "status", "html"]).combine_chunks()
+
+    # robots.txt bodies, straight from the table (the sandbox web)
+    robots_bodies: dict[str, str] = {}
+    robots_canons = {f"{d}/robots.txt": d for d in known_hosts}
+    for canon, html in zip(index_tbl["canon"].to_pylist(), index_tbl["html"].to_pylist()):
+        d = robots_canons.get(canon)
+        if d is not None:
+            robots_bodies[d] = bytes(html).decode("utf-8", "replace")
+
     return PageIndex(
         table_ref=ray.put(index_tbl),
         known_hosts=known_hosts,
         n_pages=index_tbl.num_rows,
+        robots_bodies=robots_bodies,
     )

@@ -117,6 +117,22 @@ def make_extract_links_fn(
     return extract_batch
 
 
+def make_robots_filter(policy) -> Callable[[pa.Table], pa.Table]:
+    """Drop robots-disallowed rows right after normalization — before
+    the seen check, so disallowed URLs are never fetched, marked or
+    replayed (engine.robots docstring)."""
+
+    def gate(t: pa.Table) -> pa.Table:
+        domains = t["domain"].to_pylist()
+        paths = t["path"].to_pylist()
+        mask = pa.array(
+            [policy.allowed(d, p) for d, p in zip(domains, paths)], pa.bool_()
+        )
+        return t.filter(mask)
+
+    return gate
+
+
 def extract_text_stage(t: pa.Table) -> pa.Table:
     """html/body binary column -> extracted ``text`` column (the
     byte-identical conformance surface)."""

@@ -101,10 +101,32 @@ def _a(href: str, label: str, target: str = "") -> str:
     return f'<a href="{href}"{t}>{_htmlmod.escape(label)}</a>'
 
 
-def build_site(n_pages: int, seed: int = 42, texts: list[str] | None = None) -> pa.Table:
+ROBOTS_A = (
+    "# robots for site-a\n"
+    "User-agent: evilbot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /missing/\n"
+    "Disallow: /p/13\n"
+    "Allow: /p/13/deeper\n"
+)
+ROBOTS_B = "User-agent: *\nDisallow: /status/\n"
+
+
+def build_site(
+    n_pages: int,
+    seed: int = 42,
+    texts: list[str] | None = None,
+    fanout: int = 3,
+    with_robots: bool = False,
+) -> pa.Table:
     """Build the pages table. Page 0 is the root (path-less URL on
-    HOST_A); pages 1..n-1 live at /p/{i}; the tree fanout-3 link
-    structure (i -> 3i+1, 3i+2, 3i+3) makes every page reachable."""
+    HOST_A); pages 1..n-1 live at /p/{i}; the tree fanout link
+    structure (i -> fanout*i+1 .. fanout*i+fanout) makes every page
+    reachable in ~log_fanout(n) waves. Conformance fixtures use the
+    default fanout=3; the bench uses a wider fanout so wave width (real
+    work) dominates the per-wave fixed cost."""
     rows: dict[str, list] = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
 
     n_blocked = max(2, n_pages // 50)
@@ -118,7 +140,7 @@ def build_site(n_pages: int, seed: int = 42, texts: list[str] | None = None) -> 
         # Root-relative hrefs resolve against the PARENT's host
         # (urls.go:60-63), so a child on the other host needs an
         # absolute href to be reachable at its real URL.
-        for c in (3 * i + 1, 3 * i + 2, 3 * i + 3):
+        for c in range(fanout * i + 1, fanout * i + fanout + 1):
             if c < n_pages:
                 ch = _host_of(c)
                 href = f"/p/{c}" if ch == host else f"{ch}/p/{c}"
@@ -178,6 +200,10 @@ def build_site(n_pages: int, seed: int = 42, texts: list[str] | None = None) -> 
         host = HOST_A if i == 0 else _host_of(i)
         body = _doc(i, f"Admin {i}", "admin console", [_a("/p/2", "not followed either")])
         _page(f"{host}/admin/{i}", body, "en", rows)
+    if with_robots:
+        for host, body in ((HOST_A, ROBOTS_A), (HOST_B, ROBOTS_B)):
+            _page(f"{host}/robots.txt", body, "en", rows)
+
     # blocked-host pages: resolvable, never traversed
     for j in range(n_blocked):
         _page(f"{HOST_BLOCKED}/p/{j}", _doc(j, f"Blocked {j}", "blocked content", []), "en", rows)

@@ -14,7 +14,9 @@ from .fixtures import build_site, site_config
 from .ref.config import CrawlConfig
 
 
-def pages_from_documents(sf_dir: str, pages_per_doc: float = 2.0, cap: int | None = None):
+def pages_from_documents(
+    sf_dir: str, pages_per_doc: float = 2.0, cap: int | None = None, fanout: int = 3
+):
     """Deterministic pages table seeded with the sf documents' texts."""
     import pyarrow.parquet as pq
 
@@ -23,7 +25,7 @@ def pages_from_documents(sf_dir: str, pages_per_doc: float = 2.0, cap: int | Non
     n = int(len(texts) * pages_per_doc)
     if cap is not None:
         n = min(n, cap)
-    return build_site(n, texts=texts)
+    return build_site(n, texts=texts, fanout=fanout)
 
 
 def run_crawl(

@@ -69,7 +69,13 @@ def crawl_oracle(
     cfg: CrawlConfig,
     per_host_budget: int | None = None,
     fast_extract: bool = False,
+    robots=None,
 ) -> OracleResult:
+    """``robots``: an engine.robots.RobotsPolicy — applied right after
+    normalization, before the seen check (same placement as the
+    engine's filter, keeping robots-enabled runs diffable)."""
+    from .urls import get_path
+
     res = OracleResult()
     tokens: dict[str, int] = {}
     q: deque[tuple[Link, int]] = deque()
@@ -82,6 +88,15 @@ def crawl_oracle(
             canon = normalize_url(link.href, cfg.ignored_get_params, cfg.fuzzy)
         except URLError:
             continue
+        # robots gate (engine extension, default off)
+        if robots is not None:
+            try:
+                scheme, host = scheme_and_host(canon)
+                path = get_path(canon)
+            except URLError:
+                scheme, host, path = "", "", ""
+            if not robots.allowed(f"{scheme}://{host}", path):
+                continue
         # 2 seen => cached replay
         if canon in res.seen:
             res.events.append(

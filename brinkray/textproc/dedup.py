@@ -28,6 +28,16 @@ from .hashing import (
 BANDS = 16
 BUCKET_CAP = 256
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    b = x.view(np.uint8).reshape(*x.shape, 8)
+    return _POP8[b].sum(axis=-1).astype(np.int64)
+
 
 def _pairs_frame(a, b, vals, val_name, val_dtype="float64"):
     """Typed pair frame: empty outputs must keep their schema so the
@@ -41,12 +51,89 @@ def _pairs_frame(a, b, vals, val_name, val_dtype="float64"):
     )
 
 
+def _keep_colliding_buckets(rows_ds, keys: list[str]):
+    """Two-pass bucket pruning: a native groupby-count finds the bucket
+    keys with >= 2 members (the only ones that can emit pairs), the row
+    set is filtered to those before any per-group Python runs. On a
+    mostly-unique corpus this turns O(n_buckets) group callbacks into
+    O(collisions)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = rows_ds.groupby(keys).aggregate(Count(alias_name="_n"))
+    hot_tbl = counts.map_batches(
+        lambda t: t.filter(__import__("pyarrow.compute", fromlist=["greater"]).greater(t["_n"], 1)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(hot_tbl) == 0:
+        return None
+    hot = set(zip(*(hot_tbl[k] for k in keys)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        cols = [t[k].to_pylist() for k in keys]
+        mask = pa.array([tup in hot for tup in zip(*cols)], pa.bool_())
+        return t.filter(mask)
+
+    return rows_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _grouped_bucket_pairs(rows_ds, keys: list[str], coarse_fn, bucket_fn):
+    """Run ``bucket_fn`` per exact bucket, but shuffle/group only by a
+    64-way coarse key (each exact bucket maps wholly into one coarse
+    group): per-group Ray overhead is paid ~64 times instead of once
+    per bucket; the per-bucket loop is an in-process pandas groupby."""
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        return t.append_column("_cg", pa.array(coarse_fn(t), pa.int32()))
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_fn(sub) for _, sub in df.groupby(keys, sort=True)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return bucket_fn(df.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    with_cg = rows_ds.map_batches(add_cg, batch_format="pyarrow").materialize()
+    # coalesce: the groupby sort costs O(blocks^2) scheduling; candidate
+    # rows are few (collisions only), so a handful of blocks is right
+    nb = max(4, min(64, with_cg.count() // 50_000 + 4))
+    return (
+        with_cg.repartition(nb)
+        .groupby("_cg")
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+def _dedup_pairs(pairs_ds, val_name: str, how: str):
+    """Global (doc_a, doc_b) dedup without Ray's per-group aggregate
+    (which walks groups in Python — ~0.5 ms/group kills it at 10^4+
+    pairs). Vectorized pandas partials per block, then one small final
+    pass over the already-partially-deduped pairs. LSH candidate sets
+    are bounded by construction (bucket cap), so the final single-block
+    pass stays small; at extreme pair cardinality swap the tail for a
+    hash-partitioned repeat of the partial."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        agg = getattr(df.groupby(["doc_a", "doc_b"], as_index=False)[val_name], how)
+        return agg()
+
+    return (
+        pairs_ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(partial, batch_format="pandas")
+    )
+
+
 def _ensure_pair_schema(agg_ds, val_name, val_type):
     """A groupby-aggregate over zero rows comes back schemaless; give
     callers a stable (doc_a, doc_b, <val>) empty instead."""
     import ray.data as rd
 
-    if agg_ds.count() == 0:
+    if agg_ds is not None:
+        agg_ds = agg_ds.materialize()  # count() must not re-execute the run
+    if agg_ds is None or agg_ds.count() == 0:
         return rd.from_arrow(
             pa.table(
                 {
@@ -137,12 +224,20 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5, bands
                 est_list.append(float(est[j]))
         return _pairs_frame(a_list, b_list, est_list, "est_jaccard")
 
-    pairs = rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    rows = rows.materialize()  # signatures are computed once, reused by both passes
+    colliding = _keep_colliding_buckets(rows, ["band", "band_hash"])
+    if colliding is None:
+        return _ensure_pair_schema(None, "est_jaccard", pa.float64())
+    pairs = _grouped_bucket_pairs(
+        colliding,
+        ["band", "band_hash"],
+        lambda t: [
+            (b * 64 + (bh & 63))
+            for b, bh in zip(t["band"].to_pylist(), t["band_hash"].to_pylist())
+        ],
+        bucket_pairs,
     )
-    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    agg = _dedup_pairs(pairs, "est_jaccard", "max")
     return _ensure_pair_schema(agg, "est_jaccard", pa.float64())
 
 
@@ -233,26 +328,36 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).head(BUCKET_CAP)
+        n = len(g)
+        if n < 2:
+            return _pairs_frame([], [], [], "hamming", "int64")
         ids = g[id_col].to_numpy()
-        sigs = g["sig"].to_numpy()
-        a_list, b_list, d_list = [], [], []
-        for i in range(len(g) - 1):
-            for j in range(i + 1, len(g)):
-                d = hamming64(int(sigs[i]), int(sigs[j]))
-                if d <= max_hamming:
-                    a_list.append(ids[i])
-                    b_list.append(ids[j])
-                    d_list.append(d)
-        return _pairs_frame(a_list, b_list, d_list, "hamming", "int64")
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        xor = sigs[:, None] ^ sigs[None, :]
+        d = _popcount64(xor)
+        iu = np.triu_indices(n, 1)
+        dd = d[iu]
+        keep = dd <= max_hamming
+        return _pairs_frame(
+            ids[iu[0]][keep], ids[iu[1]][keep], dd[keep], "hamming", "int64"
+        )
 
     from ray.data.aggregate import Min
 
-    pairs = (
-        ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby(["chunk", "val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    rows = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    colliding = _keep_colliding_buckets(rows, ["chunk", "val"])
+    if colliding is None:
+        return _ensure_pair_schema(None, "hamming", pa.int64())
+    pairs = _grouped_bucket_pairs(
+        colliding,
+        ["chunk", "val"],
+        lambda t: [
+            (c * 64 + (v & 63))
+            for c, v in zip(t["chunk"].to_pylist(), t["val"].to_pylist())
+        ],
+        bucket_pairs,
     )
-    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    agg = _dedup_pairs(pairs, "hamming", "min")
     return _ensure_pair_schema(agg, "hamming", pa.int64())
 
 
@@ -260,14 +365,14 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
 def embedding_dup_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.98):
     """Embedding-cosine near-dup: 16-bit random-hyperplane LSH buckets
     (fixed seed), exact cosine verification within buckets."""
-    rng = np.random.default_rng(0xE5D)
-    planes = rng.standard_normal((64, 16))
-
     def sig_rows(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
         vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)
+        # hyperplanes are a fixed function of the embedding dim: every
+        # task derives the identical matrix (cluster-wide agreement)
+        planes = np.random.default_rng(0xE5D).standard_normal((vecs.shape[1], 16))
         bits = (unit @ planes > 0).astype(np.uint32)
         bucket = (bits << np.arange(16, dtype=np.uint32)).sum(axis=1)
         return pa.table(
@@ -280,6 +385,8 @@ def embedding_dup_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.98
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).head(BUCKET_CAP)
+        if len(g) < 2:
+            return _pairs_frame([], [], [], "cosine")
         ids = g[id_col].to_numpy()
         units = np.stack([np.frombuffer(u, dtype=np.float64) for u in g["unit"]])
         a_list, b_list, c_list = [], [], []
@@ -294,10 +401,15 @@ def embedding_dup_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.98
 
     from ray.data.aggregate import Max
 
-    pairs = (
-        ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    rows = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    colliding = _keep_colliding_buckets(rows, ["bucket"])
+    if colliding is None:
+        return _ensure_pair_schema(None, "cosine", pa.float64())
+    pairs = _grouped_bucket_pairs(
+        colliding,
+        ["bucket"],
+        lambda t: [b & 63 for b in t["bucket"].to_pylist()],
+        bucket_pairs,
     )
-    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    agg = _dedup_pairs(pairs, "cosine", "max")
     return _ensure_pair_schema(agg, "cosine", pa.float64())

@@ -30,14 +30,35 @@ def tokens_of(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
+def _token_hash(tok: str) -> int:
+    return blake64(tok.encode())
+
+
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """k-token shingles -> uint64 hashes (short docs: one whole-text shingle)."""
+    """k-token shingles -> uint64 hashes (short docs: one whole-text
+    shingle). Token hashes are memoized and shingle hashes combined
+    arithmetically (position-weighted mix) — no per-shingle string
+    building, no per-shingle blake2b."""
     toks = tokens_of(text)
     if len(toks) < k:
         return np.array([blake64(" ".join(toks).encode())], dtype=np.uint64)
-    out = np.empty(len(toks) - k + 1, dtype=np.uint64)
-    for i in range(len(toks) - k + 1):
-        out[i] = blake64(" ".join(toks[i : i + k]).encode())
+    th = np.fromiter(
+        (_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    n = len(toks) - k + 1
+    with np.errstate(over="ignore"):
+        out = np.zeros(n, dtype=np.uint64)
+        w = np.uint64(1)
+        for j in range(k - 1, -1, -1):
+            out += th[j : j + n] * w
+            w *= _SHINGLE_MIX
     return out
 
 

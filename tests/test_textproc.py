@@ -1,0 +1,182 @@
+"""Correctness of the training-data operators on constructed inputs
+(known duplicates, known neighbors) — not just smoke."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the crawler "
+    "walks the frontier and extracts anchors from every page it fetches "
+    "in breadth first order across many waves of discovery"
+)
+
+
+def test_exact_dedup_groups(ray_session):
+    from brinkray.textproc.dedup import exact_dedup
+
+    texts = [BASE, "unique one", BASE, "unique two", BASE]
+    out = exact_dedup(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    assert len(out) == 3  # three distinct texts
+    grp = out[out["doc_id"] == 0].iloc[0]
+    assert grp["n_dups"] == 3  # ids 0, 2, 4 collapse; min id kept
+    assert set(out["doc_id"]) == {0, 1, 3}
+
+
+def test_minhash_finds_near_dups(ray_session):
+    from brinkray.textproc.dedup import minhash_lsh_pairs
+
+    near = BASE.replace("lazy", "sleepy")  # one-token edit
+    far = "completely different content about databases and queries and joins"
+    texts = [BASE, near, far]
+    pairs = minhash_lsh_pairs(_docs_ds(texts), threshold=0.5).to_pandas()
+    assert {(0, 1)} == set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert pairs["est_jaccard"].iloc[0] > 0.5
+
+
+def test_minhash_identical_docs_est_one(ray_session):
+    from brinkray.textproc.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_ds([BASE, BASE]), threshold=0.9).to_pandas()
+    assert len(pairs) == 1
+    assert pairs["est_jaccard"].iloc[0] == 1.0
+
+
+def test_simhash_near_dups(ray_session):
+    from brinkray.textproc.dedup import simhash_pairs
+
+    near = BASE + " extra"
+    far = "orthogonal vocabulary entirely nothing shared whatsoever here at all"
+    pairs = simhash_pairs(_docs_ds([BASE, near, far]), max_hamming=10).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got
+    assert (0, 2) not in got
+
+
+def test_ngram_jaccard_exact_values(ray_session):
+    from brinkray.textproc.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs_ds([BASE, BASE]), threshold=0.5).to_pandas()
+    assert len(pairs) == 1
+    assert pairs["jaccard"].iloc[0] == 1.0
+
+
+def _emb_ds(vectors):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vectors)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vectors], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+
+
+def test_cosine_topk_exact(ray_session):
+    from brinkray.textproc.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16))
+    q = vecs[5]
+    out = cosine_topk(_emb_ds(vecs), q, k=5)
+    # brute-force numpy ground truth
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    cos = unit @ qn
+    want = np.lexsort((np.arange(len(vecs)), -cos))[:5]
+    assert out["vec_id"].to_pylist() == list(want)
+    assert out["vec_id"].to_pylist()[0] == 5  # the query itself
+
+
+def test_ivf_topk_contains_query_vector(ray_session):
+    from brinkray.textproc.similarity import ivf_topk
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((300, 16))
+    out = ivf_topk(_emb_ds(vecs), vecs[17], k=5, n_centroids=8, nprobe=3)
+    assert 17 in out["vec_id"].to_pylist()  # own cluster is always probed
+
+
+def test_embedding_dup_pairs(ray_session):
+    from brinkray.textproc.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 16))
+    vecs[20] = vecs[10] * 1.001  # near-identical direction
+    out = embedding_dup_pairs(_emb_ds(vecs), threshold=0.999).to_pandas()
+    assert (10, 20) in set(zip(out["doc_a"], out["doc_b"]))
+
+
+def test_lang_id_profiles(ray_session):
+    from brinkray.textproc.quality import add_lang_id
+
+    texts = [
+        "the cat and the dog sat on a mat in the house",
+        "der Hund und die Katze sind in das Haus mit den Kindern",
+        "",
+    ]
+    out = add_lang_id(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"]) == ["en", "de", "und"]
+
+
+def test_token_counts_match_python(ray_session):
+    from brinkray.textproc.quality import add_token_counts
+
+    texts = ["a b  c", "hello, world! x", ""]
+    out = add_token_counts(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    assert list(out["n_tokens"]) == [len(t.split()) for t in texts]
+    assert list(out["n_bpe_ish"]) == [3, 5, 0]
+
+
+def test_fingerprint_normalizes_whitespace(ray_session):
+    from brinkray.textproc.hashing import fingerprint
+
+    assert fingerprint("Hello  World") == fingerprint("hello world")
+    assert fingerprint("hello world") != fingerprint("hello word")
+    assert len(fingerprint("x")) == 16
+
+
+def test_media_decode_plumbing(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.media import MediaDecoder, decode_media, frame_sample_plan
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "kind": pa.array(["image", "audio"], pa.string()),
+            "payload": pa.array([b"\x89PNG fake", b"RIFF fake"], pa.binary()),
+            "mime": pa.array(["image/png", "audio/wav"], pa.string()),
+            "width": pa.array([640, -1], pa.int32()),
+            "height": pa.array([480, -1], pa.int32()),
+            "duration_ms": pa.array([-1, 2000], pa.int32()),
+        }
+    )
+    out = decode_media(rd.from_arrow(tbl), concurrency=1, batch_size=8).to_pandas()
+    assert len(out) == 2
+    assert all(len(f) == MediaDecoder.FEATURE_DIM for f in out["features"])
+    # deterministic across calls
+    out2 = decode_media(rd.from_arrow(tbl), concurrency=1, batch_size=8).to_pandas()
+    assert np.allclose(np.stack(out["features"].values), np.stack(out2["features"].values))
+    # real codec path refuses loudly
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(deterministic_fake=False)
+    assert frame_sample_plan(3500, fps=1.0) == [0, 1000, 2000, 3000]

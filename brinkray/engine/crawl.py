@@ -86,6 +86,10 @@ class EngineOptions:
     fetch_concurrency: int = 2
     fetch_batch_size: int = 1024
     fetch_num_cpus: float = 0.5
+    # "tasks": stateless tasks with per-worker-process cached state
+    # (fast: no per-wave pool startup); "actors": a map_batches actor
+    # pool per wave (the canonical stateful-stage shape)
+    fetch_mode: str = "tasks"
     robots_enabled: bool = False
     robots_agent: str = "*"
     extract_fast: bool = True
@@ -103,17 +107,15 @@ class CrawlResult:
 
     def events_table(self) -> pa.Table:
         """All handler events in FIFO-equivalent order."""
-        tables = [
-            pa.concat_tables(
-                [
-                    b.select(RESULT_COLS).cast(RESULT_SCHEMA)
-                    for b in ray.get(ds.to_arrow_refs())
-                    if b.num_rows
-                ]
-            )
-            for ds in self.results
-            if ds.count() > 0
-        ]
+        tables = []
+        for ds in self.results:
+            blocks = [
+                b.select(RESULT_COLS).cast(RESULT_SCHEMA)
+                for b in ray.get(ds.to_arrow_refs())
+                if b.num_rows
+            ]
+            if blocks:
+                tables.append(pa.concat_tables(blocks))
         if not tables:
             return RESULT_SCHEMA.empty_table()
         t = pa.concat_tables(tables)
@@ -160,15 +162,19 @@ def _block_mark_winners(tbl: pa.Table, first_is_winner: bool) -> pa.Table:
     return tbl.append_column("is_winner", flags)
 
 
-def _mark_winners(norm_ds, target_blocks: int) -> "rd.Dataset":
+def _mark_winners(norm_ds, target_blocks: int | None) -> "rd.Dataset":
     """Intra-wave dedup (D2): the FIFO-first occurrence of each canon
     (min order_key) is the winner; the rest become cached-replay
     candidates. Implemented as ONE native sort by (canon, order_key)
     followed by vectorized run-boundary marking per block (a
     per-group Python callback would not survive million-row waves).
-    The repartition sets the wave's parallelism: everything downstream
-    (seen check, fetch pool, extract) works block-wise."""
-    s = norm_ds.repartition(target_blocks).sort(["canon", "order_key"])
+    ``target_blocks`` (when set) repartitions first so everything
+    downstream (seen check, fetch, extract) gets block parallelism —
+    only needed when the incoming frontier is under-partitioned; the
+    extra all-to-all is skipped otherwise."""
+    if target_blocks is not None:
+        norm_ds = norm_ds.repartition(target_blocks)
+    s = norm_ds.sort(["canon", "order_key"])
     refs = s.to_arrow_refs()
     ends = ray.get([_block_ends.remote(r) for r in refs])
     flags = []
@@ -334,10 +340,15 @@ class CrawlEngine:
             # 1+2 normalize then intra-wave dedup (ONE all-to-all exec;
             # the repartition sets downstream block parallelism)
             target_blocks = max(1, min(frontier_n // opts.fetch_batch_size + 1, 64))
+            try:
+                have_blocks = frontier.num_blocks()
+            except Exception:
+                have_blocks = 1
+            repart = target_blocks if have_blocks < target_blocks else None
             norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
             if robots_gate is not None:
                 norm = norm.map_batches(robots_gate, batch_format="pyarrow")
-            grouped = _mark_winners(norm, target_blocks)  # concrete blocks
+            grouped = _mark_winners(norm, repart)  # concrete blocks
 
             # 3 winners -> seen check, fused straight into the fetch pool
             winners = _filter_batches(grouped, lambda t: t["is_winner"])
@@ -375,19 +386,30 @@ class CrawlEngine:
             # 5+6 fetch (actor pool; seen winners pass through as cached
             # replays) + text extraction; materialize = the wave barrier
             # after which all marks are visible
-            processed = fetch_input.map_batches(
-                Fetcher,
-                fn_constructor_args=(
-                    self.cfg,
-                    self.index,
-                    self.seen_actors,
-                    opts.seen_shards,
-                ),
-                batch_format="pyarrow",
-                batch_size=opts.fetch_batch_size,
-                concurrency=opts.fetch_concurrency,
-                num_cpus=opts.fetch_num_cpus,
-            )
+            if opts.fetch_mode == "actors":
+                processed = fetch_input.map_batches(
+                    Fetcher,
+                    fn_constructor_args=(
+                        self.cfg,
+                        self.index,
+                        self.seen_actors,
+                        opts.seen_shards,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=opts.fetch_batch_size,
+                    concurrency=opts.fetch_concurrency,
+                    num_cpus=opts.fetch_num_cpus,
+                )
+            else:
+                from .fetch import make_fetcher_fn
+
+                processed = fetch_input.map_batches(
+                    make_fetcher_fn(
+                        self.cfg, self.index, self.seen_actors, opts.seen_shards
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=opts.fetch_batch_size,
+                )
             processed = processed.map_batches(
                 extract_text_stage, batch_format="pyarrow"
             ).materialize()
@@ -401,14 +423,20 @@ class CrawlEngine:
                 dup_checked, lambda t: pc.not_equal(t["seen_status"], -1)
             )
 
-            # 8 results table for the wave
+            # 8 results table for the wave. The dup replays MUST resolve
+            # now (post-barrier, pre-next-wave); the projections are pure
+            # functions of already-materialized parents, so without a
+            # checkpoint they can stay lazy (saves one execution/wave).
+            dup_cached = dup_cached.materialize()
             res_main = processed.map_batches(
                 _make_project_result_fetched(opts.store_body), batch_format="pyarrow"
             )
             res_dup = dup_cached.map_batches(
                 _project_result_cached, batch_format="pyarrow"
             )
-            wave_results = res_main.union(res_dup).materialize()
+            wave_results = res_main.union(res_dup)
+            if ckpt:
+                wave_results = wave_results.materialize()
             results.append(wave_results)
 
             # expansion -> next frontier (cached replays never expand)
@@ -442,7 +470,7 @@ class CrawlEngine:
                 "wave": wave,
                 "frontier": frontier_n,
                 "processed": processed_n,
-                "results": wave_results.count(),
+                "results": processed_n + dup_cached.count(),
                 "next_frontier": next_frontier.count(),
                 "seen_total": self.seen.size(),
                 "wall_sec": round(time.monotonic() - t0, 3),

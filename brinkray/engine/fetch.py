@@ -168,6 +168,29 @@ class Fetcher:
         return out.sort_by("order_key")
 
 
+_WORKER_FETCHERS: dict[str, "Fetcher"] = {}
+
+
+def make_fetcher_fn(cfg: CrawlConfig, index: PageIndex, seen_actors: list, nshards: int):
+    """Stateless-task variant of the fetch stage with per-worker-process
+    state caching: Ray worker processes persist across executions, so
+    the Fetcher (zero-copy index mapping, session, shard handles) is
+    built once per process and reused by every wave — an actor pool
+    would be torn down and restarted per wave (per-wave map_batches),
+    paying pool startup each time."""
+    key = index.table_ref.hex()
+
+    def fetch_fn(batch: pa.Table) -> pa.Table:
+        f = _WORKER_FETCHERS.get(key)
+        if f is None:
+            f = Fetcher(cfg, index, seen_actors, nshards)
+            _WORKER_FETCHERS.clear()  # one crawl at a time per worker
+            _WORKER_FETCHERS[key] = f
+        return f(batch)
+
+    return fetch_fn
+
+
 class HttpFetcher:
     """Real-web fetcher stub: same stage contract as ``Fetcher`` but
     backed by live HTTP. The sandbox has no network; the Ray-side

@@ -108,6 +108,17 @@ def test_wave_limit_preserves_seen_set(ray_session):
     assert got_fetched == want_fetched
 
 
+def test_actor_pool_fetch_mode_matches_oracle(ray_session):
+    cfg = site_config()
+    table = build_site(40)
+    oracle = _oracle_for(table, cfg)
+    eng = CrawlEngine(cfg, EngineOptions(seen_shards=2, fetch_mode="actors"))
+    eng.set_pages(table)
+    result = eng.run()
+    assert _engine_events(result) == _oracle_events(oracle)
+    assert result.seen == oracle.seen
+
+
 def test_fuzzy_config_matches_oracle(ray_session):
     cfg = site_config(fuzzy=True)
     table = build_site(40)

@@ -90,6 +90,11 @@ class EngineOptions:
     # (fast: no per-wave pool startup); "actors": a map_batches actor
     # pool per wave (the canonical stateful-stage shape)
     fetch_mode: str = "tasks"
+    # "strict": FIFO-exact ordering (sort-based intra-wave dedup) —
+    # byte/order-identical to the oracle. "scale": sort-free dedup via
+    # atomic shard reservations — identical final seen SET and fetched
+    # pages, approximate ordering, 2 executions per wave instead of 4.
+    ordering: str = "strict"
     robots_enabled: bool = False
     robots_agent: str = "*"
     extract_fast: bool = True
@@ -337,18 +342,41 @@ class CrawlEngine:
             if frontier_n == 0:
                 break
 
+            if opts.ordering == "scale":
+                frontier, wave_results, m = self._scale_wave(
+                    frontier,
+                    frontier_n,
+                    wave,
+                    t0,
+                    normalize_fn,
+                    extract_links_fn,
+                    forbidden_gate,
+                    seen_check_fn,
+                    robots_gate,
+                )
+                results.append(wave_results)
+                metrics.append(m)
+                if ckpt:
+                    self._write_checkpoint(ckpt, wave, wave_results, frontier, m)
+                wave += 1
+                continue
+
             # 1+2 normalize then intra-wave dedup (ONE all-to-all exec;
             # the repartition sets downstream block parallelism)
-            target_blocks = max(1, min(frontier_n // opts.fetch_batch_size + 1, 64))
-            try:
-                have_blocks = frontier.num_blocks()
-            except Exception:
-                have_blocks = 1
-            repart = target_blocks if have_blocks < target_blocks else None
+            # block-width policy: enough blocks for downstream
+            # parallelism, few enough that the sort's O(blocks^2)
+            # scheduling stays negligible
+            target_blocks = max(1, min(frontier_n // (2 * opts.fetch_batch_size) + 1, 24))
             norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
             if robots_gate is not None:
                 norm = norm.map_batches(robots_gate, batch_format="pyarrow")
-            grouped = _mark_winners(norm, repart)  # concrete blocks
+            # repartition fused into the normalize execution (cheap
+            # split), then materialize before the sort: Ray's sort
+            # executes its upstream again for boundary sampling, which
+            # would otherwise run the normalize stage twice
+            norm = norm.repartition(target_blocks).materialize()
+            grouped = _mark_winners(norm, None)  # concrete blocks
+            t_a = time.monotonic()
 
             # 3 winners -> seen check, fused straight into the fetch pool
             winners = _filter_batches(grouped, lambda t: t["is_winner"])
@@ -413,6 +441,7 @@ class CrawlEngine:
             processed = processed.map_batches(
                 extract_text_stage, batch_format="pyarrow"
             ).materialize()
+            t_b = time.monotonic()
 
             # 7 cached replays for duplicate occurrences (post-barrier
             # lookup; misses drop — exactly the FIFO outcome for
@@ -438,6 +467,7 @@ class CrawlEngine:
             if ckpt:
                 wave_results = wave_results.materialize()
             results.append(wave_results)
+            t_c = time.monotonic()
 
             # expansion -> next frontier (cached replays never expand)
             fetched = _filter_batches(processed, lambda t: pc.invert(t["cached"]))
@@ -464,6 +494,7 @@ class CrawlEngine:
                     )
                 )
             next_frontier = links.materialize()
+            t_d = time.monotonic()
 
             processed_n = processed.count()
             m = {
@@ -474,6 +505,12 @@ class CrawlEngine:
                 "next_frontier": next_frontier.count(),
                 "seen_total": self.seen.size(),
                 "wall_sec": round(time.monotonic() - t0, 3),
+                "phase_sec": [
+                    round(t_a - t0, 3),
+                    round(t_b - t_a, 3),
+                    round(t_c - t_b, 3),
+                    round(t_d - t_c, 3),
+                ],
             }
             metrics.append(m)
 
@@ -491,6 +528,122 @@ class CrawlEngine:
         return CrawlResult(
             waves=wave, results=results, metrics=metrics, seen=self.seen.all_items()
         )
+
+    # ---------------------------------------------------------------- scale
+    def _scale_wave(
+        self,
+        frontier,
+        frontier_n: int,
+        wave: int,
+        t0: float,
+        normalize_fn,
+        extract_links_fn,
+        forbidden_gate,
+        seen_check_fn,
+        robots_gate,
+    ):
+        """Sort-free wave (ordering='scale'): TWO executions. Dedup is
+        the shards' atomic reserve inside the fetch stage; duplicate
+        occurrences whose owner is another in-flight batch come out as
+        'pending' rows and resolve post-barrier (cached if the owner
+        marked, requeued to the next wave if the owner errored).
+        Invariants vs strict/oracle: identical final seen set and
+        fetched (url, status, body) multiset; ordering approximate."""
+        from .fetch import make_fetcher_fn
+
+        opts = self.opts
+        if self._politeness_on:
+            raise ValueError(
+                "politeness budgets require ordering='strict' "
+                "(deterministic frontier-ordered admission)"
+            )
+        target_blocks = max(
+            1, min(frontier_n // (2 * opts.fetch_batch_size) + 1, 24)
+        )
+        norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
+        if robots_gate is not None:
+            norm = norm.map_batches(robots_gate, batch_format="pyarrow")
+        try:
+            have_blocks = frontier.num_blocks()
+        except Exception:
+            have_blocks = 1
+        if have_blocks < target_blocks:
+            norm = norm.repartition(target_blocks)
+
+        # exec 1: normalize -> reserve/fetch/mark -> text (the barrier)
+        processed = norm.map_batches(
+            make_fetcher_fn(
+                self.cfg, self.index, self.seen_actors, opts.seen_shards, scale=True
+            ),
+            batch_format="pyarrow",
+            batch_size=opts.fetch_batch_size,
+        )
+        processed = processed.map_batches(
+            extract_text_stage, batch_format="pyarrow"
+        ).materialize()
+        t_a = time.monotonic()
+
+        # post-barrier: resolve pendings NOW (materialized — the lookup
+        # must see exactly this wave's marks; a lazy re-evaluation later
+        # would race with future waves and double-emit)
+        pend = _filter_batches(processed, lambda t: pc.equal(t["kind"], "pending"))
+        pend_checked = pend.map_batches(
+            seen_check_fn, batch_format="pyarrow"
+        ).materialize()
+        pend_cached = _filter_batches(
+            pend_checked, lambda t: pc.not_equal(t["seen_status"], -1)
+        )
+        pend_requeue = _filter_batches(
+            pend_checked, lambda t: pc.equal(t["seen_status"], -1)
+        )
+
+        done = _filter_batches(processed, lambda t: pc.not_equal(t["kind"], "pending"))
+        res_main = done.map_batches(
+            _make_project_result_fetched(opts.store_body), batch_format="pyarrow"
+        )
+        res_pend = pend_cached.map_batches(
+            _project_result_cached, batch_format="pyarrow"
+        )
+        wave_results = res_main.union(res_pend)
+
+        fetched = _filter_batches(processed, lambda t: pc.equal(t["kind"], "fetched"))
+        links = fetched.map_batches(forbidden_gate, batch_format="pyarrow").map_batches(
+            extract_links_fn, batch_format="pyarrow"
+        )
+        requeued = pend_requeue.map_batches(
+            lambda t: pa.table(
+                {
+                    "href": t["href"],
+                    "linked_from": t["linked_from"],
+                    "target": t["target"],
+                    "order_key": t["order_key"],
+                    "wave": pc.add(t["wave"], 1).cast(pa.int32()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # exec 2: pending resolution + link extraction -> next frontier
+        next_frontier = links.union(requeued).materialize()
+        t_b = time.monotonic()
+
+        if self.opts.checkpoint_dir:
+            wave_results = wave_results.materialize()
+
+        # sweep orphaned reservations (died tasks) so requeues can claim
+        ray.get([a.clear_reservations.remote() for a in self.seen_actors])
+
+        m = {
+            "wave": wave,
+            "frontier": frontier_n,
+            "processed": processed.count(),
+            "results": None,
+            "next_frontier": next_frontier.count(),
+            "seen_total": self.seen.size(),
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "phase_sec": [round(t_a - t0, 3), round(t_b - t_a, 3)],
+        }
+        m["results"] = m["processed"]
+        return next_frontier, wave_results, m
 
     # ---------------------------------------------------------------- ckpt
     def _wave_dir(self, ckpt: str, wave: int) -> str:

@@ -78,15 +78,135 @@ class Fetcher:
         seen_actors: list,
         nshards: int,
     ):
+        # NOTE: no combine_chunks here — the table is zero-copy mapped
+        # from the object store; combining would copy the whole corpus
+        # once per worker process (catastrophic at 32 workers)
         tbl: pa.Table = ray.get(index.table_ref)
-        self._canon = tbl["canon"].combine_chunks()
-        self._status = tbl["status"].combine_chunks()
-        self._html = tbl["html"].combine_chunks()
+        self._canon = tbl["canon"]
+        self._status = tbl["status"]
+        self._html = tbl["html"]
         self._known_hosts = pa.array(sorted(index.known_hosts), pa.string())
         self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
         self._max_cl = cfg.max_content_length
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
         self.session = CookieSession(cfg)
+
+    def _lookup_and_gate(self, batch: pa.Table):
+        """Fetch's gate order (brink.go:166-229) vectorized: returns
+        (status, body, ok_mask) for the batch; ~ok rows are the silent
+        drops (transport / NotAllowed / ContentTooLarge)."""
+        # session fidelity: the header/jar state advances per request
+        # (on the sandbox world the headers have no observable effect)
+        self.session.prepare_headers()
+
+        # (a) the request: unknown domain or /err/ path => transport error
+        domain_known = pc.is_in(batch["domain"], value_set=self._known_hosts)
+        err_path = pc.starts_with(batch["path"], "/err/")
+        transport_ok = pc.and_(domain_known, pc.invert(err_path))
+
+        # the lookup-join (J1): canon -> (status, html); miss => 404, b""
+        idx = pc.index_in(batch["canon"], value_set=self._canon)
+        hit = pc.is_valid(idx)
+        idx_f = pc.fill_null(idx, 0)
+        status = pc.if_else(
+            hit, pc.take(self._status, idx_f), pa.scalar(404, pa.int32())
+        )
+        body = pc.if_else(hit, pc.take(self._html, idx_f), pa.scalar(b"", pa.binary()))
+
+        # (e) domain gate after the request (NotAllowed discards status)
+        allowed = pc.is_in(batch["domain"], value_set=self._allowed)
+        # (f) content-length gate
+        fits = pc.less_equal(pc.binary_length(body), pa.scalar(self._max_cl))
+
+        ok = pc.and_(pc.and_(transport_ok, allowed), fits)
+        return status, body, ok
+
+    def scale_call(self, batch: pa.Table) -> pa.Table:
+        """Scale-ordering fetch (sort-free dedup): within the batch the
+        first occurrence per canon (by order_key) drives; cross-batch
+        dedup goes through the shards' atomic ``reserve``. Output rows
+        carry ``kind``: 'fetched' | 'cached' | 'pending' (another
+        in-flight batch owns the canon — resolved post-barrier).
+        Set-exact vs the reference: errors release their reservation so
+        rediscoveries re-fetch; marks are first-write-wins."""
+        if batch.num_rows == 0:
+            return self._empty_out(batch).append_column(
+                "kind", pa.array([], pa.string())
+            )
+        batch = batch.sort_by("order_key")
+        canons = batch["canon"].to_pylist()
+        first_of: dict[str, int] = {}
+        owner = [first_of.setdefault(c, i) for i, c in enumerate(canons)]
+        firsts = sorted(first_of.values())
+        uniq = [canons[i] for i in firsts]
+        res = self._seen.reserve(uniq)
+
+        owned_pos = [i for i, r in zip(firsts, res) if r == -1]
+        sub = batch.take(pa.array(owned_pos, pa.int64()))
+        status_a, body_a, ok_a = (
+            self._lookup_and_gate(sub) if sub.num_rows else (None, None, None)
+        )
+
+        # outcome per first-occurrence row index
+        outcome: dict[int, tuple] = {}  # idx -> (kind, status, body)
+        for i, r in zip(firsts, res):
+            if r >= 0:
+                outcome[i] = ("cached", r, b"")
+            elif r == -2:
+                outcome[i] = ("pending", -1, b"")
+        err_canons = []
+        mark_canons, mark_statuses = [], []
+        if sub.num_rows:
+            st_l = status_a.to_pylist()
+            ok_l = ok_a.to_pylist()
+            body_l = body_a.to_pylist()
+            for j, i in enumerate(owned_pos):
+                if ok_l[j]:
+                    outcome[i] = ("fetched", st_l[j], body_l[j])
+                    mark_canons.append(canons[i])
+                    mark_statuses.append(st_l[j])
+                else:
+                    outcome[i] = ("error", -1, b"")
+                    err_canons.append(canons[i])
+        if mark_canons:
+            self._seen.mark(mark_canons, mark_statuses)
+        if err_canons:
+            self._seen.release(err_canons)
+
+        keep_idx, statuses, bodies, cacheds, kinds = [], [], [], [], []
+        for i in range(batch.num_rows):
+            o = outcome[owner[i]]
+            kind, st, body = o
+            if kind == "error":
+                continue  # silent drop (all occurrences re-fetch later)
+            if i != owner[i]:
+                # duplicate occurrence: cached replay off the local
+                # winner (or pending alongside it)
+                if kind == "pending":
+                    keep_idx.append(i)
+                    statuses.append(-1)
+                    bodies.append(b"")
+                    cacheds.append(True)
+                    kinds.append("pending")
+                else:
+                    keep_idx.append(i)
+                    statuses.append(st)
+                    bodies.append(b"")
+                    cacheds.append(True)
+                    kinds.append("cached")
+            else:
+                keep_idx.append(i)
+                statuses.append(st)
+                bodies.append(body if kind == "fetched" else b"")
+                cacheds.append(kind != "fetched")
+                kinds.append(kind)
+        out = batch.take(pa.array(keep_idx, pa.int64()))
+        return (
+            out.append_column("status", pa.array(statuses, pa.int32()))
+            .append_column("body", pa.array(bodies, pa.binary()))
+            .append_column("cached", pa.array(cacheds, pa.bool_()))
+            .append_column("kind", pa.array(kinds, pa.string()))
+        )
 
     def _empty_out(self, batch: pa.Table) -> pa.Table:
         return (
@@ -120,32 +240,7 @@ class Fetcher:
             )
 
         if batch.num_rows:
-            # session fidelity: the header/jar state advances per request
-            # (on the sandbox world the headers have no observable effect)
-            self.session.prepare_headers()
-
-            # (a) the request: unknown domain or /err/ path => transport error
-            domain_known = pc.is_in(batch["domain"], value_set=self._known_hosts)
-            err_path = pc.starts_with(batch["path"], "/err/")
-            transport_ok = pc.and_(domain_known, pc.invert(err_path))
-
-            # the lookup-join (J1): canon -> (status, html); miss => 404, b""
-            idx = pc.index_in(batch["canon"], value_set=self._canon)
-            hit = pc.is_valid(idx)
-            idx_f = pc.fill_null(idx, 0)
-            status = pc.if_else(
-                hit, pc.take(self._status, idx_f), pa.scalar(404, pa.int32())
-            )
-            body = pc.if_else(
-                hit, pc.take(self._html, idx_f), pa.scalar(b"", pa.binary())
-            )
-
-            # (e) domain gate after the request (NotAllowed discards status)
-            allowed = pc.is_in(batch["domain"], value_set=self._allowed)
-            # (f) content-length gate
-            fits = pc.less_equal(pc.binary_length(body), pa.scalar(self._max_cl))
-
-            ok = pc.and_(pc.and_(transport_ok, allowed), fits)
+            status, body, ok = self._lookup_and_gate(batch)
             kept = batch.filter(ok)
             fetched = (
                 kept.append_column("status", status.filter(ok))
@@ -171,7 +266,13 @@ class Fetcher:
 _WORKER_FETCHERS: dict[str, "Fetcher"] = {}
 
 
-def make_fetcher_fn(cfg: CrawlConfig, index: PageIndex, seen_actors: list, nshards: int):
+def make_fetcher_fn(
+    cfg: CrawlConfig,
+    index: PageIndex,
+    seen_actors: list,
+    nshards: int,
+    scale: bool = False,
+):
     """Stateless-task variant of the fetch stage with per-worker-process
     state caching: Ray worker processes persist across executions, so
     the Fetcher (zero-copy index mapping, session, shard handles) is
@@ -186,7 +287,7 @@ def make_fetcher_fn(cfg: CrawlConfig, index: PageIndex, seen_actors: list, nshar
             f = Fetcher(cfg, index, seen_actors, nshards)
             _WORKER_FETCHERS.clear()  # one crawl at a time per worker
             _WORKER_FETCHERS[key] = f
-        return f(batch)
+        return f.scale_call(batch) if scale else f(batch)
 
     return fetch_fn
 

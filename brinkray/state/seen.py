@@ -40,6 +40,8 @@ class SeenShard:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
         self.status: dict[str, int] = {}
+        # in-flight reservations (scale ordering mode): canon -> owner
+        self.reserved: set[str] = set()
 
     def check(self, canons: list[str]) -> list[int]:
         """Status per canon; -1 = novel. Filter-negative short-circuits
@@ -61,6 +63,38 @@ class SeenShard:
                 self.status[c] = int(s)
                 self.filter.add(c)
                 n += 1
+            self.reserved.discard(c)
+        return n
+
+    def reserve(self, canons: list[str]) -> list[int]:
+        """Atomic claim for scale-ordering dedup: per canon, returns the
+        stored status (>=0), -1 = caller now owns the fetch, or -2 =
+        another in-flight batch owns it (resolve post-barrier)."""
+        out = []
+        for c in canons:
+            st = self.status.get(c)
+            if st is not None:
+                out.append(st)
+            elif c in self.reserved:
+                out.append(-2)
+            else:
+                self.reserved.add(c)
+                out.append(-1)
+        return out
+
+    def release(self, canons: list[str]) -> None:
+        """Drop reservations whose fetch errored (the silent-drop
+        branch, brink.go:95-101): the canon stays novel and will be
+        re-fetched on rediscovery, like the reference."""
+        for c in canons:
+            self.reserved.discard(c)
+
+    def clear_reservations(self) -> int:
+        """Wave-boundary sweep: any reservation still held here belongs
+        to a task that died between reserve and mark/release; clearing
+        lets the requeued rows claim it next wave."""
+        n = len(self.reserved)
+        self.reserved.clear()
         return n
 
     def size(self) -> int:
@@ -122,6 +156,27 @@ class ShardedSeenSet:
             for s, idxs in groups.items()
         ]
         ray.get(futs)
+
+    def reserve(self, canons: list[str]) -> list[int]:
+        out = [-1] * len(canons)
+        groups = self._group(canons)
+        futs = {
+            s: self.actors[s].reserve.remote([canons[i] for i in idxs])
+            for s, idxs in groups.items()
+        }
+        for s, idxs in groups.items():
+            for i, st in zip(idxs, ray.get(futs[s])):
+                out[i] = st
+        return out
+
+    def release(self, canons: list[str]) -> None:
+        groups = self._group(canons)
+        ray.get(
+            [
+                self.actors[s].release.remote([canons[i] for i in idxs])
+                for s, idxs in groups.items()
+            ]
+        )
 
     def size(self) -> int:
         return sum(ray.get([a.size.remote() for a in self.actors]))

@@ -1,0 +1,95 @@
+"""Scale ordering mode: sort-free reservation dedup must keep the final
+seen SET and the fetched-page multiset identical to the oracle."""
+
+import pytest
+
+from brinkray.engine.crawl import CrawlEngine, EngineOptions
+from brinkray.fixtures import build_site, site_config
+from brinkray.ref.oracle import crawl_oracle
+from brinkray.ref.world import Web
+
+
+def _run(cfg, table, **opt_kw):
+    eng = CrawlEngine(cfg, EngineOptions(seen_shards=2, ordering="scale", **opt_kw))
+    eng.set_pages(table)
+    return eng.run()
+
+
+def test_scale_mode_set_exact(ray_session):
+    cfg = site_config()
+    table = build_site(60)
+    web = Web.build(table["url"].to_pylist(), table["html"].to_pylist(), cfg)
+    oracle = crawl_oracle(web, cfg)
+    result = _run(cfg, table)
+
+    assert result.seen == oracle.seen
+    t = result.events_table()
+    got_fetched = sorted(
+        (u, s, b)
+        for u, s, b, c in zip(
+            t["url"].to_pylist(),
+            t["status"].to_pylist(),
+            t["body"].to_pylist(),
+            t["cached"].to_pylist(),
+        )
+        if not c
+    )
+    want_fetched = sorted(
+        (e.url, e.status, e.body) for e in oracle.events if not e.cached
+    )
+    assert got_fetched == want_fetched
+
+
+def test_scale_mode_text_byte_identical(ray_session):
+    cfg = site_config()
+    table = build_site(45)
+    result = _run(cfg, table)
+    expected = dict(zip(table["url"].to_pylist(), table["text"].to_pylist()))
+    t = result.events_table()
+    checked = 0
+    for url, text, cached in zip(
+        t["url"].to_pylist(), t["text"].to_pylist(), t["cached"].to_pylist()
+    ):
+        if not cached and url in expected:
+            assert text == expected[url], url
+            checked += 1
+    assert checked > 30
+
+
+def test_scale_mode_with_small_batches_forces_pendings(ray_session):
+    """Tiny fetch batches maximize cross-batch duplicate races — the
+    reservation protocol must still converge to the exact seen set."""
+    cfg = site_config()
+    table = build_site(45)
+    web = Web.build(table["url"].to_pylist(), table["html"].to_pylist(), cfg)
+    oracle = crawl_oracle(web, cfg)
+    result = _run(cfg, table, fetch_batch_size=16)
+    assert result.seen == oracle.seen
+
+
+def test_scale_mode_rejects_politeness(ray_session):
+    cfg = site_config()
+    eng = CrawlEngine(
+        cfg, EngineOptions(seen_shards=2, ordering="scale", per_host_budget=5)
+    )
+    eng.set_pages(build_site(10))
+    with pytest.raises(ValueError, match="politeness"):
+        eng.run()
+
+
+def test_scale_mode_robots(ray_session):
+    cfg = site_config()
+    table = build_site(45, with_robots=True)
+    from brinkray.engine.robots import RobotsPolicy
+
+    urls = table["url"].to_pylist()
+    policy = RobotsPolicy.from_pages(
+        {
+            h: table["html"][urls.index(f"{h}/robots.txt")].as_py().decode()
+            for h in ("https://site-a.test", "https://site-b.test")
+        }
+    )
+    web = Web.build(urls, table["html"].to_pylist(), cfg)
+    oracle = crawl_oracle(web, cfg, robots=policy)
+    result = _run(cfg, table, robots_enabled=True)
+    assert result.seen == oracle.seen

@@ -47,20 +47,28 @@ def _init_ray(num_cpus: int):
 
 
 def bench_crawl(num_cpus: int) -> tuple[float, dict]:
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
     from brinkray.engine.crawl import CrawlEngine, EngineOptions
     from brinkray.fixtures import site_config
-    from brinkray.pipelines import pages_from_documents
+    from brinkray.fixtures.bigsite import ensure_big_site
 
     # site synthesis + page-index broadcast are sandbox scaffolding (a
-    # real crawl fetches live HTTP) — built untimed; the timed section
+    # real crawl fetches live HTTP) — built untimed (and disk-cached
+    # across runs, incl. the 8-vs-32 scaling pair); the timed section
     # is the BFS-wave engine itself
-    pages = pages_from_documents(SF_DIR, pages_per_doc=30.0, fanout=16)
+    n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    n_pages = int(os.environ.get("BRINKRAY_BENCH_PAGES", min(400_000, n_docs * 80)))
+    site_dir = ensure_big_site(SF_DIR, n_pages=n_pages, fanout=64, text_pad=4000)
+    pages = rd.read_parquet(site_dir)
     opts = EngineOptions(
         seen_shards=8,
-        fetch_concurrency=max(2, num_cpus // 4),
+        seen_capacity_per_shard=1 << 19,
         fetch_batch_size=4096,
-        fetch_num_cpus=0.5,
         store_body=False,
+        ordering="scale",  # the 10^10-design path; strict mode is the
+        # conformance path (tests) and reported separately
     )
     engine = CrawlEngine(site_config(), opts)
     engine.set_pages(pages)
@@ -69,11 +77,11 @@ def bench_crawl(num_cpus: int) -> tuple[float, dict]:
     sec = time.monotonic() - t0
     n_events = sum(ds.count() for ds in result.results)
     return sec, {
-        "pages": pages.num_rows,
+        "pages": pages.count(),
         "waves": result.waves,
-        "urls_seen": len(result.seen),
+        "urls_seen": result.seen_count(),
         "events": n_events,
-        "urls_per_sec": round(len(result.seen) / sec, 1),
+        "urls_per_sec": round(result.seen_count() / sec, 1),
     }
 
 

@@ -61,15 +61,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(message)s",
-        **(
-            {"filename": args.out}
-            if args.out != "std"
-            else {"stream": sys.stderr}
-        ),
+    # configure our logger directly (basicConfig is a no-op when the
+    # host process — e.g. Ray — already configured the root logger)
+    log.setLevel(logging.INFO)
+    log.propagate = False
+    handler = (
+        logging.FileHandler(args.out)
+        if args.out != "std"
+        else logging.StreamHandler(sys.stderr)
     )
+    handler.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+    log.handlers = [handler]
 
     import ray
 

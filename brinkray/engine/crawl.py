@@ -95,6 +95,12 @@ class EngineOptions:
     # atomic shard reservations — identical final seen SET and fetched
     # pages, approximate ordering, 2 executions per wave instead of 4.
     ordering: str = "strict"
+    # "broadcast": one zero-copy Arrow index in the object store;
+    # "partitioned": hash-partitioned parquet shards, loaded lazily by
+    # fetch workers (corpora beyond object-store size)
+    index_mode: str = "broadcast"
+    index_dir: str | None = None  # partitioned-mode shard root
+    index_nparts: int = 8
     robots_enabled: bool = False
     robots_agent: str = "*"
     extract_fast: bool = True
@@ -108,7 +114,19 @@ class CrawlResult:
     waves: int
     results: list  # one materialized Dataset per wave
     metrics: list[dict] = field(default_factory=list)
-    seen: dict[str, int] = field(default_factory=dict)
+    seen_client: "ShardedSeenSet | None" = None
+    _seen_cache: dict | None = None
+
+    @property
+    def seen(self) -> dict[str, int]:
+        """Final canon->status map, gathered from the shards lazily
+        (pulling 10^6+ strings to the driver is not part of the crawl)."""
+        if self._seen_cache is None:
+            self._seen_cache = self.seen_client.all_items() if self.seen_client else {}
+        return self._seen_cache
+
+    def seen_count(self) -> int:
+        return self.seen_client.size() if self.seen_client else 0
 
     def events_table(self) -> pa.Table:
         """All handler events in FIFO-equivalent order."""
@@ -295,8 +313,18 @@ class CrawlEngine:
 
     # ---------------------------------------------------------------- setup
     def set_pages(self, pages) -> None:
-        """Build + broadcast the page index (Dataset or pyarrow Table)."""
-        self.index = build_page_index(pages, self.cfg)
+        """Build the page index (Dataset or pyarrow Table in)."""
+        if self.opts.index_mode == "partitioned":
+            import tempfile
+
+            from .index import build_partitioned_index
+
+            out = self.opts.index_dir or tempfile.mkdtemp(prefix="brinkray_pidx_")
+            self.index = build_partitioned_index(
+                pages, self.cfg, out, self.opts.index_nparts
+            )
+        else:
+            self.index = build_page_index(pages, self.cfg)
 
     # ---------------------------------------------------------------- run
     def run(self, seeds: list[str] | None = None, resume: bool = False) -> CrawlResult:
@@ -415,8 +443,16 @@ class CrawlEngine:
             # replays) + text extraction; materialize = the wave barrier
             # after which all marks are visible
             if opts.fetch_mode == "actors":
+                from .fetch import PartitionedFetcher
+                from .index import PartitionedPageIndex
+
+                fetch_cls = (
+                    PartitionedFetcher
+                    if isinstance(self.index, PartitionedPageIndex)
+                    else Fetcher
+                )
                 processed = fetch_input.map_batches(
-                    Fetcher,
+                    fetch_cls,
                     fn_constructor_args=(
                         self.cfg,
                         self.index,
@@ -526,7 +562,7 @@ class CrawlEngine:
                 f.write(json.dumps({"waves": wave}))
 
         return CrawlResult(
-            waves=wave, results=results, metrics=metrics, seen=self.seen.all_items()
+            waves=wave, results=results, metrics=metrics, seen_client=self.seen
         )
 
     # ---------------------------------------------------------------- scale
@@ -557,18 +593,15 @@ class CrawlEngine:
                 "politeness budgets require ordering='strict' "
                 "(deterministic frontier-ordered admission)"
             )
-        target_blocks = max(
-            1, min(frontier_n // (2 * opts.fetch_batch_size) + 1, 24)
-        )
+        # no sort in this mode, so width can track the cluster: enough
+        # blocks to keep every core busy and to re-balance the skewed
+        # block sizes the link-extract stage produces
+        ncpus = int(ray.cluster_resources().get("CPU", 8))
+        target_blocks = max(1, min(frontier_n // opts.fetch_batch_size + 1, 4 * ncpus))
+        frontier = frontier.repartition(target_blocks)
         norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
         if robots_gate is not None:
             norm = norm.map_batches(robots_gate, batch_format="pyarrow")
-        try:
-            have_blocks = frontier.num_blocks()
-        except Exception:
-            have_blocks = 1
-        if have_blocks < target_blocks:
-            norm = norm.repartition(target_blocks)
 
         # exec 1: normalize -> reserve/fetch/mark -> text (the barrier)
         processed = norm.map_batches(

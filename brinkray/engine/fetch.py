@@ -91,6 +91,18 @@ class Fetcher:
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
         self.session = CookieSession(cfg)
 
+    def _join(self, batch: pa.Table):
+        """Broadcast-index lookup: one vectorized hash probe against the
+        zero-copy canon column."""
+        idx = pc.index_in(batch["canon"], value_set=self._canon)
+        hit = pc.is_valid(idx)
+        idx_f = pc.fill_null(idx, 0)
+        status = pc.if_else(
+            hit, pc.take(self._status, idx_f), pa.scalar(404, pa.int32())
+        )
+        body = pc.if_else(hit, pc.take(self._html, idx_f), pa.scalar(b"", pa.binary()))
+        return status, body
+
     def _lookup_and_gate(self, batch: pa.Table):
         """Fetch's gate order (brink.go:166-229) vectorized: returns
         (status, body, ok_mask) for the batch; ~ok rows are the silent
@@ -105,13 +117,7 @@ class Fetcher:
         transport_ok = pc.and_(domain_known, pc.invert(err_path))
 
         # the lookup-join (J1): canon -> (status, html); miss => 404, b""
-        idx = pc.index_in(batch["canon"], value_set=self._canon)
-        hit = pc.is_valid(idx)
-        idx_f = pc.fill_null(idx, 0)
-        status = pc.if_else(
-            hit, pc.take(self._status, idx_f), pa.scalar(404, pa.int32())
-        )
-        body = pc.if_else(hit, pc.take(self._html, idx_f), pa.scalar(b"", pa.binary()))
+        status, body = self._join(batch)
 
         # (e) domain gate after the request (NotAllowed discards status)
         allowed = pc.is_in(batch["domain"], value_set=self._allowed)
@@ -243,8 +249,8 @@ class Fetcher:
             status, body, ok = self._lookup_and_gate(batch)
             kept = batch.filter(ok)
             fetched = (
-                kept.append_column("status", status.filter(ok))
-                .append_column("body", body.filter(ok))
+                kept.append_column("status", pc.filter(status, ok))
+                .append_column("body", pc.filter(body, ok))
                 .append_column(
                     "cached", pa.array([False] * kept.num_rows, pa.bool_())
                 )
@@ -263,6 +269,81 @@ class Fetcher:
         return out.sort_by("order_key")
 
 
+class PartitionedFetcher(Fetcher):
+    """Fetch against a disk-partitioned page index (PartitionedPageIndex):
+    the lookup-join loads only the hash shards the batch's canons map
+    to, kept in a per-worker LRU. The broadcast variant is preferred
+    while the corpus fits the object store; this is the co-partitioned
+    path beyond that (SURVEY §2.4 J1)."""
+
+    def __init__(
+        self,
+        cfg: CrawlConfig,
+        pindex,
+        seen_actors: list,
+        nshards: int,
+        cache_cap: int = 8,
+    ):
+        from collections import OrderedDict
+
+        self._root = pindex.root
+        self._nparts = pindex.nparts
+        self._cache: "OrderedDict[int, pa.Table]" = OrderedDict()
+        self._cache_cap = cache_cap
+        self._known_hosts = pa.array(sorted(pindex.known_hosts), pa.string())
+        self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
+        self._max_cl = cfg.max_content_length
+        self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+        self.session = CookieSession(cfg)
+
+    def _shard_table(self, p: int) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = self._cache.get(p)
+        if t is not None:
+            self._cache.move_to_end(p)
+            return t
+        d = os.path.join(self._root, f"pshard={p}")
+        parts = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))]
+        t = pa.concat_tables(parts) if parts else pa.table(
+            {
+                "canon": pa.array([], pa.string()),
+                "status": pa.array([], pa.int32()),
+                "html": pa.array([], pa.binary()),
+            }
+        )
+        self._cache[p] = t
+        while len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
+        return t
+
+    def _join(self, batch: pa.Table):
+        from ..state.cuckoo import sha1_64
+
+        canons = batch["canon"].to_pylist()
+        shards = [sha1_64(c) % self._nparts for c in canons]
+        n = len(canons)
+        st_out = [404] * n
+        body_out: list[bytes] = [b""] * n
+        for p in sorted(set(shards)):
+            rows = [i for i, s in enumerate(shards) if s == p]
+            tbl = self._shard_table(p)
+            if tbl.num_rows == 0:
+                continue
+            sub = pa.array([canons[i] for i in rows], pa.string())
+            idx = pc.index_in(sub, value_set=tbl["canon"])
+            st_col = tbl["status"]
+            html_col = tbl["html"]
+            for j, i in enumerate(rows):
+                k = idx[j].as_py()
+                if k is not None:
+                    st_out[i] = st_col[k].as_py()
+                    body_out[i] = html_col[k].as_py()
+        return pa.array(st_out, pa.int32()), pa.array(body_out, pa.binary())
+
+
 _WORKER_FETCHERS: dict[str, "Fetcher"] = {}
 
 
@@ -279,12 +360,16 @@ def make_fetcher_fn(
     built once per process and reused by every wave — an actor pool
     would be torn down and restarted per wave (per-wave map_batches),
     paying pool startup each time."""
-    key = index.table_ref.hex()
+    from .index import PartitionedPageIndex
+
+    partitioned = isinstance(index, PartitionedPageIndex)
+    key = index.root if partitioned else index.table_ref.hex()
 
     def fetch_fn(batch: pa.Table) -> pa.Table:
         f = _WORKER_FETCHERS.get(key)
         if f is None:
-            f = Fetcher(cfg, index, seen_actors, nshards)
+            cls = PartitionedFetcher if partitioned else Fetcher
+            f = cls(cfg, index, seen_actors, nshards)
             _WORKER_FETCHERS.clear()  # one crawl at a time per worker
             _WORKER_FETCHERS[key] = f
         return f.scale_call(batch) if scale else f(batch)

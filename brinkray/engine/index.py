@@ -74,6 +74,97 @@ def index_batch_fn(cfg: CrawlConfig):
     return fn
 
 
+@dataclass
+class PartitionedPageIndex:
+    """Disk-partitioned variant for corpora beyond broadcast size:
+    pages hash-partitioned by sha1(canon) % nparts into parquet shard
+    dirs; fetcher tasks load only the shards their rows hash to (the
+    frontier is sorted with the shard id as the leading key, so blocks
+    are shard-ranged and the per-worker cache stays hot)."""
+
+    root: str
+    nparts: int
+    known_hosts: frozenset[str]
+    n_pages: int
+    robots_bodies: dict[str, str] = None
+
+
+def build_partitioned_index(
+    pages, cfg: CrawlConfig, out_dir: str, nparts: int = 16
+) -> PartitionedPageIndex:
+    """One distributed pass: normalize + hash-partition + write."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..state.cuckoo import sha1_64
+
+    if isinstance(pages, pa.Table):
+        ds = rd.from_arrow(pages.select(["url", "html"]))
+    else:
+        ds = pages.select_columns(["url", "html"])
+
+    for p in range(nparts):
+        os.makedirs(os.path.join(out_dir, f"pshard={p}"), exist_ok=True)
+
+    base_fn = index_batch_fn(cfg)
+
+    def write_shards(t: pa.Table) -> pa.Table:
+        t = base_fn(t)
+        canons = t["canon"].to_pylist()
+        shards = [sha1_64(c) % nparts for c in canons]
+        t2 = t.append_column("pshard", pa.array(shards, pa.int32()))
+        # deterministic filename per block content: Ray may run a map
+        # UDF more than once (schema inference, retries) — the rewrite
+        # must land on the same file, not duplicate rows
+        part_id = f"{sha1_64(''.join(canons[:50]) + str(len(canons))):016x}"
+        for p in sorted(set(shards)):
+            sub = t2.filter(pa.array([s == p for s in shards]))
+            pq.write_table(
+                sub.select(["canon", "status", "html"]),
+                os.path.join(out_dir, f"pshard={p}", f"part-{part_id}.parquet"),
+            )
+        doms = sorted(set(t["domain"].to_pylist()))
+        robots_map = {d: "" for d in doms}
+        for canon, dom, html in zip(
+            canons, t["domain"].to_pylist(), t["html"].to_pylist()
+        ):
+            if canon == f"{dom}/robots.txt":
+                robots_map[dom] = bytes(html).decode("utf-8", "replace")
+        return pa.table(
+            {
+                "domain": pa.array(doms, pa.string()),
+                "robots_txt": pa.array([robots_map[d] for d in doms], pa.string()),
+            }
+        )
+
+    summary = pa.concat_tables(
+        ray.get(ds.map_batches(write_shards, batch_format="pyarrow").to_arrow_refs())
+    )
+    known_hosts = frozenset(summary["domain"].to_pylist())
+    robots_bodies = {
+        d: txt
+        for d, txt in zip(
+            summary["domain"].to_pylist(), summary["robots_txt"].to_pylist()
+        )
+        if txt
+    }
+    # n_pages: sum of one n per input block is inexact; count shard rows
+    n_pages = sum(
+        pq.ParquetFile(os.path.join(out_dir, f"pshard={p}", f)).metadata.num_rows
+        for p in range(nparts)
+        for f in os.listdir(os.path.join(out_dir, f"pshard={p}"))
+    )
+    return PartitionedPageIndex(
+        root=out_dir,
+        nparts=nparts,
+        known_hosts=known_hosts,
+        n_pages=n_pages,
+        robots_bodies=robots_bodies,
+    )
+
+
 def build_page_index(pages, cfg: CrawlConfig) -> PageIndex:
     """``pages``: a ray.data.Dataset or a pyarrow Table with (url, html).
 

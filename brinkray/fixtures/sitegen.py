@@ -120,6 +120,7 @@ def build_site(
     texts: list[str] | None = None,
     fanout: int = 3,
     with_robots: bool = False,
+    row_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Build the pages table. Page 0 is the root (path-less URL on
     HOST_A); pages 1..n-1 live at /p/{i}; the tree fanout link
@@ -130,8 +131,12 @@ def build_site(
     rows: dict[str, list] = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
 
     n_blocked = max(2, n_pages // 50)
+    lo, hi = row_range if row_range is not None else (0, n_pages)
 
-    for i in range(n_pages):
+    def _start(step: int) -> int:
+        return ((lo + step - 1) // step) * step
+
+    for i in range(lo, hi):
         host = HOST_A if i == 0 else _host_of(i)
         url = HOST_A if i == 0 else f"{host}/p/{i}"
         anchors: list[str] = []
@@ -188,24 +193,24 @@ def build_site(
         _page(url, _doc(i, f"Page {i}", _text_for(i, texts), anchors, extra), lang, rows)
 
     # satellite pages (linked above): oversized, non-200, forbidden
-    for i in range(0, n_pages, 23):
+    for i in range(_start(23), hi, 23):
         host = HOST_A if i == 0 else _host_of(i)
         filler = "x" * (MAX_CONTENT_LENGTH + 4000)
         _page(f"{host}/big/{i}", _doc(i, f"Big {i}", filler, []), "en", rows)
-    for i in range(0, n_pages, 29):
+    for i in range(_start(29), hi, 29):
         host = HOST_A if i == 0 else _host_of(i)
         body = _doc(i, f"Unavailable {i}", "service unavailable", [_a("/p/1", "not followed")])
         _page(f"{host}/status/503/{i}", body, "en", rows)
-    for i in range(0, n_pages, 31):
+    for i in range(_start(31), hi, 31):
         host = HOST_A if i == 0 else _host_of(i)
         body = _doc(i, f"Admin {i}", "admin console", [_a("/p/2", "not followed either")])
         _page(f"{host}/admin/{i}", body, "en", rows)
-    if with_robots:
+    if with_robots and lo == 0:
         for host, body in ((HOST_A, ROBOTS_A), (HOST_B, ROBOTS_B)):
             _page(f"{host}/robots.txt", body, "en", rows)
 
     # blocked-host pages: resolvable, never traversed
-    for j in range(n_blocked):
+    for j in range(n_blocked if lo == 0 else 0):
         _page(f"{HOST_BLOCKED}/p/{j}", _doc(j, f"Blocked {j}", "blocked content", []), "en", rows)
 
     return pa.table(

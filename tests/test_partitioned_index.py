@@ -1,0 +1,64 @@
+"""Partitioned-index fetch (the co-partitioned join path, SURVEY J1):
+must be event-identical to the broadcast path and the oracle."""
+
+from brinkray.engine.crawl import CrawlEngine, EngineOptions
+from brinkray.fixtures import build_site, site_config
+from brinkray.ref.oracle import crawl_oracle
+from brinkray.ref.world import Web
+
+
+def _events(result):
+    t = result.events_table()
+    return list(
+        zip(
+            t["linked_from"].to_pylist(),
+            t["url"].to_pylist(),
+            t["status"].to_pylist(),
+            t["body"].to_pylist(),
+            t["cached"].to_pylist(),
+        )
+    )
+
+
+def test_partitioned_index_matches_oracle(ray_session, tmp_path):
+    cfg = site_config()
+    table = build_site(50)
+    web = Web.build(table["url"].to_pylist(), table["html"].to_pylist(), cfg)
+    oracle = crawl_oracle(web, cfg)
+
+    eng = CrawlEngine(
+        cfg,
+        EngineOptions(
+            seen_shards=2,
+            index_mode="partitioned",
+            index_dir=str(tmp_path / "pidx"),
+            index_nparts=4,
+        ),
+    )
+    eng.set_pages(table)
+    assert eng.index.n_pages == table.num_rows
+    result = eng.run()
+    assert _events(result) == [
+        (e.linked_from, e.url, e.status, e.body, e.cached) for e in oracle.events
+    ]
+    assert result.seen == oracle.seen
+
+
+def test_partitioned_index_scale_mode(ray_session, tmp_path):
+    cfg = site_config()
+    table = build_site(45)
+    web = Web.build(table["url"].to_pylist(), table["html"].to_pylist(), cfg)
+    oracle = crawl_oracle(web, cfg)
+    eng = CrawlEngine(
+        cfg,
+        EngineOptions(
+            seen_shards=2,
+            ordering="scale",
+            index_mode="partitioned",
+            index_dir=str(tmp_path / "pidx2"),
+            index_nparts=4,
+        ),
+    )
+    eng.set_pages(table)
+    result = eng.run()
+    assert result.seen == oracle.seen

@@ -67,6 +67,8 @@ def bench_crawl(num_cpus: int) -> tuple[float, dict]:
         seen_capacity_per_shard=1 << 19,
         fetch_batch_size=4096,
         store_body=False,
+        store_text=False,  # results keep url/status; the text
+        # byte-identity invariant is pinned by the conformance tests
         ordering="scale",  # the 10^10-design path; strict mode is the
         # conformance path (tests) and reported separately
     )

@@ -105,6 +105,7 @@ class EngineOptions:
     robots_agent: str = "*"
     extract_fast: bool = True
     store_body: bool = True
+    store_text: bool = True  # bench/huge runs can drop the text column
     checkpoint_dir: str | None = None
     max_waves: int | None = None
 
@@ -597,22 +598,36 @@ class CrawlEngine:
         # blocks to keep every core busy and to re-balance the skewed
         # block sizes the link-extract stage produces
         ncpus = int(ray.cluster_resources().get("CPU", 8))
-        target_blocks = max(1, min(frontier_n // opts.fetch_batch_size + 1, 4 * ncpus))
+        # floor at the core count once the wave is non-trivial: a small
+        # frontier of wide pages still fans out to a big extract
+        target_blocks = max(
+            min(frontier_n, ncpus),
+            min(frontier_n // opts.fetch_batch_size + 1, 4 * ncpus),
+        )
         frontier = frontier.repartition(target_blocks)
         norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
         if robots_gate is not None:
             norm = norm.map_batches(robots_gate, batch_format="pyarrow")
 
-        # exec 1: normalize -> reserve/fetch/mark -> text (the barrier)
+        # exec 1: normalize -> reserve/fetch/mark -> inline text + link
+        # extraction (the barrier). Bodies never cross the barrier
+        # unless store_body is on: the materialized blocks are result
+        # rows + link rows, not the corpus.
         processed = norm.map_batches(
             make_fetcher_fn(
-                self.cfg, self.index, self.seen_actors, opts.seen_shards, scale=True
+                self.cfg,
+                self.index,
+                self.seen_actors,
+                opts.seen_shards,
+                scale=True,
+                scale_opts={
+                    "store_body": opts.store_body,
+                    "store_text": opts.store_text,
+                    "fast_extract": opts.extract_fast,
+                },
             ),
             batch_format="pyarrow",
             batch_size=opts.fetch_batch_size,
-        )
-        processed = processed.map_batches(
-            extract_text_stage, batch_format="pyarrow"
         ).materialize()
         t_a = time.monotonic()
 
@@ -630,7 +645,12 @@ class CrawlEngine:
             pend_checked, lambda t: pc.equal(t["seen_status"], -1)
         )
 
-        done = _filter_batches(processed, lambda t: pc.not_equal(t["kind"], "pending"))
+        done = _filter_batches(
+            processed,
+            lambda t: pc.and_(
+                pc.not_equal(t["kind"], "pending"), pc.not_equal(t["kind"], "link")
+            ),
+        )
         res_main = done.map_batches(
             _make_project_result_fetched(opts.store_body), batch_format="pyarrow"
         )
@@ -639,9 +659,12 @@ class CrawlEngine:
         )
         wave_results = res_main.union(res_pend)
 
-        fetched = _filter_batches(processed, lambda t: pc.equal(t["kind"], "fetched"))
-        links = fetched.map_batches(forbidden_gate, batch_format="pyarrow").map_batches(
-            extract_links_fn, batch_format="pyarrow"
+        # links were extracted inline in the fetch stage ('link' rows)
+        links = _filter_batches(
+            processed, lambda t: pc.equal(t["kind"], "link")
+        ).map_batches(
+            lambda t: t.select(["href", "linked_from", "target", "order_key", "wave"]),
+            batch_format="pyarrow",
         )
         requeued = pend_requeue.map_batches(
             lambda t: pa.table(
@@ -668,14 +691,14 @@ class CrawlEngine:
         m = {
             "wave": wave,
             "frontier": frontier_n,
+            # includes the inline-extracted 'link' rows
             "processed": processed.count(),
-            "results": None,
+            "results": -1,  # lazy in scale mode; -1 = not counted
             "next_frontier": next_frontier.count(),
             "seen_total": self.seen.size(),
             "wall_sec": round(time.monotonic() - t0, 3),
             "phase_sec": [round(t_a - t0, 3), round(t_b - t_a, 3)],
         }
-        m["results"] = m["processed"]
         return next_frontier, wave_results, m
 
     # ---------------------------------------------------------------- ckpt

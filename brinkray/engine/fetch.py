@@ -88,6 +88,7 @@ class Fetcher:
         self._known_hosts = pa.array(sorted(index.known_hosts), pa.string())
         self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
         self._max_cl = cfg.max_content_length
+        self._forbidden = cfg.forbidden_paths
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
         self.session = CookieSession(cfg)
 
@@ -127,18 +128,31 @@ class Fetcher:
         ok = pc.and_(pc.and_(transport_ok, allowed), fits)
         return status, body, ok
 
-    def scale_call(self, batch: pa.Table) -> pa.Table:
+    def scale_call(
+        self,
+        batch: pa.Table,
+        store_body: bool = True,
+        store_text: bool = True,
+        fast_extract: bool = True,
+    ) -> pa.Table:
         """Scale-ordering fetch (sort-free dedup): within the batch the
         first occurrence per canon (by order_key) drives; cross-batch
         dedup goes through the shards' atomic ``reserve``. Output rows
         carry ``kind``: 'fetched' | 'cached' | 'pending' (another
-        in-flight batch owns the canon — resolved post-barrier).
+        in-flight batch owns the canon — resolved post-barrier) |
+        'link' (next-frontier rows, extracted INLINE so page bodies
+        never have to be materialized between executions — at corpus
+        scale the per-wave body blocks would spill the object store).
         Set-exact vs the reference: errors release their reservation so
         rediscoveries re-fetch; marks are first-write-wins."""
+        from ..ref.gourl import URLError
+        from ..ref.text import extract_text
+        from ..ref.urls import absolute_links_in
+
         if batch.num_rows == 0:
             return self._empty_out(batch).append_column(
                 "kind", pa.array([], pa.string())
-            )
+            ).append_column("text", pa.array([], pa.string()))
         batch = batch.sort_by("order_key")
         canons = batch["canon"].to_pylist()
         first_of: dict[str, int] = {}
@@ -179,40 +193,89 @@ class Fetcher:
         if err_canons:
             self._seen.release(err_canons)
 
-        keep_idx, statuses, bodies, cacheds, kinds = [], [], [], [], []
+        hrefs = batch["href"].to_pylist()
+        okeys = batch["order_key"].to_pylist()
+        waves = batch["wave"].to_pylist()
+        paths = batch["path"].to_pylist()
+
+        keep_idx, statuses, bodies, cacheds, kinds, texts = [], [], [], [], [], []
+        l_href, l_from, l_target, l_key, l_wave = [], [], [], [], []
         for i in range(batch.num_rows):
-            o = outcome[owner[i]]
-            kind, st, body = o
+            kind, st, body = outcome[owner[i]]
             if kind == "error":
                 continue  # silent drop (all occurrences re-fetch later)
             if i != owner[i]:
                 # duplicate occurrence: cached replay off the local
                 # winner (or pending alongside it)
-                if kind == "pending":
-                    keep_idx.append(i)
-                    statuses.append(-1)
-                    bodies.append(b"")
-                    cacheds.append(True)
-                    kinds.append("pending")
-                else:
-                    keep_idx.append(i)
-                    statuses.append(st)
-                    bodies.append(b"")
-                    cacheds.append(True)
-                    kinds.append("cached")
-            else:
                 keep_idx.append(i)
-                statuses.append(st)
-                bodies.append(body if kind == "fetched" else b"")
-                cacheds.append(kind != "fetched")
-                kinds.append(kind)
+                statuses.append(st if kind not in ("pending",) else -1)
+                bodies.append(b"")
+                cacheds.append(True)
+                kinds.append("pending" if kind == "pending" else "cached")
+                texts.append("")
+                continue
+            keep_idx.append(i)
+            statuses.append(st)
+            cacheds.append(kind != "fetched")
+            kinds.append(kind)
+            if kind != "fetched":
+                bodies.append(b"")
+                texts.append("")
+                continue
+            bodies.append(body if store_body else b"")
+            # extraction always runs (it IS the job — the metric is
+            # urls fetched+extracted/sec); store_text only controls
+            # whether the result rows carry the text payload
+            text_val = extract_text(body)
+            texts.append(text_val if store_text else "")
+            # expansion gate + inline link extraction (brink.go:111-135)
+            if st != 200 or any(f in paths[i] for f in self._forbidden):
+                continue
+            try:
+                links = absolute_links_in(
+                    hrefs[i], hrefs[i], body, True, fast=fast_extract
+                )
+            except URLError:
+                continue
+            pos = 0
+            for l in links:
+                if l.href == "":
+                    continue
+                l_href.append(l.href)
+                l_from.append(l.linked_from)
+                l_target.append(l.target)
+                l_key.append(f"{okeys[i]}/{pos:06d}")
+                l_wave.append(waves[i] + 1)
+                pos += 1
+
         out = batch.take(pa.array(keep_idx, pa.int64()))
-        return (
+        out = (
             out.append_column("status", pa.array(statuses, pa.int32()))
             .append_column("body", pa.array(bodies, pa.binary()))
             .append_column("cached", pa.array(cacheds, pa.bool_()))
             .append_column("kind", pa.array(kinds, pa.string()))
+            .append_column("text", pa.array(texts, pa.string()))
         )
+        if not l_href:
+            return out
+        nl = len(l_href)
+        fill = {
+            "href": pa.array(l_href, pa.string()),
+            "linked_from": pa.array(l_from, pa.string()),
+            "target": pa.array(l_target, pa.string()),
+            "order_key": pa.array(l_key, pa.string()),
+            "wave": pa.array(l_wave, pa.int32()),
+            "canon": pa.array([""] * nl, pa.string()),
+            "domain": pa.array([""] * nl, pa.string()),
+            "path": pa.array([""] * nl, pa.string()),
+            "status": pa.array([-1] * nl, pa.int32()),
+            "body": pa.array([b""] * nl, pa.binary()),
+            "cached": pa.array([False] * nl, pa.bool_()),
+            "kind": pa.array(["link"] * nl, pa.string()),
+            "text": pa.array([""] * nl, pa.string()),
+        }
+        link_tbl = pa.table({name: fill[name] for name in out.column_names})
+        return pa.concat_tables([out, link_tbl.cast(out.schema)])
 
     def _empty_out(self, batch: pa.Table) -> pa.Table:
         return (
@@ -293,6 +356,7 @@ class PartitionedFetcher(Fetcher):
         self._known_hosts = pa.array(sorted(pindex.known_hosts), pa.string())
         self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
         self._max_cl = cfg.max_content_length
+        self._forbidden = cfg.forbidden_paths
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
         self.session = CookieSession(cfg)
 
@@ -353,6 +417,7 @@ def make_fetcher_fn(
     seen_actors: list,
     nshards: int,
     scale: bool = False,
+    scale_opts: dict | None = None,
 ):
     """Stateless-task variant of the fetch stage with per-worker-process
     state caching: Ray worker processes persist across executions, so
@@ -372,7 +437,9 @@ def make_fetcher_fn(
             f = cls(cfg, index, seen_actors, nshards)
             _WORKER_FETCHERS.clear()  # one crawl at a time per worker
             _WORKER_FETCHERS[key] = f
-        return f.scale_call(batch) if scale else f(batch)
+        if scale:
+            return f.scale_call(batch, **(scale_opts or {}))
+        return f(batch)
 
     return fetch_fn
 

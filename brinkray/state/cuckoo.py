@@ -51,47 +51,56 @@ class CuckooFilter:
         self.overflow: set[int] = set()
         self.count = 0
 
-    # -- key math ----------------------------------------------------------
-    def _fp_and_buckets(self, h: int) -> tuple[np.uint16, int, int]:
-        fp = np.uint16((h >> 48) % 65535 + 1)  # 1..65535; 0 means empty
-        i1 = int(np.uint64(h) & self.mask)
-        i2 = int((np.uint64(i1) ^ (np.uint64(fp) * _FP_MUL)) & self.mask)
+    # -- key math (plain int arithmetic: the single-key path runs once
+    # per marked URL inside the shard actors — numpy scalar ops there
+    # cost ~25us/key and become the crawl's serial floor) -------------
+    _FP_MUL_INT = 0x5BD1E995
+
+    def _fp_and_buckets(self, h: int) -> tuple[int, int, int]:
+        mask = self.nbuckets - 1
+        fp = (h >> 48) % 65535 + 1  # 1..65535; 0 means empty
+        i1 = h & mask
+        i2 = (i1 ^ ((fp * self._FP_MUL_INT) & 0xFFFFFFFFFFFFFFFF)) & mask
         return fp, i1, i2
 
-    def _alt(self, i: int, fp: np.uint16) -> int:
-        return int((np.uint64(i) ^ (np.uint64(fp) * _FP_MUL)) & self.mask)
+    def _alt(self, i: int, fp: int) -> int:
+        mask = self.nbuckets - 1
+        return (i ^ ((fp * self._FP_MUL_INT) & 0xFFFFFFFFFFFFFFFF)) & mask
 
     # -- single-key ops ----------------------------------------------------
     def add_hash(self, h: int) -> None:
         fp, i1, i2 = self._fp_and_buckets(h)
+        b = self.buckets
         for i in (i1, i2):
-            row = self.buckets[i]
-            empties = np.nonzero(row == 0)[0]
-            if len(empties):
-                row[empties[0]] = fp
-                self.count += 1
-                return
-        # evict loop
-        rng = np.random.default_rng(h & 0xFFFFFFFF)  # deterministic per key
+            for slot in range(4):
+                if b[i, slot] == 0:
+                    b[i, slot] = fp
+                    self.count += 1
+                    return
+        # evict loop (deterministic per key)
+        state = h & 0xFFFFFFFF or 1
         i = i1
         for _ in range(self.MAX_KICKS):
-            slot = int(rng.integers(0, 4))
-            fp, self.buckets[i][slot] = self.buckets[i][slot].copy(), fp
+            state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+            slot = state & 3
+            fp, b[i, slot] = int(b[i, slot]), fp
             i = self._alt(i, fp)
-            row = self.buckets[i]
-            empties = np.nonzero(row == 0)[0]
-            if len(empties):
-                row[empties[0]] = fp
-                self.count += 1
-                return
-        self.overflow.add(int(fp) << 32 | i)  # full: spill, keep correctness
+            for s in range(4):
+                if b[i, s] == 0:
+                    b[i, s] = fp
+                    self.count += 1
+                    return
+        self.overflow.add(fp << 32 | i)  # full: spill, keep correctness
         self.count += 1
 
     def contains_hash(self, h: int) -> bool:
         fp, i1, i2 = self._fp_and_buckets(h)
-        if np.any(self.buckets[i1] == fp) or np.any(self.buckets[i2] == fp):
-            return True
-        return (int(fp) << 32 | i1) in self.overflow or (int(fp) << 32 | i2) in self.overflow
+        b = self.buckets
+        for i in (i1, i2):
+            for slot in range(4):
+                if b[i, slot] == fp:
+                    return True
+        return (fp << 32 | i1) in self.overflow or (fp << 32 | i2) in self.overflow
 
     def add(self, key: str | bytes) -> None:
         self.add_hash(sha1_64(key))

@@ -85,6 +85,7 @@ class Fetcher:
         self._canon = tbl["canon"]
         self._status = tbl["status"]
         self._html = tbl["html"]
+        self._body_type = self._html.type
         self._known_hosts = pa.array(sorted(index.known_hosts), pa.string())
         self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
         self._max_cl = cfg.max_content_length
@@ -101,7 +102,9 @@ class Fetcher:
         status = pc.if_else(
             hit, pc.take(self._status, idx_f), pa.scalar(404, pa.int32())
         )
-        body = pc.if_else(hit, pc.take(self._html, idx_f), pa.scalar(b"", pa.binary()))
+        body = pc.if_else(
+            hit, pc.take(self._html, idx_f), pa.scalar(b"", self._body_type)
+        )
         return status, body
 
     def _lookup_and_gate(self, batch: pa.Table):
@@ -251,7 +254,7 @@ class Fetcher:
         out = batch.take(pa.array(keep_idx, pa.int64()))
         out = (
             out.append_column("status", pa.array(statuses, pa.int32()))
-            .append_column("body", pa.array(bodies, pa.binary()))
+            .append_column("body", pa.array(bodies, self._body_type))
             .append_column("cached", pa.array(cacheds, pa.bool_()))
             .append_column("kind", pa.array(kinds, pa.string()))
             .append_column("text", pa.array(texts, pa.string()))
@@ -269,7 +272,7 @@ class Fetcher:
             "domain": pa.array([""] * nl, pa.string()),
             "path": pa.array([""] * nl, pa.string()),
             "status": pa.array([-1] * nl, pa.int32()),
-            "body": pa.array([b""] * nl, pa.binary()),
+            "body": pa.array([b""] * nl, self._body_type),
             "cached": pa.array([False] * nl, pa.bool_()),
             "kind": pa.array(["link"] * nl, pa.string()),
             "text": pa.array([""] * nl, pa.string()),
@@ -280,7 +283,7 @@ class Fetcher:
     def _empty_out(self, batch: pa.Table) -> pa.Table:
         return (
             batch.append_column("status", pa.array([], pa.int32()))
-            .append_column("body", pa.array([], pa.binary()))
+            .append_column("body", pa.array([], self._body_type))
             .append_column("cached", pa.array([], pa.bool_()))
         )
 
@@ -301,7 +304,8 @@ class Fetcher:
                     "status", seen_rows["seen_status"].cast(pa.int32())
                 )
                 .append_column(
-                    "body", pa.array([b""] * seen_rows.num_rows, pa.binary())
+                    "body",
+                    pa.array([b""] * seen_rows.num_rows, self._body_type),
                 )
                 .append_column(
                     "cached", pa.array([True] * seen_rows.num_rows, pa.bool_())
@@ -357,6 +361,7 @@ class PartitionedFetcher(Fetcher):
         self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
         self._max_cl = cfg.max_content_length
         self._forbidden = cfg.forbidden_paths
+        self._body_type = pa.large_binary()
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
         self.session = CookieSession(cfg)
 
@@ -405,7 +410,7 @@ class PartitionedFetcher(Fetcher):
                 if k is not None:
                     st_out[i] = st_col[k].as_py()
                     body_out[i] = html_col[k].as_py()
-        return pa.array(st_out, pa.int32()), pa.array(body_out, pa.binary())
+        return pa.array(st_out, pa.int32()), pa.array(body_out, self._body_type)
 
 
 _WORKER_FETCHERS: dict[str, "Fetcher"] = {}

@@ -67,7 +67,9 @@ def index_batch_fn(cfg: CrawlConfig):
                 "canon": pa.array(canons, pa.string()),
                 "domain": pa.array(domains, pa.string()),
                 "status": pa.array(statuses, pa.int32()),
-                "html": pa.array([t["html"][i].as_py() for i in keep], pa.binary()),
+                # large_binary: 64-bit offsets — a broadcast corpus
+                # column easily exceeds the 2 GB int32 offset limit
+                "html": pa.array([t["html"][i].as_py() for i in keep], pa.large_binary()),
             }
         )
 

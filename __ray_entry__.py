@@ -292,6 +292,13 @@ def _q_crawl_events(sf_dir: str):
     )
 
 
+def _q_crawl_host_stats(sf_dir: str):
+    """Per-host budget accounting over the crawl's events (§2.5)."""
+    from brinkray.pipelines import host_stats
+
+    return host_stats(_crawl_result(sf_dir))
+
+
 def _q_crawl_extract_links(sf_dir: str):
     """Phase-1 slice: pages -> normalize -> extract links (no loop)."""
     import ray.data as rd
@@ -346,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the crawl engine itself (non-SQL-expressible: stateful wave loop)
         "crawl_seen_set": _q_crawl_seen,
         "crawl_events": _q_crawl_events,
+        "crawl_host_stats": _q_crawl_host_stats,
         "crawl_extract_links": _q_crawl_extract_links,
     }
 

@@ -59,8 +59,8 @@ def bench_crawl(num_cpus: int) -> tuple[float, dict]:
     # across runs, incl. the 8-vs-32 scaling pair); the timed section
     # is the BFS-wave engine itself
     n_docs = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
-    n_pages = int(os.environ.get("BRINKRAY_BENCH_PAGES", min(400_000, n_docs * 80)))
-    site_dir = ensure_big_site(SF_DIR, n_pages=n_pages, fanout=64, text_pad=4000)
+    n_pages = int(os.environ.get("BRINKRAY_BENCH_PAGES", min(800_000, n_docs * 160)))
+    site_dir = ensure_big_site(SF_DIR, n_pages=n_pages, fanout=64, text_pad=8000)
     pages = rd.read_parquet(site_dir)
     opts = EngineOptions(
         seen_shards=8,

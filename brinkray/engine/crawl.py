@@ -297,11 +297,9 @@ class CrawlEngine:
     def __init__(self, cfg: CrawlConfig, options: EngineOptions | None = None):
         self.cfg = cfg
         self.opts = options or EngineOptions()
-        self.seen_actors = [
-            SeenShard.remote(i, self.opts.seen_capacity_per_shard)
-            for i in range(self.opts.seen_shards)
-        ]
-        self.seen = ShardedSeenSet(self.opts.seen_shards, actors=self.seen_actors)
+        self.seen = ShardedSeenSet(
+            self.opts.seen_shards, self.opts.seen_capacity_per_shard
+        )
         self._politeness_on = (
             self.opts.per_host_budget is not None
             or self.opts.per_host_wave_limit is not None
@@ -311,6 +309,12 @@ class CrawlEngine:
             for i in range(self.opts.politeness_shards)
         ]
         self.index: PageIndex | None = None
+
+    @property
+    def seen_actors(self) -> list:
+        """Live shard handles — always read through the client so
+        wave-boundary rebalancing (seen.rebalance_shard) is visible."""
+        return self.seen.actors
 
     # ---------------------------------------------------------------- setup
     def set_pages(self, pages) -> None:
@@ -357,8 +361,6 @@ class CrawlEngine:
         normalize_fn = make_normalize_fn(self.cfg)
         extract_links_fn = make_extract_links_fn(fast=opts.extract_fast)
         forbidden_gate = make_forbidden_filter(self.cfg)
-        seen_check_fn = _make_seen_check_fn(self.seen_actors, opts.seen_shards)
-
         while True:
             if opts.max_waves is not None and wave >= opts.max_waves:
                 break
@@ -370,6 +372,8 @@ class CrawlEngine:
             frontier_n = frontier.count()
             if frontier_n == 0:
                 break
+            # rebuilt per wave: picks up rebalanced shard handles
+            seen_check_fn = _make_seen_check_fn(self.seen_actors, opts.seen_shards)
 
             if opts.ordering == "scale":
                 frontier, wave_results, m = self._scale_wave(

@@ -81,11 +81,19 @@ class Fetcher:
         # NOTE: no combine_chunks here — the table is zero-copy mapped
         # from the object store; combining would copy the whole corpus
         # once per worker process (catastrophic at 32 workers)
+        import numpy as np
+
         tbl: pa.Table = ray.get(index.table_ref)
         self._canon = tbl["canon"]
         self._status = tbl["status"]
         self._html = tbl["html"]
         self._body_type = self._html.type
+        # zero-copy view of the sorted hash column (see index.py)
+        hcol = tbl["h"]
+        if hcol.num_chunks == 1:
+            self._h = hcol.chunk(0).to_numpy(zero_copy_only=True)
+        else:  # tiny column; a copy is fine
+            self._h = hcol.to_numpy()
         self._known_hosts = pa.array(sorted(index.known_hosts), pa.string())
         self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
         self._max_cl = cfg.max_content_length
@@ -94,16 +102,44 @@ class Fetcher:
         self.session = CookieSession(cfg)
 
     def _join(self, batch: pa.Table):
-        """Broadcast-index lookup: one vectorized hash probe against the
-        zero-copy canon column."""
-        idx = pc.index_in(batch["canon"], value_set=self._canon)
-        hit = pc.is_valid(idx)
-        idx_f = pc.fill_null(idx, 0)
+        """Broadcast-index lookup via the sorted hash column:
+        np.searchsorted (vectorized, allocation-free) + string
+        verification (exactness under 64-bit collisions)."""
+        import numpy as np
+
+        from ..state.cuckoo import sha1_64
+
+        canons = batch["canon"].to_pylist()
+        n = len(canons)
+        hs = np.fromiter((sha1_64(c) for c in canons), dtype=np.uint64, count=n)
+        pos = np.searchsorted(self._h, hs)
+        in_range = pos < len(self._h)
+        pos_c = np.where(in_range, pos, 0)
+        hit = in_range & (self._h[pos_c] == hs)
+        idx_arr = pa.array(pos_c, pa.int64())
+        # verify the canon string (collisions -> treated as miss unless
+        # a neighboring duplicate-hash row matches)
+        cand = pc.take(self._canon, idx_arr)
+        same = pc.equal(cand, batch["canon"]).to_numpy(zero_copy_only=False).astype(bool)
+        mismatch = hit & ~same
+        if mismatch.any():
+            for i in np.nonzero(mismatch)[0]:
+                p = int(pos_c[i])
+                hit_i = False
+                while p < len(self._h) and self._h[p] == hs[i]:
+                    if self._canon[p].as_py() == canons[i]:
+                        pos_c[i] = p
+                        hit_i = True
+                        break
+                    p += 1
+                hit[i] = hit_i
+            idx_arr = pa.array(pos_c, pa.int64())
+        hit_pa = pa.array(hit)
         status = pc.if_else(
-            hit, pc.take(self._status, idx_f), pa.scalar(404, pa.int32())
+            hit_pa, pc.take(self._status, idx_arr), pa.scalar(404, pa.int32())
         )
         body = pc.if_else(
-            hit, pc.take(self._html, idx_f), pa.scalar(b"", self._body_type)
+            hit_pa, pc.take(self._html, idx_arr), pa.scalar(b"", self._body_type)
         )
         return status, body
 

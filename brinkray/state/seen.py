@@ -187,6 +187,28 @@ class ShardedSeenSet:
             out.update(items)
         return out
 
+    def shard_sizes(self) -> list[int]:
+        return ray.get([a.size.remote() for a in self.actors])
+
+    def rebalance_shard(self, shard_id: int, **actor_options) -> None:
+        """Skew-aware rebalancing: move one whole shard's state to a
+        fresh actor — on a real cluster ``actor_options`` carries
+        scheduling hints (e.g. a node-affinity strategy) to land the
+        hot shard on an underloaded node. Key routing is untouched
+        (hash % nshards); this is a wave-boundary operation — the
+        engine rebuilds its stage closures from the live actor list
+        every run/wave, so in-flight tasks never see the old handle."""
+        state = ray.get(self.actors[shard_id].dump.remote())
+        new = (
+            SeenShard.options(**actor_options).remote(shard_id)
+            if actor_options
+            else SeenShard.remote(shard_id)
+        )
+        ray.get(new.restore.remote(state))
+        old = self.actors[shard_id]
+        self.actors[shard_id] = new
+        ray.kill(old)
+
     def dump(self) -> list[dict]:
         return ray.get([a.dump.remote() for a in self.actors])
 

@@ -116,7 +116,8 @@ def bench_queries() -> dict[str, float]:
 def run_once() -> dict:
     ray = _init_ray(NUM_CPUS)
     crawl_sec, crawl_stats = bench_crawl(NUM_CPUS)
-    qsec = bench_queries()
+    # the scaling pair measures the headline job only
+    qsec = {} if os.environ.get("BRINKRAY_SCALING_ONLY") else bench_queries()
     queries = {"crawl": round(crawl_sec, 3), **qsec}
     payload = {
         "metric": "crawl_urls_fetched_extracted_per_sec",
@@ -136,7 +137,7 @@ def run_scaling() -> dict:
     (the sandbox stand-in for N vs 4N nodes)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BRINKRAY_SCALING_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -147,17 +147,20 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    lo_c, hi_c = (
+        int(x) for x in os.environ.get("BRINKRAY_SCALE_LEVELS", "8,32").split(",")
+    )
+    lo, hi = run(lo_c), run(hi_c)
     tput_lo = lo["crawl"]["urls_per_sec"]
     tput_hi = hi["crawl"]["urls_per_sec"]
-    eff = (tput_hi / tput_lo) / (32 / 8)
+    eff = (tput_hi / tput_lo) / (hi_c / lo_c)
     return {
         "metric": "crawl_scaling_efficiency",
-        "num_cpus": [8, 32],
-        "sec_8": lo["queries"]["crawl"],
-        "sec_32": hi["queries"]["crawl"],
-        "urls_per_sec_8": tput_lo,
-        "urls_per_sec_32": tput_hi,
+        "num_cpus": [lo_c, hi_c],
+        f"sec_{lo_c}": lo["queries"]["crawl"],
+        f"sec_{hi_c}": hi["queries"]["crawl"],
+        f"urls_per_sec_{lo_c}": tput_lo,
+        f"urls_per_sec_{hi_c}": tput_hi,
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
     }

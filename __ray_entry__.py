@@ -292,6 +292,72 @@ def _q_crawl_events(sf_dir: str):
     )
 
 
+def _q_windowed_counts(sf_dir: str):
+    # SQL-checked columns only: COUNT is exact; float SUM differs from
+    # DuckDB in the last ulp (summation order) and would hash-mismatch.
+    # The full (n, value_sum) variant is the rows-only
+    # windowed_event_sums query.
+    from brinkray.textproc.windows import tumbling_counts
+
+    out = tumbling_counts(_ds(sf_dir, "events"), window="hour").to_pandas()
+    return out[["event_type", "window_start", "n"]]
+
+
+def _q_windowed_sums(sf_dir: str):
+    from brinkray.textproc.windows import tumbling_counts
+
+    return tumbling_counts(_ds(sf_dir, "events"), window="hour").to_pandas()
+
+
+def _q_event_sessions(sf_dir: str):
+    from brinkray.textproc.windows import sessionize
+
+    return sessionize(_ds(sf_dir, "events"), gap_minutes=30).to_pandas()
+
+
+def _q_asof_join(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (inner semantics, like DuckDB ASOF JOIN)."""
+    import pyarrow as pa
+
+    from brinkray.textproc.joins import asof_join
+
+    cust = _ds(sf_dir, "customer").select_columns(["c_custkey"]).to_pandas()
+    max_ck = int(cust["c_custkey"].max())
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        ck = [u % max_ck + 1 for u in t["user_id"].to_pylist()]
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ck": pa.array(ck, pa.int64()),
+                "ts": t["ts"],
+            }
+        )
+
+    left = _ds(sf_dir, "events").map_batches(add_ck, batch_format="pyarrow")
+    right = _ds(sf_dir, "orders").map_batches(
+        lambda t: pa.table(
+            {"ck": t["o_custkey"], "o_orderdate": t["o_orderdate"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        left, right, key="ck", left_ts="ts", right_ts="o_orderdate",
+        right_vals=[],
+    ).to_pandas()
+    out = out.dropna(subset=["o_orderdate"])  # inner semantics
+    return out[["event_id", "o_orderdate"]].rename(columns={"o_orderdate": "o_date"})
+
+
+def _q_dedup_clusters(sf_dir: str):
+    from brinkray.textproc.dedup import minhash_lsh_pairs
+    from brinkray.textproc.joins import cluster_pairs
+
+    pairs = minhash_lsh_pairs(_ds(sf_dir, "documents"), threshold=0.2)
+    return _to_pandas(cluster_pairs(pairs))
+
+
 def _q_crawl_host_stats(sf_dir: str):
     """Per-host budget accounting over the crawl's events (§2.5)."""
     from brinkray.pipelines import host_stats
@@ -350,6 +416,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _q_embedding_dups,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        # streaming-shaped + join operators
+        "windowed_event_counts": _q_windowed_counts,
+        "windowed_event_sums": _q_windowed_sums,
+        "event_sessions": _q_event_sessions,
+        "asof_join_events_orders": _q_asof_join,
+        "dedup_clusters": _q_dedup_clusters,
         # the crawl engine itself (non-SQL-expressible: stateful wave loop)
         "crawl_seen_set": _q_crawl_seen,
         "crawl_events": _q_crawl_events,
@@ -396,6 +468,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
             "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_ish "
             "FROM documents"
+        ),
+        "windowed_event_counts": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "COUNT(*) AS n "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "asof_join_events_orders": (
+            "SELECT e.event_id, o.o_orderdate AS o_date FROM events e "
+            "ASOF JOIN orders o "
+            "ON ((e.user_id % (SELECT MAX(c_custkey) FROM customer)) + 1) = o.o_custkey "
+            "AND e.ts >= o.o_orderdate"
         ),
         "quality_basic": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_chars, "

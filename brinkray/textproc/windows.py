@@ -1,0 +1,82 @@
+"""Stream-shaped operators over the events table.
+
+Ray Data has no event-time windows; per the engine's streaming model
+(SURVEY §2.9) the input is treated as a partitioned log: windows are
+computed by bucketing the timestamp in a vectorized map_batches and
+aggregating per (key, window) — exactly the partial-then-small-groupby
+shape. Session windows need per-key ordering, so they run inside
+``groupby(key).map_groups`` over ts-sorted groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["tumbling_counts", "sessionize"]
+
+
+def tumbling_counts(events_ds, window: str = "hour", key: str = "event_type"):
+    """Tumbling-window counts + value sums per key.
+
+    ``window``: 'hour' | 'day' | 'minute' — the bucket is the truncated
+    timestamp (matches SQL date_trunc for exact oracle comparison).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit=window)
+        return pa.table(
+            {
+                key: t[key],
+                "window_start": w,
+                "value": t["value"],
+            }
+        )
+
+    return (
+        events_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby([key, "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+    )
+
+
+def sessionize(events_ds, gap_minutes: float = 30.0, key: str = "user_id"):
+    """Session windows per key: events sorted by ts; a gap larger than
+    ``gap_minutes`` starts a new session. Returns one row per session:
+    (key, session_start, session_end, n_events).
+
+    Per-key state needs ordering, so this is the map_groups shape; the
+    per-group body is vectorized (numpy diff over the sorted ts)."""
+    gap = np.timedelta64(int(gap_minutes * 60), "s")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="datetime64[us]"),
+                    "session_end": pd.Series([], dtype="datetime64[us]"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        new_session = np.concatenate(([True], np.diff(ts) > gap))
+        sid = np.cumsum(new_session)
+        df = pd.DataFrame({"sid": sid, "ts": ts})
+        agg = df.groupby("sid")["ts"].agg(["min", "max", "count"]).reset_index()
+        return pd.DataFrame(
+            {
+                key: np.repeat(g[key].iloc[0], len(agg)),
+                "session_start": agg["min"],
+                "session_end": agg["max"],
+                "n_events": agg["count"].astype("int64"),
+            }
+        )
+
+    return events_ds.select_columns([key, "ts"]).groupby(key).map_groups(
+        per_key, batch_format="pandas"
+    )

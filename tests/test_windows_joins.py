@@ -1,0 +1,164 @@
+"""Windowed aggregates, sessionization, as-of join, pair clustering."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+TS = pd.Timestamp("2024-01-01 10:00:00")
+
+
+def test_tumbling_counts(ray_session):
+    from brinkray.textproc.windows import tumbling_counts
+
+    rows = [
+        (TS, 1, "click", 1.0),
+        (TS + pd.Timedelta(minutes=10), 1, "click", 2.0),
+        (TS + pd.Timedelta(hours=1), 2, "click", 3.0),
+        (TS + pd.Timedelta(hours=1, minutes=5), 2, "view", 4.0),
+    ]
+    out = tumbling_counts(_events_ds(rows), window="hour").to_pandas()
+    out = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert len(out) == 3
+    first = out[(out["event_type"] == "click")].reset_index(drop=True)
+    assert list(first["n"]) == [2, 1]
+    assert first["value_sum"].tolist() == [3.0, 3.0]
+
+
+def test_tumbling_counts_matches_duckdb(ray_session):
+    """Windowed aggregate vs SQL date_trunc on the real events table."""
+    import duckdb
+
+    import ray.data as rd
+    from brinkray.textproc.windows import tumbling_counts
+
+    sf = "/root/testdata/sf0.01"
+    ds = rd.read_parquet(f"{sf}/events.parquet")
+    got = (
+        tumbling_counts(ds, window="hour")
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n, SUM(value) AS value_sum
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert list(got["n"]) == list(want["n"])
+    assert np.allclose(got["value_sum"], want["value_sum"])
+
+
+def test_sessionize(ray_session):
+    from brinkray.textproc.windows import sessionize
+
+    rows = [
+        (TS, 7, "c", 0.0),
+        (TS + pd.Timedelta(minutes=5), 7, "c", 0.0),
+        (TS + pd.Timedelta(hours=2), 7, "c", 0.0),  # gap > 30min: new session
+        (TS, 8, "c", 0.0),
+    ]
+    out = sessionize(_events_ds(rows), gap_minutes=30).to_pandas()
+    u7 = out[out["user_id"] == 7].sort_values("session_start")
+    assert list(u7["n_events"]) == [2, 1]
+    assert len(out[out["user_id"] == 8]) == 1
+
+
+def test_asof_join_matches_pandas(ray_session):
+    import ray.data as rd
+    from brinkray.textproc.joins import asof_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 60),
+            "lts": pd.to_datetime(rng.integers(0, 10**6, 60), unit="s"),
+            "lval": np.arange(60),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 40),
+            "rts": pd.to_datetime(rng.integers(0, 10**6, 40), unit="s"),
+            "price": rng.standard_normal(40).round(3),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            key="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_vals=["price"],
+        )
+        .to_pandas()
+        .sort_values("lval")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("lts", kind="mergesort"),
+        right.sort_values("rts", kind="mergesort"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+    ).sort_values("lval").reset_index(drop=True)[["k", "lts", "lval", "price"]]
+    assert len(got) == len(want) == 60
+    pd.testing.assert_frame_equal(
+        got[["k", "lval", "price"]].astype({"price": "float64"}),
+        want[["k", "lval", "price"]].astype({"price": "float64"}),
+        check_dtype=False,
+    )
+
+
+def test_cluster_pairs(ray_session):
+    import ray.data as rd
+    from brinkray.textproc.joins import cluster_pairs
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 2, 5, 9], pa.int64()),
+                "doc_b": pa.array([2, 3, 6, 1], pa.int64()),
+            }
+        )
+    )
+    out = cluster_pairs(pairs).to_pandas().set_index("doc_id")["cluster"].to_dict()
+    # components: {1,2,3,9} -> 1 and {5,6} -> 5
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_cluster_pairs_empty(ray_session):
+    import ray.data as rd
+    from brinkray.textproc.joins import cluster_pairs
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    )
+    assert cluster_pairs(empty).count() == 0

@@ -63,7 +63,9 @@ def bench_crawl(num_cpus: int) -> tuple[float, dict]:
     site_dir = ensure_big_site(SF_DIR, n_pages=n_pages, fanout=64, text_pad=8000)
     pages = rd.read_parquet(site_dir)
     opts = EngineOptions(
-        seen_shards=8,
+        # actor state scales with the cluster (a 4N cluster runs 4N
+        # shards) — the N-vs-4N pair must scale both compute AND state
+        seen_shards=max(4, num_cpus // 2),
         seen_capacity_per_shard=1 << 19,
         fetch_batch_size=4096,
         store_body=False,

@@ -15,15 +15,19 @@ IS the FIFO order — no global sequence counter, no coordination;
 the intra-wave dedup winner is simply min(order_key), i.e. the
 occurrence the FIFO loop would have fetched.
 
-Wave anatomy (each stage a Ray Data op; shuffles marked):
-  1 map_batches(normalize)                [stateless, Arrow]
-  2 groupby(canon).map_groups(winner)     [SHUFFLE: intra-wave dedup]
-  3 winners -> seen-shard check           [actor calls from tasks]
-  4 novel -> groupby(domain) politeness   [SHUFFLE, only when enabled]
-  5 map_batches(Fetcher actor pool)       [lookup-join + gates + mark]
-  6 extract text; materialize (barrier: marks visible)
-  7 non-winners + seen winners -> cached-replay rows (post-mark lookup)
-  8 write wave results; expansion gate; flat-map links -> next frontier
+Strict-mode wave anatomy (each phase one Ray Data execution):
+  A map_batches(normalize) -> sort(canon, order_key) with vectorized
+    run-boundary winner marking        [the ONLY shuffle: intra-wave dedup]
+  B winners -> seen-shard check -> fetch (lookup-join + gates + mark;
+    seen winners pass through as cached replays) -> text extraction;
+    materialize = the wave barrier
+  C duplicate occurrences -> post-barrier shard lookup -> cached rows
+  D expansion gate -> flat-map links -> next frontier
+  (politeness adds a groupby(domain) admission execution when enabled)
+
+Scale mode (`ordering="scale"`, see _scale_wave): sort-free — dedup via
+atomic shard reservations inside the fetch stage, link+text extraction
+inline, 2 executions per wave; set-exact, ordering approximate.
 
 Quirk preservation: errors are dropped inside the fetch stage without
 marking (so rediscoveries re-fetch); cached replays of a canon whose

@@ -257,16 +257,24 @@ def _q_embedding_dups(sf_dir: str):
 
 
 def _query_vec(sf_dir: str):
+    """Query = the embedding of the MIN vec_id row (SQL-reproducible,
+    unlike 'first row in file order')."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    return t["embedding"][0].as_py()
+    i = pc.index(t["vec_id"], pc.min(t["vec_id"])).as_py()
+    return t["embedding"][i].as_py()
 
 
 def _q_ann_topk(sf_dir: str):
+    # Compared output is the top-k MEMBERSHIP (vec_id): the cosine value
+    # itself differs from DuckDB in the last ulp (summation order), so
+    # scores are pytest-verified, not hash-compared.
     from brinkray.textproc.similarity import cosine_topk
 
-    return cosine_topk(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10).to_pandas()
+    out = cosine_topk(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10).to_pandas()
+    return out[["vec_id"]]
 
 
 def _q_ann_ivf(sf_dir: str):
@@ -304,9 +312,11 @@ def _q_windowed_counts(sf_dir: str):
 
 
 def _q_windowed_sums(sf_dir: str):
-    from brinkray.textproc.windows import tumbling_counts
+    # Exact fixed-point sums (int64 cents): associative, so the
+    # distributed reduction is bit-reproducible and SQL-twinnable.
+    from brinkray.textproc.windows import tumbling_sums_fixed
 
-    return tumbling_counts(_ds(sf_dir, "events"), window="hour").to_pandas()
+    return tumbling_sums_fixed(_ds(sf_dir, "events"), window="hour").to_pandas()
 
 
 def _q_event_sessions(sf_dir: str):
@@ -347,6 +357,9 @@ def _q_asof_join(sf_dir: str):
         right_vals=[],
     ).to_pandas()
     out = out.dropna(subset=["o_orderdate"])  # inner semantics
+    # merge_asof introduces NaN before the dropna, promoting event_id to
+    # float64; the driver's value hash is dtype-sensitive — restore int64.
+    out["event_id"] = out["event_id"].astype("int64")
     return out[["event_id", "o_orderdate"]].rename(columns={"o_orderdate": "o_date"})
 
 
@@ -430,6 +443,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _sql_set(lang: str) -> str:
+    """Render a stopword profile as a SQL IN-list (single source of
+    truth: the same STOPWORDS the Ray operators use)."""
+    from brinkray.textproc.quality import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "distinct_users_per_event_type": (
@@ -484,5 +505,73 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_chars, "
             "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) "
             "AS punct_ratio FROM documents"
+        ),
+        # quality_signals: every column re-derived with DuckDB regex/list
+        # kernels; the quality score mirrors the Python expression's exact
+        # association order so IEEE doubles match bit-for-bit.
+        "quality_signals": (
+            "WITH q AS (SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS q_chars, "
+            "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) AS punct_ratio, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt, "
+            "len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+            f"t -> t IN ({_sql_set('en')}))) AS ns "
+            "FROM documents) "
+            "SELECT doc_id, q_chars, punct_ratio, "
+            "CASE WHEN nt = 0 THEN 0.0 ELSE CAST(ns AS DOUBLE) / nt END AS stopword_ratio, "
+            "alpha_ratio, "
+            "GREATEST(0.0, LEAST(1.0, "
+            "0.3 * LEAST(1.0, nt / 50) + 0.3 * alpha_ratio "
+            "+ 0.2 * LEAST(1.0, (CASE WHEN nt = 0 THEN 0.0 ELSE CAST(ns AS DOUBLE) / nt END) * 5) "
+            "+ 0.2 * (1.0 - LEAST(1.0, punct_ratio * 5)))) AS quality "
+            "FROM q"
+        ),
+        # lang_id: same stopword profiles inlined; the CASE cascade encodes
+        # the Python argmax's strict-> tie-break (alphabetical profile order
+        # wins ties; ratios share the denominator so counts compare exactly).
+        "lang_id_counts": (
+            "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk "
+            "FROM documents), r AS (SELECT len(tk) AS nt, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('de')}))) AS c_de, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('en')}))) AS c_en, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('es')}))) AS c_es, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('fr')}))) AS c_fr "
+            "FROM toks), lab AS (SELECT CASE "
+            "WHEN nt = 0 OR (c_de = 0 AND c_en = 0 AND c_es = 0 AND c_fr = 0) THEN 'und' "
+            "WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de' "
+            "WHEN c_en >= c_es AND c_en >= c_fr THEN 'en' "
+            "WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM r) "
+            "SELECT lang_pred, COUNT(*) AS n FROM lab GROUP BY lang_pred"
+        ),
+        # windowed sums: fixed-point int64 cents — associative, so the
+        # distributed Sum matches SQL exactly (floor of identical doubles).
+        "windowed_event_sums": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "COUNT(*) AS n, "
+            "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        # sessions: SQL gaps-and-islands (LAG -> new-session flag -> running
+        # sum) with the same strict > gap predicate as sessionize().
+        "event_sessions": (
+            "WITH lagged AS (SELECT user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), "
+            "flagged AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL "
+            "OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s "
+            "FROM lagged), sess AS (SELECT user_id, ts, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS sid FROM flagged) "
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM sess GROUP BY user_id, sid"
+        ),
+        # ANN top-k: membership check (scores differ from DuckDB in the
+        # last ulp; values are pytest-verified against ground truth).
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings "
+            "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) "
+            "SELECT e.vec_id FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10"
         ),
     }

@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_counts", "sessionize"]
+__all__ = ["tumbling_counts", "tumbling_sums_fixed", "sessionize"]
 
 
 def tumbling_counts(events_ds, window: str = "hour", key: str = "event_type"):
@@ -40,6 +40,34 @@ def tumbling_counts(events_ds, window: str = "hour", key: str = "event_type"):
         events_ds.map_batches(bucket, batch_format="pyarrow")
         .groupby([key, "window_start"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+    )
+
+
+def tumbling_sums_fixed(
+    events_ds, window: str = "hour", key: str = "event_type", scale: int = 100
+):
+    """Tumbling-window counts + EXACT value sums.
+
+    Float sums are not associative, so a distributed reduction's result
+    depends on block order — unacceptable for a reproducible pipeline at
+    100-TB scale. The value is scaled to fixed-point integer units
+    (``floor(value * scale)``, int64) inside the vectorized bucket stage,
+    making the shuffle-side Sum associative and bit-reproducible (and
+    SQL-twinnable: ``SUM(CAST(floor(value*scale) AS BIGINT))``).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit=window)
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(float(scale)))), pa.int64()
+        )
+        return pa.table({key: t[key], "window_start": w, "value_cents": cents})
+
+    return (
+        events_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby([key, "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
     )
 
 

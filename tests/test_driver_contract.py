@@ -43,6 +43,10 @@ def canon(df) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            # the driver hash is unit-insensitive for datetimes (r01
+            # evidence: [s] vs [us] matched) but int/float-sensitive
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -56,7 +60,10 @@ def test_query_matches_duckdb(ray_session, key):
     want = canon(duck(SF, entrymod.oracle_sql()[key]))
     assert list(got.columns) == list(want.columns), key
     assert len(got) == len(want), key
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # the driver's value hash is dtype-sensitive (this caught the r01
+    # asof float64-promotion miss) — compare dtypes exactly post-canon
+    assert [str(d) for d in got.dtypes] == [str(d) for d in want.dtypes], key
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
 
 
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(SQL_KEYS) - {"crawl_seen_set", "crawl_events"})

@@ -112,6 +112,17 @@ class EngineOptions:
     store_text: bool = True  # bench/huge runs can drop the text column
     checkpoint_dir: str | None = None
     max_waves: int | None = None
+    # spin up worker processes + per-worker fetcher state at set_pages
+    # time (steady-state amortized on a long crawl; makes the first
+    # sizeable wave pay compute, not process spawns)
+    prewarm_workers: bool = False
+    # Ray Data target block size for this crawl (bytes). Frontier rows
+    # are ~200 B but carry ~0.5 ms of fetch+extract work each, so the
+    # default 128 MiB blocks make task granularity far too coarse and
+    # let link-fanout skew snowball wave over wave (one 1.1M-row block
+    # = one 40 s task). ~2 MiB keeps tasks ~1 s and bounds skew without
+    # any repartition barrier.
+    target_block_bytes: int | None = 2 * 1024 * 1024
 
 
 @dataclass
@@ -334,12 +345,60 @@ class CrawlEngine:
             )
         else:
             self.index = build_page_index(pages, self.cfg)
+        if self.opts.prewarm_workers:
+            self._prewarm()
+
+    def _prewarm(self) -> None:
+        """Spin up the worker-process pool and build each worker's
+        Fetcher state (zero-copy index map, session, shard handles)
+        BEFORE the first wave: on a fresh cluster the first sizeable
+        wave otherwise pays ~n_workers process spawns + state builds
+        mid-crawl. The warm rows target an unknown domain, so they take
+        the transport-error silent-drop path — reserve is released,
+        nothing is marked, the seen set stays empty."""
+        from .fetch import make_fetcher_fn
+        from .stages import make_normalize_fn
+
+        ncpus = int(ray.cluster_resources().get("CPU", 8))
+        n = 4 * ncpus
+        warm = pa.table(
+            {
+                "href": pa.array(
+                    [f"https://warmup.invalid/{i}" for i in range(n)], pa.string()
+                ),
+                "linked_from": pa.array(["warm"] * n, pa.string()),
+                "target": pa.array([""] * n, pa.string()),
+                "order_key": pa.array([f"{i:06d}" for i in range(n)], pa.string()),
+                "wave": pa.array([0] * n, pa.int32()),
+            }
+        )
+        (
+            rd.from_arrow(warm)
+            .repartition(n)
+            .map_batches(make_normalize_fn(self.cfg), batch_format="pyarrow")
+            .map_batches(
+                make_fetcher_fn(
+                    self.cfg,
+                    self.index,
+                    self.seen_actors,
+                    self.opts.seen_shards,
+                    scale=True,
+                ),
+                batch_format="pyarrow",
+                batch_size=self.opts.fetch_batch_size,
+            )
+            .materialize()
+        )
 
     # ---------------------------------------------------------------- run
     def run(self, seeds: list[str] | None = None, resume: bool = False) -> CrawlResult:
         assert self.index is not None, "call set_pages() first"
         opts = self.opts
         ckpt = opts.checkpoint_dir
+        if opts.ordering == "scale" and opts.target_block_bytes:
+            from ray.data import DataContext
+
+            DataContext.get_current().target_max_block_size = opts.target_block_bytes
 
         start_wave = 0
         frontier_tbl = _seed_frontier(seeds or [self.cfg.root_domain])
@@ -587,13 +646,15 @@ class CrawlEngine:
         seen_check_fn,
         robots_gate,
     ):
-        """Sort-free wave (ordering='scale'): TWO executions. Dedup is
-        the shards' atomic reserve inside the fetch stage; duplicate
-        occurrences whose owner is another in-flight batch come out as
-        'pending' rows and resolve post-barrier (cached if the owner
-        marked, requeued to the next wave if the owner errored).
-        Invariants vs strict/oracle: identical final seen set and
-        fetched (url, status, body) multiset; ordering approximate."""
+        """Sort-free wave (ordering='scale'): TWO executions total.
+        Dedup is the shards' atomic reserve inside the fetch stage;
+        duplicate occurrences whose owner is another in-flight batch
+        come out as 'pending' rows and are requeued into the next
+        frontier, where the next wave's reserve resolves them (owner
+        marked => cached replay, owner errored => re-fetch) — no
+        dedicated resolution barrier. Invariants vs strict/oracle:
+        identical final seen set and fetched (url, status, body)
+        multiset; ordering approximate."""
         from .fetch import make_fetcher_fn
 
         opts = self.opts
@@ -602,17 +663,22 @@ class CrawlEngine:
                 "politeness budgets require ordering='strict' "
                 "(deterministic frontier-ordered admission)"
             )
-        # no sort in this mode, so width can track the cluster: enough
-        # blocks to keep every core busy and to re-balance the skewed
-        # block sizes the link-extract stage produces
+        # no sort in this mode, so width can track the cluster. The
+        # frontier from a previous scale wave already arrives as ~one
+        # block per upstream fetch task (the single-pass frontier
+        # projection below) — repartition ONLY when under-partitioned
+        # (seeds, resume loads): the AllToAll repartition barrier over a
+        # many-block frontier costs more than the whole fetch map (r02
+        # measurement: 7.9s repartition vs 7.2s fetch at 1.1M rows) and
+        # blocks streaming start.
         ncpus = int(ray.cluster_resources().get("CPU", 8))
-        # floor at the core count once the wave is non-trivial: a small
-        # frontier of wide pages still fans out to a big extract
-        target_blocks = max(
-            min(frontier_n, ncpus),
-            min(frontier_n // opts.fetch_batch_size + 1, 4 * ncpus),
-        )
-        frontier = frontier.repartition(target_blocks)
+        floor_blocks = min(frontier_n, ncpus)
+        if frontier.num_blocks() < floor_blocks:
+            target_blocks = max(
+                floor_blocks,
+                min(frontier_n // opts.fetch_batch_size + 1, 8 * ncpus),
+            )
+            frontier = frontier.repartition(target_blocks)
         norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
         if robots_gate is not None:
             norm = norm.map_batches(robots_gate, batch_format="pyarrow")
@@ -638,56 +704,59 @@ class CrawlEngine:
             batch_size=opts.fetch_batch_size,
         ).materialize()
         t_a = time.monotonic()
+        if os.environ.get("BRINKRAY_STATS"):
+            import sys
 
-        # post-barrier: resolve pendings NOW (materialized — the lookup
-        # must see exactly this wave's marks; a lazy re-evaluation later
-        # would race with future waves and double-emit)
-        pend = _filter_batches(processed, lambda t: pc.equal(t["kind"], "pending"))
-        pend_checked = pend.map_batches(
-            seen_check_fn, batch_format="pyarrow"
-        ).materialize()
-        pend_cached = _filter_batches(
-            pend_checked, lambda t: pc.not_equal(t["seen_status"], -1)
-        )
-        pend_requeue = _filter_batches(
-            pend_checked, lambda t: pc.equal(t["seen_status"], -1)
-        )
+            print(f"=== wave {wave} exec1 stats ===", file=sys.stderr)
+            print(processed.stats(), file=sys.stderr)
 
+        # post-barrier: pendings (duplicate occurrences whose canon was
+        # owned by another in-flight batch) are REQUEUED to the next
+        # wave rather than resolved here — wave k+1's atomic reserve
+        # yields the identical outcome (owner marked => cached replay;
+        # owner errored => the requeued row claims and re-fetches), so
+        # the dedicated resolution execution (a full extra barrier per
+        # wave) is unnecessary. Only the cached row's wave number
+        # shifts by one; the seen SET and fetched multiset — the
+        # scale-mode invariants — are untouched.
         done = _filter_batches(
             processed,
             lambda t: pc.and_(
                 pc.not_equal(t["kind"], "pending"), pc.not_equal(t["kind"], "link")
             ),
         )
-        res_main = done.map_batches(
+        wave_results = done.map_batches(
             _make_project_result_fetched(opts.store_body), batch_format="pyarrow"
         )
-        res_pend = pend_cached.map_batches(
-            _project_result_cached, batch_format="pyarrow"
-        )
-        wave_results = res_main.union(res_pend)
 
-        # links were extracted inline in the fetch stage ('link' rows)
-        links = _filter_batches(
-            processed, lambda t: pc.equal(t["kind"], "link")
-        ).map_batches(
-            lambda t: t.select(["href", "linked_from", "target", "order_key", "wave"]),
-            batch_format="pyarrow",
-        )
-        requeued = pend_requeue.map_batches(
-            lambda t: pa.table(
+        # exec 2: ONE pass over the materialized wave output building
+        # the next frontier — inline-extracted 'link' rows plus requeued
+        # pendings (wave+1) — so the frontier comes out as one
+        # well-sized block per upstream fetch task (a union of two
+        # filter branches would double the block count with skewed /
+        # empty blocks and force a repartition barrier next wave).
+        def to_frontier(t: pa.Table) -> pa.Table:
+            keep = t.filter(
+                pc.or_(pc.equal(t["kind"], "link"), pc.equal(t["kind"], "pending"))
+            )
+            wave_col = pc.if_else(
+                pc.equal(keep["kind"], "pending"),
+                pc.add(keep["wave"], 1),
+                keep["wave"],
+            ).cast(pa.int32())
+            return pa.table(
                 {
-                    "href": t["href"],
-                    "linked_from": t["linked_from"],
-                    "target": t["target"],
-                    "order_key": t["order_key"],
-                    "wave": pc.add(t["wave"], 1).cast(pa.int32()),
+                    "href": keep["href"],
+                    "linked_from": keep["linked_from"],
+                    "target": keep["target"],
+                    "order_key": keep["order_key"],
+                    "wave": wave_col,
                 }
-            ),
-            batch_format="pyarrow",
-        )
-        # exec 2: pending resolution + link extraction -> next frontier
-        next_frontier = links.union(requeued).materialize()
+            )
+
+        next_frontier = processed.map_batches(
+            to_frontier, batch_format="pyarrow"
+        ).materialize()
         t_b = time.monotonic()
 
         if self.opts.checkpoint_dir:

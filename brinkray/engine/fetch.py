@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..ref.config import AUTHORIZATION_HEADER, Cookie, CrawlConfig
+from ..state.cuckoo import sha1_16
 from ..state.seen import ShardedSeenSet
 from .index import PageIndex
 
@@ -101,17 +102,20 @@ class Fetcher:
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
         self.session = CookieSession(cfg)
 
-    def _join(self, batch: pa.Table):
+    def _join(self, batch: pa.Table, hs=None):
         """Broadcast-index lookup via the sorted hash column:
         np.searchsorted (vectorized, allocation-free) + string
-        verification (exactness under 64-bit collisions)."""
+        verification (exactness under 64-bit collisions). ``hs``
+        (optional) reuses already-computed uint64 canon hashes so the
+        scale path hashes each canon exactly once per batch."""
         import numpy as np
 
         from ..state.cuckoo import sha1_64
 
         canons = batch["canon"].to_pylist()
         n = len(canons)
-        hs = np.fromiter((sha1_64(c) for c in canons), dtype=np.uint64, count=n)
+        if hs is None:
+            hs = np.fromiter((sha1_64(c) for c in canons), dtype=np.uint64, count=n)
         pos = np.searchsorted(self._h, hs)
         in_range = pos < len(self._h)
         pos_c = np.where(in_range, pos, 0)
@@ -143,7 +147,7 @@ class Fetcher:
         )
         return status, body
 
-    def _lookup_and_gate(self, batch: pa.Table):
+    def _lookup_and_gate(self, batch: pa.Table, hs=None):
         """Fetch's gate order (brink.go:166-229) vectorized: returns
         (status, body, ok_mask) for the batch; ~ok rows are the silent
         drops (transport / NotAllowed / ContentTooLarge)."""
@@ -157,7 +161,7 @@ class Fetcher:
         transport_ok = pc.and_(domain_known, pc.invert(err_path))
 
         # the lookup-join (J1): canon -> (status, html); miss => 404, b""
-        status, body = self._join(batch)
+        status, body = self._join(batch, hs)
 
         # (e) domain gate after the request (NotAllowed discards status)
         allowed = pc.is_in(batch["domain"], value_set=self._allowed)
@@ -194,17 +198,27 @@ class Fetcher:
             ).append_column("text", pa.array([], pa.string()))
         batch = batch.sort_by("order_key")
         canons = batch["canon"].to_pylist()
+        # hash each canon exactly once per batch: 16-byte digests are the
+        # shard wire keys; their leading 8 bytes feed the index join
+        digs = [sha1_16(c) for c in canons]
         first_of: dict[str, int] = {}
         owner = [first_of.setdefault(c, i) for i, c in enumerate(canons)]
         firsts = sorted(first_of.values())
-        uniq = [canons[i] for i in firsts]
-        res = self._seen.reserve(uniq)
+        res = self._seen.reserve_digests([digs[i] for i in firsts])
 
         owned_pos = [i for i, r in zip(firsts, res) if r == -1]
         sub = batch.take(pa.array(owned_pos, pa.int64()))
-        status_a, body_a, ok_a = (
-            self._lookup_and_gate(sub) if sub.num_rows else (None, None, None)
-        )
+        if sub.num_rows:
+            import numpy as np
+
+            sub_hs = np.fromiter(
+                (int.from_bytes(digs[i][:8], "big") for i in owned_pos),
+                dtype=np.uint64,
+                count=len(owned_pos),
+            )
+            status_a, body_a, ok_a = self._lookup_and_gate(sub, sub_hs)
+        else:
+            status_a, body_a, ok_a = None, None, None
 
         # outcome per first-occurrence row index
         outcome: dict[int, tuple] = {}  # idx -> (kind, status, body)
@@ -213,8 +227,8 @@ class Fetcher:
                 outcome[i] = ("cached", r, b"")
             elif r == -2:
                 outcome[i] = ("pending", -1, b"")
-        err_canons = []
-        mark_canons, mark_statuses = [], []
+        err_digs = []
+        mark_digs, mark_canons, mark_statuses = [], [], []
         if sub.num_rows:
             st_l = status_a.to_pylist()
             ok_l = ok_a.to_pylist()
@@ -222,15 +236,26 @@ class Fetcher:
             for j, i in enumerate(owned_pos):
                 if ok_l[j]:
                     outcome[i] = ("fetched", st_l[j], body_l[j])
+                    mark_digs.append(digs[i])
                     mark_canons.append(canons[i])
                     mark_statuses.append(st_l[j])
                 else:
                     outcome[i] = ("error", -1, b"")
-                    err_canons.append(canons[i])
-        if mark_canons:
-            self._seen.mark(mark_canons, mark_statuses)
-        if err_canons:
-            self._seen.release(err_canons)
+                    err_digs.append(digs[i])
+        # overlap the mark/release RPCs with the extraction loop below;
+        # joined before return, so the wave barrier still guarantees
+        # visibility to the next wave's reserve
+        pending_rpcs: list = []
+        if mark_digs:
+            pending_rpcs += self._seen.mark_digests_async(
+                mark_digs, mark_canons, mark_statuses
+            )
+        if err_digs:
+            groups = self._seen._group(err_digs)
+            pending_rpcs += [
+                self._seen.actors[s].release.remote([err_digs[i] for i in idxs])
+                for s, idxs in groups.items()
+            ]
 
         hrefs = batch["href"].to_pylist()
         okeys = batch["order_key"].to_pylist()
@@ -287,6 +312,8 @@ class Fetcher:
                 l_wave.append(waves[i] + 1)
                 pos += 1
 
+        if pending_rpcs:
+            ray.get(pending_rpcs)
         out = batch.take(pa.array(keep_idx, pa.int64()))
         out = (
             out.append_column("status", pa.array(statuses, pa.int32()))
@@ -401,51 +428,97 @@ class PartitionedFetcher(Fetcher):
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
         self.session = CookieSession(cfg)
 
-    def _shard_table(self, p: int) -> pa.Table:
+    def _shard_table(self, p: int):
+        """Load-and-cache one pages shard as (table sorted by h,
+        h ndarray). The persisted ``h`` column (written by
+        build_partitioned_index) means loading costs one argsort —
+        no string hashing."""
         import os
 
+        import numpy as np
         import pyarrow.parquet as pq
 
-        t = self._cache.get(p)
-        if t is not None:
+        entry = self._cache.get(p)
+        if entry is not None:
             self._cache.move_to_end(p)
-            return t
+            return entry
         d = os.path.join(self._root, f"pshard={p}")
         parts = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))]
-        t = pa.concat_tables(parts) if parts else pa.table(
-            {
-                "canon": pa.array([], pa.string()),
-                "status": pa.array([], pa.int32()),
-                "html": pa.array([], pa.binary()),
-            }
-        )
-        self._cache[p] = t
+        if parts:
+            t = pa.concat_tables(parts).combine_chunks()
+            h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            order = np.argsort(h, kind="stable")
+            t = t.take(pa.array(order, pa.int64()))
+            h = h[order]
+        else:
+            t = pa.table(
+                {
+                    "canon": pa.array([], pa.string()),
+                    "status": pa.array([], pa.int32()),
+                    "html": pa.array([], pa.large_binary()),
+                    "h": pa.array([], pa.uint64()),
+                }
+            )
+            h = np.array([], dtype=np.uint64)
+        entry = (t, h)
+        self._cache[p] = entry
         while len(self._cache) > self._cache_cap:
             self._cache.popitem(last=False)
-        return t
+        return entry
 
-    def _join(self, batch: pa.Table):
+    def _join(self, batch: pa.Table, hs=None):
+        """Co-partitioned hash join, vectorized per shard group:
+        np.searchsorted over the shard's sorted h column + pc.take,
+        with string verification under 64-bit collisions — the same
+        probe the broadcast Fetcher uses (fetch.py Fetcher._join)."""
+        import numpy as np
+
         from ..state.cuckoo import sha1_64
 
         canons = batch["canon"].to_pylist()
-        shards = [sha1_64(c) % self._nparts for c in canons]
         n = len(canons)
-        st_out = [404] * n
+        if hs is None:
+            hs = np.fromiter((sha1_64(c) for c in canons), dtype=np.uint64, count=n)
+        shard_ids = (hs % np.uint64(self._nparts)).astype(np.int64)
+        st_out = np.full(n, 404, dtype=np.int32)
         body_out: list[bytes] = [b""] * n
-        for p in sorted(set(shards)):
-            rows = [i for i, s in enumerate(shards) if s == p]
-            tbl = self._shard_table(p)
-            if tbl.num_rows == 0:
+        for p in np.unique(shard_ids):
+            rows = np.nonzero(shard_ids == p)[0]
+            tbl, h_sorted = self._shard_table(int(p))
+            if len(h_sorted) == 0:
                 continue
-            sub = pa.array([canons[i] for i in rows], pa.string())
-            idx = pc.index_in(sub, value_set=tbl["canon"])
-            st_col = tbl["status"]
-            html_col = tbl["html"]
-            for j, i in enumerate(rows):
-                k = idx[j].as_py()
-                if k is not None:
-                    st_out[i] = st_col[k].as_py()
-                    body_out[i] = html_col[k].as_py()
+            sub_h = hs[rows]
+            pos = np.searchsorted(h_sorted, sub_h)
+            in_range = pos < len(h_sorted)
+            pos_c = np.where(in_range, pos, 0)
+            hit = in_range & (h_sorted[pos_c] == sub_h)
+            if not hit.any():
+                continue
+            hit_rows = rows[hit]
+            hit_pos = pos_c[hit]
+            idx = pa.array(hit_pos, pa.int64())
+            cand = pc.take(tbl["canon"], idx).to_pylist()
+            sts = pc.take(tbl["status"], idx).to_pylist()
+            bodies = pc.take(tbl["html"], idx).to_pylist()
+            canon_col = tbl["canon"]
+            for j, ri in enumerate(hit_rows):
+                if cand[j] == canons[ri]:
+                    st_out[ri] = sts[j]
+                    body_out[ri] = bodies[j]
+                    continue
+                # hash collision: scan the duplicate-hash run
+                q = int(hit_pos[j])
+                h_val = h_sorted[q]
+                found = False
+                while q < len(h_sorted) and h_sorted[q] == h_val:
+                    if canon_col[q].as_py() == canons[ri]:
+                        st_out[ri] = tbl["status"][q].as_py()
+                        body_out[ri] = tbl["html"][q].as_py()
+                        found = True
+                        break
+                    q += 1
+                if not found:
+                    pass  # miss: stays 404 / b""
         return pa.array(st_out, pa.int32()), pa.array(body_out, self._body_type)
 
 

@@ -115,8 +115,15 @@ def build_partitioned_index(
     def write_shards(t: pa.Table) -> pa.Table:
         t = base_fn(t)
         canons = t["canon"].to_pylist()
-        shards = [sha1_64(c) % nparts for c in canons]
-        t2 = t.append_column("pshard", pa.array(shards, pa.int32()))
+        # the 64-bit canon hash is computed ONCE here and persisted as a
+        # shard column: fetchers then probe with np.searchsorted against
+        # the load-time-sorted h instead of rebuilding hash tables or
+        # hashing strings per batch (mirrors build_page_index's layout)
+        hs = [sha1_64(c) for c in canons]
+        shards = [h % nparts for h in hs]
+        t2 = t.append_column("pshard", pa.array(shards, pa.int32())).append_column(
+            "h", pa.array(hs, pa.uint64())
+        )
         # deterministic filename per block content: Ray may run a map
         # UDF more than once (schema inference, retries) — the rewrite
         # must land on the same file, not duplicate rows
@@ -124,7 +131,7 @@ def build_partitioned_index(
         for p in sorted(set(shards)):
             sub = t2.filter(pa.array([s == p for s in shards]))
             pq.write_table(
-                sub.select(["canon", "status", "html"]),
+                sub.select(["canon", "status", "html", "h"]),
                 os.path.join(out_dir, f"pshard={p}", f"part-{part_id}.parquet"),
             )
         doms = sorted(set(t["domain"].to_pylist()))

@@ -4,7 +4,17 @@ The reference keeps the whole seen set in one mutex-guarded in-RAM map
 (store/store.go:9-19, crawler.go:40) — a single-node ceiling. Here the
 set is hash-partitioned by SHA1(canon_url) across K actors, each
 holding a cuckoo filter (fast, ~2 B/key negative checks) plus the exact
-canon->status dict needed for cached-status replay (brink.go:83-93).
+digest->status dict needed for cached-status replay (brink.go:83-93).
+
+Wire protocol: all hot-path RPCs (check / reserve / release) carry
+16-byte SHA1 digests, not URL strings — at 10^10 URLs the reserve
+stream is the engine's biggest serialized payload, and 16 B/key is
+~5x smaller than the canon text while keeping the collision
+expectation ~1e-19 (64-bit keys would already expect collisions at
+that scale). `mark` additionally carries the canon string once per
+NOVEL page so the conformance surface (`all_items`: canon -> status)
+survives; that stream is bounded by unique pages, not frontier
+occurrences.
 
 Atomicity note: the reference's check/fetch/store window is non-atomic
 and can double-fetch under races (brink.go:83-103); the engine
@@ -13,9 +23,9 @@ one "winner" row (intra-wave dedup), and `mark` completes before the
 next wave's `check` (the wave barrier).
 
 Scale design: K ≈ 2x node count; a shard's state is one numpy matrix +
-one dict, checkpointed per wave via dump()/restore(). Skewed shards can
-be rebalanced by moving whole shards to other nodes (shard id -> actor
-placement), not by re-hashing keys.
+two dicts, checkpointed per wave via dump()/restore(). Skewed shards
+can be rebalanced by moving whole shards to other nodes (shard id ->
+actor placement), not by re-hashing keys.
 """
 
 from __future__ import annotations
@@ -23,71 +33,84 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from .cuckoo import CuckooFilter, sha1_64
+from .cuckoo import CuckooFilter, sha1_16
 
-__all__ = ["SeenShard", "ShardedSeenSet", "shard_of"]
+__all__ = ["SeenShard", "ShardedSeenSet", "shard_of", "digests_of"]
 
 
 def shard_of(canon: str, nshards: int) -> int:
-    return sha1_64(canon) % nshards
+    return int.from_bytes(sha1_16(canon)[:8], "big") % nshards
+
+
+def digests_of(canons: list[str]) -> list[bytes]:
+    return [sha1_16(c) for c in canons]
+
+
+def _u64(digest: bytes) -> int:
+    return int.from_bytes(digest[:8], "big")
 
 
 @ray.remote(num_cpus=0)
 class SeenShard:
-    """One hash partition of the seen set."""
+    """One hash partition of the seen set (digest-keyed)."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 17):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
-        self.status: dict[str, int] = {}
-        # in-flight reservations (scale ordering mode): canon -> owner
-        self.reserved: set[str] = set()
+        self.status: dict[bytes, int] = {}
+        # digest -> canon string, populated on mark (conformance surface)
+        self.canon: dict[bytes, str] = {}
+        # in-flight reservations (scale ordering mode)
+        self.reserved: set[bytes] = set()
 
-    def check(self, canons: list[str]) -> list[int]:
-        """Status per canon; -1 = novel. Filter-negative short-circuits
+    def check(self, digests: list[bytes]) -> list[int]:
+        """Status per digest; -1 = novel. Filter-negative short-circuits
         the dict probe (the common case on a growing crawl)."""
-        if not canons:
+        if not digests:
             return []
-        hashes = np.fromiter((sha1_64(c) for c in canons), dtype=np.uint64, count=len(canons))
+        hashes = np.fromiter(
+            (_u64(d) for d in digests), dtype=np.uint64, count=len(digests)
+        )
         maybe = self.filter.contains_many(hashes)
         return [
-            self.status.get(c, -1) if m else -1
-            for c, m in zip(canons, maybe)
+            self.status.get(d, -1) if m else -1
+            for d, m in zip(digests, maybe)
         ]
 
-    def mark(self, canons: list[str], statuses: list[int]) -> int:
+    def mark(self, digests: list[bytes], canons: list[str], statuses: list[int]) -> int:
         """Idempotent first-write-wins insert (brink.go:103)."""
         n = 0
-        for c, s in zip(canons, statuses):
-            if c not in self.status:
-                self.status[c] = int(s)
-                self.filter.add(c)
+        for d, c, s in zip(digests, canons, statuses):
+            if d not in self.status:
+                self.status[d] = int(s)
+                self.canon[d] = c
+                self.filter.add_hash(_u64(d))
                 n += 1
-            self.reserved.discard(c)
+            self.reserved.discard(d)
         return n
 
-    def reserve(self, canons: list[str]) -> list[int]:
-        """Atomic claim for scale-ordering dedup: per canon, returns the
+    def reserve(self, digests: list[bytes]) -> list[int]:
+        """Atomic claim for scale-ordering dedup: per digest, returns the
         stored status (>=0), -1 = caller now owns the fetch, or -2 =
-        another in-flight batch owns it (resolve post-barrier)."""
+        another in-flight batch owns it (resolve by requeueing)."""
         out = []
-        for c in canons:
-            st = self.status.get(c)
+        for d in digests:
+            st = self.status.get(d)
             if st is not None:
                 out.append(st)
-            elif c in self.reserved:
+            elif d in self.reserved:
                 out.append(-2)
             else:
-                self.reserved.add(c)
+                self.reserved.add(d)
                 out.append(-1)
         return out
 
-    def release(self, canons: list[str]) -> None:
+    def release(self, digests: list[bytes]) -> None:
         """Drop reservations whose fetch errored (the silent-drop
         branch, brink.go:95-101): the canon stays novel and will be
         re-fetched on rediscovery, like the reference."""
-        for c in canons:
-            self.reserved.discard(c)
+        for d in digests:
+            self.reserved.discard(d)
 
     def clear_reservations(self) -> int:
         """Wave-boundary sweep: any reservation still held here belongs
@@ -101,25 +124,35 @@ class SeenShard:
         return len(self.status)
 
     def items(self) -> list[tuple[str, int]]:
-        return sorted(self.status.items())
+        return sorted((self.canon[d], s) for d, s in self.status.items())
 
     def dump(self) -> dict:
         return {
             "shard_id": self.shard_id,
             "filter": self.filter.dump(),
             "status": dict(self.status),
+            "canon": dict(self.canon),
         }
 
     def restore(self, state: dict) -> None:
+        if state["status"] and "canon" not in state:
+            # pre-digest-protocol dump (canon-keyed status): restoring it
+            # silently would treat every URL as novel — fail loudly
+            raise ValueError(
+                "incompatible seen-shard checkpoint (pre-digest format)"
+            )
         self.shard_id = state["shard_id"]
         self.filter = CuckooFilter.restore(state["filter"])
         self.status = dict(state["status"])
+        self.canon = dict(state.get("canon", {}))
 
 
 class ShardedSeenSet:
     """Driver/task-side client over the K shard actors. The handle list
     is cheap to serialize into map_batches closures; calls are batched
-    per shard."""
+    per shard. The public API is canon-based (digests are computed once
+    here and reused for routing + wire keys); `*_digests` variants let
+    the fetch hot path hash each canon exactly once per batch."""
 
     def __init__(self, nshards: int = 4, capacity_per_shard: int = 1 << 17, actors=None):
         self.nshards = nshards
@@ -128,18 +161,19 @@ class ShardedSeenSet:
         else:
             self.actors = [SeenShard.remote(i, capacity_per_shard) for i in range(nshards)]
 
-    def _group(self, canons: list[str]) -> dict[int, list[int]]:
+    def _group(self, digests: list[bytes]) -> dict[int, list[int]]:
         groups: dict[int, list[int]] = {}
-        for idx, c in enumerate(canons):
-            groups.setdefault(shard_of(c, self.nshards), []).append(idx)
+        n = self.nshards
+        for idx, d in enumerate(digests):
+            groups.setdefault(_u64(d) % n, []).append(idx)
         return groups
 
-    def check(self, canons: list[str]) -> list[int]:
-        """Batched status lookup; -1 = novel."""
-        out = [-1] * len(canons)
-        groups = self._group(canons)
+    # -- digest-native hot path -------------------------------------------
+    def check_digests(self, digests: list[bytes]) -> list[int]:
+        out = [-1] * len(digests)
+        groups = self._group(digests)
         futs = {
-            s: self.actors[s].check.remote([canons[i] for i in idxs])
+            s: self.actors[s].check.remote([digests[i] for i in idxs])
             for s, idxs in groups.items()
         }
         for s, idxs in groups.items():
@@ -147,36 +181,62 @@ class ShardedSeenSet:
                 out[i] = st
         return out
 
-    def mark(self, canons: list[str], statuses: list[int]) -> None:
-        groups = self._group(canons)
-        futs = [
+    def reserve_digests(self, digests: list[bytes]) -> list[int]:
+        out = [-1] * len(digests)
+        groups = self._group(digests)
+        futs = {
+            s: self.actors[s].reserve.remote([digests[i] for i in idxs])
+            for s, idxs in groups.items()
+        }
+        for s, idxs in groups.items():
+            for i, st in zip(idxs, ray.get(futs[s])):
+                out[i] = st
+        return out
+
+    def mark_digests_async(
+        self, digests: list[bytes], canons: list[str], statuses: list[int]
+    ) -> list:
+        """Issue the mark RPCs without blocking; the caller MUST
+        ray.get() the returned futures before its task returns (the
+        wave barrier is what makes marks visible to the next wave) —
+        this lets the fetch stage overlap marking with extraction."""
+        groups = self._group(digests)
+        return [
             self.actors[s].mark.remote(
-                [canons[i] for i in idxs], [statuses[i] for i in idxs]
+                [digests[i] for i in idxs],
+                [canons[i] for i in idxs],
+                [statuses[i] for i in idxs],
             )
             for s, idxs in groups.items()
         ]
-        ray.get(futs)
 
-    def reserve(self, canons: list[str]) -> list[int]:
-        out = [-1] * len(canons)
-        groups = self._group(canons)
-        futs = {
-            s: self.actors[s].reserve.remote([canons[i] for i in idxs])
-            for s, idxs in groups.items()
-        }
-        for s, idxs in groups.items():
-            for i, st in zip(idxs, ray.get(futs[s])):
-                out[i] = st
-        return out
+    def mark_digests(
+        self, digests: list[bytes], canons: list[str], statuses: list[int]
+    ) -> None:
+        ray.get(self.mark_digests_async(digests, canons, statuses))
 
-    def release(self, canons: list[str]) -> None:
-        groups = self._group(canons)
+    def release_digests(self, digests: list[bytes]) -> None:
+        groups = self._group(digests)
         ray.get(
             [
-                self.actors[s].release.remote([canons[i] for i in idxs])
+                self.actors[s].release.remote([digests[i] for i in idxs])
                 for s, idxs in groups.items()
             ]
         )
+
+    # -- canon-based API ---------------------------------------------------
+    def check(self, canons: list[str]) -> list[int]:
+        """Batched status lookup; -1 = novel."""
+        return self.check_digests(digests_of(canons))
+
+    def mark(self, canons: list[str], statuses: list[int]) -> None:
+        self.mark_digests(digests_of(canons), canons, statuses)
+
+    def reserve(self, canons: list[str]) -> list[int]:
+        return self.reserve_digests(digests_of(canons))
+
+    def release(self, canons: list[str]) -> None:
+        self.release_digests(digests_of(canons))
 
     def size(self) -> int:
         return sum(ray.get([a.size.remote() for a in self.actors]))

@@ -44,6 +44,29 @@ def test_partitioned_index_matches_oracle(ray_session, tmp_path):
     assert result.seen == oracle.seen
 
 
+def test_partitioned_equals_broadcast(ray_session, tmp_path):
+    """The co-partitioned join and the broadcast join are the same
+    operator: event-for-event identical output on the same site."""
+    cfg = site_config()
+    table = build_site(80)
+    eb = CrawlEngine(cfg, EngineOptions(seen_shards=2))
+    eb.set_pages(table)
+    rb = eb.run()
+    ep = CrawlEngine(
+        cfg,
+        EngineOptions(
+            seen_shards=2,
+            index_mode="partitioned",
+            index_dir=str(tmp_path / "pidx_eq"),
+            index_nparts=4,
+        ),
+    )
+    ep.set_pages(table)
+    rp = ep.run()
+    assert _events(rb) == _events(rp)
+    assert rb.seen == rp.seen
+
+
 def test_partitioned_index_scale_mode(ray_session, tmp_path):
     cfg = site_config()
     table = build_site(45)

@@ -51,12 +51,19 @@ def _pairs_frame(a, b, vals, val_name, val_dtype="float64"):
     )
 
 
-def _keep_colliding_buckets(rows_ds, keys: list[str]):
+def _keep_colliding_buckets(rows_ds, keys: list[str], cap: int = BUCKET_CAP):
     """Two-pass bucket pruning: a native groupby-count finds the bucket
     keys with >= 2 members (the only ones that can emit pairs), the row
     set is filtered to those before any per-group Python runs. On a
     mostly-unique corpus this turns O(n_buckets) group callbacks into
-    O(collisions)."""
+    O(collisions).
+
+    No-silent-caps rule: rows beyond ``cap`` in a bucket are truncated
+    by the star-pattern pair emission downstream — the count of rows
+    that WILL be dropped is computed here (the counts are already on
+    the driver) and logged, never swallowed."""
+    import logging
+
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -67,6 +74,17 @@ def _keep_colliding_buckets(rows_ds, keys: list[str]):
     ).to_pandas()
     if len(hot_tbl) == 0:
         return None
+    dropped = int((hot_tbl["_n"] - cap).clip(lower=0).sum())
+    if dropped > 0:
+        logging.getLogger("brinkray.dedup").warning(
+            "bucket cap %d truncates %d rows across %d oversize buckets "
+            "(max bucket %d) — recall is reduced; raise the cap or the "
+            "LSH bit width",
+            cap,
+            dropped,
+            int((hot_tbl["_n"] > cap).sum()),
+            int(hot_tbl["_n"].max()),
+        )
     hot = set(zip(*(hot_tbl[k] for k in keys)))
 
     def keep(t: pa.Table) -> pa.Table:
@@ -243,62 +261,132 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5, bands
 
 def ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", threshold=0.3, bands=BANDS):
     """Exact n-gram (token-shingle) Jaccard over LSH candidates: the
-    MinHash stage proposes, this verifies with true set Jaccard.
-    Candidate texts are joined back by broadcast of the candidate id
-    set (small side), never the corpus."""
+    MinHash stage proposes, this verifies with true set Jaccard —
+    fully distributed. The candidate ID ARRAY (8 B/id) is the only
+    broadcast (ray.put once, np.isin per batch); the shingle sets
+    themselves are hash-joined to the pairs with two groupby shuffles
+    (doc_id to attach, (doc_a, doc_b) to verify) and never gathered to
+    the driver — a dup-heavy corpus would otherwise OOM it."""
     import ray
+    import ray.data as rd
 
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
     cand = minhash_lsh_pairs(ds, text_col, id_col, threshold=0.0, bands=bands)
-    cand_tbl = cand.to_pandas()
-    if len(cand_tbl) == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
-    needed = set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"])
+    cand = cand.materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
 
-    def collect_shingles(t: pa.Table) -> pa.Table:
-        ids, texts = t[id_col].to_pylist(), t[text_col].to_pylist()
-        keep = [(i, x) for i, x in zip(ids, texts) if i in needed]
+    # distinct candidate ids (distributed distinct, tiny result)
+    ids_tbl = (
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .unique("doc_id")
+    )
+    needed_ref = ray.put(np.sort(np.asarray(ids_tbl, dtype=np.int64)))
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        needed = ray.get(needed_ref)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        mask = np.isin(ids, needed)
+        texts = t[text_col].to_pylist()
+        keep = np.nonzero(mask)[0]
         return pa.table(
             {
-                id_col: pa.array([i for i, _ in keep], pa.int64()),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "doc_a": pa.array([-1] * len(keep), pa.int64()),
+                "doc_b": pa.array([-1] * len(keep), pa.int64()),
                 "shingles": pa.array(
-                    [shingle_hashes(x).tobytes() for _, x in keep], pa.binary()
+                    [shingle_hashes(texts[i]).tobytes() for i in keep],
+                    pa.large_binary(),
                 ),
             }
         )
 
-    sh_tbl = pa.concat_tables(
-        ray.get(ds.map_batches(collect_shingles, batch_format="pyarrow").to_arrow_refs())
-    )
-    sh = {
-        i: frozenset(np.frombuffer(b, dtype=np.uint64).tolist())
-        for i, b in zip(sh_tbl[id_col].to_pylist(), sh_tbl["shingles"].to_pylist())
-    }
-    a = cand_tbl["doc_a"].to_numpy()
-    b = cand_tbl["doc_b"].to_numpy()
-    jac = np.array(
-        [
-            len(sh[x] & sh[y]) / max(1, len(sh[x] | sh[y]))
-            for x, y in zip(a, b)
-        ]
-    )
-    keep = jac >= threshold
-    return ray.data.from_arrow(
-        pa.table(
+    def side_rows(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        return pa.table(
             {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(jac[keep], pa.float64()),
+                "doc_id": pa.concat_arrays([a, b]),
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([b, b]),
+                "shingles": pa.array([b""] * (len(a) + len(b)), pa.large_binary()),
             }
         )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # one 'have' row (doc_a == -1) + the pair sides needing it
+        have = g[g["doc_a"] == -1]
+        need = g[g["doc_a"] != -1]
+        if len(have) == 0 or len(need) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "shingles": pd.Series([], dtype="object"),
+                }
+            )
+        sh = have["shingles"].iloc[0]
+        return pd.DataFrame(
+            {
+                "doc_a": need["doc_a"].to_numpy(),
+                "doc_b": need["doc_b"].to_numpy(),
+                "shingles": [sh] * len(need),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+        if len(g) != 2:
+            return pd.DataFrame(out)
+        s1 = np.frombuffer(g["shingles"].iloc[0], dtype=np.uint64)
+        s2 = np.frombuffer(g["shingles"].iloc[1], dtype=np.uint64)
+        inter = len(np.intersect1d(s1, s2))
+        union = len(np.union1d(s1, s2))
+        jac = inter / max(1, union)
+        if jac < threshold:
+            return pd.DataFrame(out)
+        return pd.DataFrame(
+            {
+                "doc_a": g["doc_a"].iloc[:1].astype("int64"),
+                "doc_b": g["doc_b"].iloc[:1].astype("int64"),
+                "jaccard": pd.Series([jac], dtype="float64"),
+            }
+        )
+
+    have = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    need = cand.map_batches(side_rows, batch_format="pyarrow")
+    attached = (
+        have.union(need)
+        .groupby("doc_id")
+        .map_groups(attach, batch_format="pandas")
     )
+    verified = (
+        attached.groupby(["doc_a", "doc_b"])
+        .map_groups(verify, batch_format="pandas")
+        .materialize()
+    )
+    if verified.count() == 0:
+        return rd.from_arrow(empty)
+    return verified
 
 
 # ---------------------------------------------------------------- simhash
@@ -362,24 +450,56 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
 
 
 # ---------------------------------------------------------------- embeddings
-def embedding_dup_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.98):
-    """Embedding-cosine near-dup: 16-bit random-hyperplane LSH buckets
-    (fixed seed), exact cosine verification within buckets."""
+def embedding_dup_pairs(
+    ds,
+    vec_col="embedding",
+    id_col="vec_id",
+    threshold=0.98,
+    n_tables: int = 4,
+    bits: int | None = None,
+):
+    """Embedding-cosine near-dup: MULTI-TABLE random-hyperplane LSH
+    (fixed seed), exact cosine verification within buckets.
+
+    Scale shape: ``bits`` grows with corpus size (log2(n / 32), so
+    expected bucket occupancy stays ~32 regardless of corpus — a fixed
+    16-bit space saturates at 10^8+ vectors and silently collapses
+    recall), and ``n_tables`` independent tables recover the recall a
+    single sharper table loses: a pair at cosine c collides in one
+    b-bit table with p = (1 - arccos(c)/pi)^b, and in >= 1 of L tables
+    with 1 - (1 - p)^L. Truncation by the bucket cap is counted and
+    logged (never silent)."""
+    n = ds.count()
+    if bits is None:
+        bits = int(max(12, min(24, np.ceil(np.log2(max(n, 2) / 32)))))
+    total_bits = n_tables * bits
+
     def sig_rows(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
         vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)
-        # hyperplanes are a fixed function of the embedding dim: every
+        # hyperplanes are a fixed function of (dim, total_bits): every
         # task derives the identical matrix (cluster-wide agreement)
-        planes = np.random.default_rng(0xE5D).standard_normal((vecs.shape[1], 16))
-        bits = (unit @ planes > 0).astype(np.uint32)
-        bucket = (bits << np.arange(16, dtype=np.uint32)).sum(axis=1)
+        planes = np.random.default_rng(0xE5D).standard_normal(
+            (vecs.shape[1], total_bits)
+        )
+        bits_m = (unit @ planes > 0).astype(np.uint64)
+        out_table, out_bucket, out_id, out_unit = [], [], [], []
+        unit_bytes = [v.tobytes() for v in unit]
+        for tbl_i in range(n_tables):
+            chunk = bits_m[:, tbl_i * bits : (tbl_i + 1) * bits]
+            bucket = (chunk << np.arange(bits, dtype=np.uint64)).sum(axis=1)
+            out_table.extend([tbl_i] * len(ids))
+            out_bucket.extend(bucket.tolist())
+            out_id.extend(ids)
+            out_unit.extend(unit_bytes)
         return pa.table(
             {
-                "bucket": pa.array(bucket, pa.int64()),
-                id_col: pa.array(ids, pa.int64()),
-                "unit": pa.array([v.tobytes() for v in unit], pa.binary()),
+                "table": pa.array(out_table, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "unit": pa.array(out_unit, pa.binary()),
             }
         )
 
@@ -399,16 +519,17 @@ def embedding_dup_pairs(ds, vec_col="embedding", id_col="vec_id", threshold=0.98
                 c_list.append(float(cos[j]))
         return _pairs_frame(a_list, b_list, c_list, "cosine")
 
-    from ray.data.aggregate import Max
-
     rows = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
-    colliding = _keep_colliding_buckets(rows, ["bucket"])
+    colliding = _keep_colliding_buckets(rows, ["table", "bucket"])
     if colliding is None:
         return _ensure_pair_schema(None, "cosine", pa.float64())
     pairs = _grouped_bucket_pairs(
         colliding,
-        ["bucket"],
-        lambda t: [b & 63 for b in t["bucket"].to_pylist()],
+        ["table", "bucket"],
+        lambda t: [
+            (tb * 16 + (b & 15))
+            for tb, b in zip(t["table"].to_pylist(), t["bucket"].to_pylist())
+        ],
         bucket_pairs,
     )
     agg = _dedup_pairs(pairs, "cosine", "max")

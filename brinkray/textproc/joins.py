@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -93,50 +94,110 @@ def asof_join(
     return lt.union(rt).groupby("_b").map_groups(per_bucket, batch_format="pandas")
 
 
-def cluster_pairs(pairs_ds, max_rounds: int = 10):
-    """Connected components over (doc_a, doc_b) pairs by min-label
-    propagation: label(x) <- min(label(x), min over neighbors'
-    labels), iterated to fixpoint. Returns (doc_id, cluster) with
-    cluster = smallest doc id in the component."""
-    import ray
+def cluster_pairs(pairs_ds, max_rounds: int = 30):
+    """Connected components over (doc_a, doc_b) pairs, fully
+    distributed: alternating large-star / small-star rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+    Each round is one groupby(node).map_groups shuffle over the edge
+    set with a vectorized numpy body — the pair graph never touches the
+    driver (at 100-TB dedup scale it is billions of edges). Converges
+    in O(log^2 n) rounds to star edges (node -> component minimum).
+    Returns (doc_id, cluster) with cluster = smallest doc id in the
+    component."""
     import ray.data as rd
+    from ray.data.aggregate import Min
 
-    edges = pa.concat_tables(
-        [b for b in ray.get(pairs_ds.to_arrow_refs()) if b.num_rows]
-    ) if pairs_ds.count() else None
-    if edges is None or edges.num_rows == 0:
-        return rd.from_arrow(
-            pa.table(
-                {"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
-            )
-        )
-    a = edges["doc_a"].to_pylist()
-    b = edges["doc_b"].to_pylist()
-    # adjacency (both directions); labels start as each node's own id
-    adj: dict[int, list[int]] = {}
-    for x, y in zip(a, b):
-        adj.setdefault(x, []).append(y)
-        adj.setdefault(y, []).append(x)
-    labels = {n: n for n in adj}
-    # distributed shape: each round = explode (node, nbr) rows, groupby
-    # node with Min over neighbor labels. The candidate graph here is
-    # LSH output (bounded), so rounds run driver-side over the same
-    # exploded table; swap to ray groupby rounds if pairs outgrow RAM.
-    for _ in range(max_rounds):
-        changed = False
-        for n in labels:
-            m = min([labels[n]] + [labels[x] for x in adj[n]])
-            if m < labels[n]:
-                labels[n] = m
-                changed = True
-        if not changed:
-            break
-    items = sorted(labels.items())
-    return rd.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array([k for k, _ in items], pa.int64()),
-                "cluster": pa.array([v for _, v in items], pa.int64()),
-            }
-        )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
     )
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return rd.from_arrow(empty)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([t["u"].combine_chunks(), t["v"].combine_chunks()])
+        v = pa.concat_arrays([t["v"].combine_chunks(), t["u"].combine_chunks()])
+        return pa.table({"u": u, "v": v})
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        # N(u) from both directions; connect strictly-larger neighbors
+        # to the minimum of N(u) + {u}
+        u = int(g["u"].iloc[0])
+        nbrs = g["v"].to_numpy()
+        m = min(u, int(nbrs.min()))
+        big = np.unique(nbrs[nbrs > u])
+        return pd.DataFrame(
+            {"u": pd.Series(big, dtype="int64"), "v": pd.Series([m] * len(big), dtype="int64")}
+        )
+
+    def to_max_min(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hi = pc.max_element_wise(t["u"], t["v"])
+        lo = pc.min_element_wise(t["u"], t["v"])
+        return pa.table({"u": hi, "v": lo})
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        # neighbors all <= u here; hang everything off the minimum
+        u = int(g["u"].iloc[0])
+        nbrs = g["v"].to_numpy()
+        m = int(nbrs.min())
+        out = np.unique(np.append(nbrs[nbrs != m], u))
+        out = out[out != m]
+        return pd.DataFrame(
+            {"u": pd.Series(out, dtype="int64"), "v": pd.Series([m] * len(out), dtype="int64")}
+        )
+
+    def checksum(ds) -> tuple:
+        n = ds.count()
+        if n == 0:
+            return (0, 0, 0)
+        s = ds.sum(["u", "v"])
+        return (n, int(s["sum(u)"]), int(s["sum(v)"]))
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table({"u": t["doc_a"], "v": t["doc_b"]}), batch_format="pyarrow"
+    ).materialize()
+    prev = None
+    for _ in range(max_rounds):
+        ls = (
+            edges.map_batches(both_dirs, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(large_star, batch_format="pandas")
+        )
+        ss = (
+            ls.map_batches(to_max_min, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(small_star, batch_format="pandas")
+            .materialize()
+        )
+        edges = ss
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # star edges: (node, root). Roots appear only as v — add (root, root)
+    # rows and take the min per node (defensive if not fully converged).
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                    ),
+                    "cluster": pa.concat_arrays(
+                        [t["v"].combine_chunks(), t["v"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(Min("cluster", alias_name="cluster"))
+    )
+    out = labels.to_pandas()
+    if len(out) == 0:
+        return rd.from_arrow(empty)
+    out = out.sort_values("doc_id", ignore_index=True)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

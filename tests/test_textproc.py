@@ -125,6 +125,30 @@ def test_embedding_dup_pairs(ray_session):
     assert (10, 20) in set(zip(out["doc_a"], out["doc_b"]))
 
 
+def test_embedding_dup_recall_at_1e5(ray_session, caplog):
+    """Scale check: 10^5 vectors, 50 planted near-dups — the
+    size-adaptive multi-table LSH must keep recall 1.0 with ZERO
+    silent bucket-cap drops (the no-silent-caps rule: any truncation
+    is logged)."""
+    import logging
+
+    from brinkray.textproc.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 100_000, 32
+    vecs = rng.standard_normal((n, dim))
+    planted = [(2 * k, 2 * k + 1) for k in range(0, 100, 2)]
+    for a, b in planted:
+        vecs[b] = vecs[a] + 1e-4 * rng.standard_normal(dim)
+    with caplog.at_level(logging.WARNING, logger="brinkray.dedup"):
+        out = embedding_dup_pairs(_emb_ds(vecs), threshold=0.999).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    missed = [p for p in planted if p not in got]
+    assert not missed, f"recall < 1.0: missed {missed}"
+    drops = [r for r in caplog.records if "truncates" in r.message]
+    assert not drops, f"silent-cap drops logged: {drops[0].message}"
+
+
 def test_lang_id_profiles(ray_session):
     from brinkray.textproc.quality import add_lang_id
 

@@ -73,6 +73,8 @@ def bench_crawl(num_cpus: int) -> tuple[float, dict]:
         # byte-identity invariant is pinned by the conformance tests
         ordering="scale",  # the 10^10-design path; strict mode is the
         # conformance path (tests) and reported separately
+        prewarm_workers=True,  # steady-state measurement: worker spawn
+        # + per-worker index map happen before the timed section
     )
     engine = CrawlEngine(site_config(), opts)
     engine.set_pages(pages)
@@ -115,11 +117,69 @@ def bench_queries() -> dict[str, float]:
     return out
 
 
+def bench_dedup_recall() -> dict:
+    """Near-dup realism (the sf documents have no true near-dups):
+    plant mutated duplicates — ~2% of tokens swapped per copy,
+    deterministic rng — and report MinHash-LSH / SimHash recall
+    against the planted truth at bench scale."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from brinkray.textproc.dedup import minhash_lsh_pairs, simhash_pairs
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    base_max = max(ids)
+    rng = np.random.default_rng(0xD0B)
+    planted = []
+    dup_ids, dup_texts = [], []
+    for k, (i, t) in enumerate(zip(ids, texts)):
+        if k % 10 != 0:
+            continue
+        toks = t.split()
+        if len(toks) < 20:
+            continue
+        n_mut = max(1, len(toks) // 50)  # ~2% token mutations
+        for pos in rng.choice(len(toks), size=n_mut, replace=False):
+            toks[pos] = "mut%d" % rng.integers(1 << 16)
+        dup_id = base_max + 1 + k
+        dup_ids.append(dup_id)
+        dup_texts.append(" ".join(toks))
+        planted.append((i, dup_id))
+    aug = pa.table(
+        {
+            "doc_id": pa.array(ids + dup_ids, pa.int64()),
+            "text": pa.array(texts + dup_texts, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(aug)
+    t0 = time.monotonic()
+    mh = minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
+    mh_sec = time.monotonic() - t0
+    t0 = time.monotonic()
+    sh = simhash_pairs(ds, max_hamming=8).to_pandas()
+    sh_sec = time.monotonic() - t0
+    mh_pairs = set(zip(mh["doc_a"], mh["doc_b"]))
+    sh_pairs = set(zip(sh["doc_a"], sh["doc_b"]))
+    want = set(tuple(sorted(p)) for p in planted)
+    return {
+        "planted": len(want),
+        "minhash_recall": round(len(want & mh_pairs) / max(1, len(want)), 4),
+        "simhash_recall": round(len(want & sh_pairs) / max(1, len(want)), 4),
+        "minhash_sec": round(mh_sec, 3),
+        "simhash_sec": round(sh_sec, 3),
+    }
+
+
 def run_once() -> dict:
     ray = _init_ray(NUM_CPUS)
     crawl_sec, crawl_stats = bench_crawl(NUM_CPUS)
     # the scaling pair measures the headline job only
-    qsec = {} if os.environ.get("BRINKRAY_SCALING_ONLY") else bench_queries()
+    scaling_only = os.environ.get("BRINKRAY_SCALING_ONLY")
+    qsec = {} if scaling_only else bench_queries()
     queries = {"crawl": round(crawl_sec, 3), **qsec}
     payload = {
         "metric": "crawl_urls_fetched_extracted_per_sec",
@@ -130,18 +190,34 @@ def run_once() -> dict:
         "num_cpus": NUM_CPUS,
         "crawl": crawl_stats,
     }
+    if not scaling_only:
+        payload["dedup_recall"] = bench_dedup_recall()
     ray.shutdown()
     return payload
 
 
 def run_scaling() -> dict:
     """Same headline job at 8 and 32 CPUs in fresh interpreter sessions
-    (the sandbox stand-in for N vs 4N nodes)."""
+    (the sandbox stand-in for N vs 4N nodes).
+
+    Each level is pinned to that many PHYSICAL cores with taskset
+    (BRINKRAY_PIN_CPUS=0 disables): ray.init(num_cpus=N) only caps the
+    scheduler's accounting — the raylet, object store, driver and
+    num_cpus=0 state actors otherwise free-ride on all 32 vCPUs,
+    flattering the small level and understating true N-node vs
+    4N-node scaling. Pinning makes the "N-CPU cluster" actually have
+    N CPUs."""
+    import shutil
+
+    pin = os.environ.get("BRINKRAY_PIN_CPUS", "1") != "0" and shutil.which("taskset")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BRINKRAY_SCALING_ONLY="1")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -164,6 +240,7 @@ def run_scaling() -> dict:
         f"urls_per_sec_{lo_c}": tput_lo,
         f"urls_per_sec_{hi_c}": tput_hi,
         "scaling_efficiency": round(eff, 3),
+        "cpu_pinned": bool(pin),
         "sf": SF_DIR,
     }
 

@@ -112,6 +112,9 @@ class EngineOptions:
     store_text: bool = True  # bench/huge runs can drop the text column
     checkpoint_dir: str | None = None
     max_waves: int | None = None
+    # one crawl-wide cookie jar actor (reference: crawler.go:36); only
+    # instantiated when the config carries cookies
+    shared_cookie_jar: bool = True
     # spin up worker processes + per-worker fetcher state at set_pages
     # time (steady-state amortized on a long crawl; makes the first
     # sizeable wave pay compute, not process spawns)
@@ -323,7 +326,20 @@ class CrawlEngine:
             PolitenessShard.remote(self.opts.per_host_budget)
             for i in range(self.opts.politeness_shards)
         ]
+        # THE shared cookie jar (reference: one jar across all workers,
+        # crawler.go:36) — created only when cookies are configured, so
+        # cookie-free crawls pay zero RPCs
+        self.cookie_jar = None
+        if self.opts.shared_cookie_jar and cfg.opts.cookies:
+            from .fetch import SharedCookieJar
+
+            self.cookie_jar = SharedCookieJar.remote(cfg)
         self.index: PageIndex | None = None
+
+    def cookie_jar_state(self) -> dict | None:
+        """Observable session state (cookies + headers) of the shared
+        jar — the oracle-diffable surface for brink.go:173-185."""
+        return ray.get(self.cookie_jar.state.remote()) if self.cookie_jar else None
 
     @property
     def seen_actors(self) -> list:
@@ -383,6 +399,15 @@ class CrawlEngine:
                     self.seen_actors,
                     self.opts.seen_shards,
                     scale=True,
+                    # same constructor wiring as the real waves: the
+                    # warm fetcher is cached under the same worker key
+                    politeness_actors=(
+                        self.politeness_actors
+                        if self.opts.per_host_budget is not None
+                        else None
+                    ),
+                    politeness_shards=self.opts.politeness_shards,
+                    cookie_jar=self.cookie_jar,
                 ),
                 batch_format="pyarrow",
                 batch_size=self.opts.fetch_batch_size,
@@ -527,6 +552,7 @@ class CrawlEngine:
                         self.seen_actors,
                         opts.seen_shards,
                     ),
+                    fn_constructor_kwargs={"cookie_jar": self.cookie_jar},
                     batch_format="pyarrow",
                     batch_size=opts.fetch_batch_size,
                     concurrency=opts.fetch_concurrency,
@@ -537,7 +563,11 @@ class CrawlEngine:
 
                 processed = fetch_input.map_batches(
                     make_fetcher_fn(
-                        self.cfg, self.index, self.seen_actors, opts.seen_shards
+                        self.cfg,
+                        self.index,
+                        self.seen_actors,
+                        opts.seen_shards,
+                        cookie_jar=self.cookie_jar,
                     ),
                     batch_format="pyarrow",
                     batch_size=opts.fetch_batch_size,
@@ -658,11 +688,14 @@ class CrawlEngine:
         from .fetch import make_fetcher_fn
 
         opts = self.opts
-        if self._politeness_on:
+        if opts.per_host_wave_limit is not None:
+            # wave-rate deferral needs deterministic frontier-ordered
+            # admission; budgets (below) only need token accounting
             raise ValueError(
-                "politeness budgets require ordering='strict' "
+                "per_host_wave_limit requires ordering='strict' "
                 "(deterministic frontier-ordered admission)"
             )
+        pol_actors = self.politeness_actors if opts.per_host_budget is not None else None
         # no sort in this mode, so width can track the cluster. The
         # frontier from a previous scale wave already arrives as ~one
         # block per upstream fetch task (the single-pass frontier
@@ -699,6 +732,9 @@ class CrawlEngine:
                     "store_text": opts.store_text,
                     "fast_extract": opts.extract_fast,
                 },
+                politeness_actors=pol_actors,
+                politeness_shards=opts.politeness_shards,
+                cookie_jar=self.cookie_jar,
             ),
             batch_format="pyarrow",
             batch_size=opts.fetch_batch_size,

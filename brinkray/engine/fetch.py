@@ -20,6 +20,7 @@ import ray
 
 from ..ref.config import AUTHORIZATION_HEADER, Cookie, CrawlConfig
 from ..state.cuckoo import sha1_16
+from ..state.politeness import PolitenessClient
 from ..state.seen import ShardedSeenSet
 from .index import PageIndex
 
@@ -64,6 +65,33 @@ class CookieSession:
             self.cookies[c.name] = c
 
 
+@ray.remote(num_cpus=0)
+class SharedCookieJar:
+    """THE cookie jar: one mutable session shared by every fetcher,
+    matching the reference's single jar across all workers
+    (crawler.go:36, brink.go:267-274) — this closes the per-actor-jar
+    divergence SURVEY §7.4 declared. The actor serializes access, so
+    the one-way Authorization drop (brink.go:178-183) happens exactly
+    once crawl-wide. Granularity: one prepare_headers per fetch BATCH;
+    on the sandbox world responses carry no Set-Cookie, so the jar
+    state trajectory is indistinguishable from per-request."""
+
+    def __init__(self, cfg: CrawlConfig):
+        self.session = CookieSession(cfg)
+
+    def prepare_headers(self) -> dict[str, str]:
+        return self.session.prepare_headers()
+
+    def merge_response_cookies(self, cookies: list[Cookie]) -> None:
+        self.session.merge_response_cookies(cookies)
+
+    def state(self) -> dict:
+        return {
+            "cookies": {n: c.value for n, c in self.session.cookies.items()},
+            "headers": dict(self.session.headers),
+        }
+
+
 class Fetcher:
     """Callable class for ``map_batches(Fetcher, concurrency=N)``.
 
@@ -78,6 +106,9 @@ class Fetcher:
         index: PageIndex,
         seen_actors: list,
         nshards: int,
+        politeness_actors: list | None = None,
+        politeness_shards: int = 0,
+        cookie_jar=None,
     ):
         # NOTE: no combine_chunks here — the table is zero-copy mapped
         # from the object store; combining would copy the whole corpus
@@ -100,7 +131,13 @@ class Fetcher:
         self._max_cl = cfg.max_content_length
         self._forbidden = cfg.forbidden_paths
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+        self._politeness = (
+            PolitenessClient(politeness_shards, actors=politeness_actors)
+            if politeness_actors
+            else None
+        )
         self.session = CookieSession(cfg)
+        self._jar = cookie_jar  # SharedCookieJar handle (or None)
 
     def _join(self, batch: pa.Table, hs=None):
         """Broadcast-index lookup via the sorted hash column:
@@ -152,8 +189,12 @@ class Fetcher:
         (status, body, ok_mask) for the batch; ~ok rows are the silent
         drops (transport / NotAllowed / ContentTooLarge)."""
         # session fidelity: the header/jar state advances per request
-        # (on the sandbox world the headers have no observable effect)
-        self.session.prepare_headers()
+        # (on the sandbox world the headers have no observable effect).
+        # With a shared jar the mutation happens in THE one jar actor.
+        if self._jar is not None:
+            ray.get(self._jar.prepare_headers.remote())
+        else:
+            self.session.prepare_headers()
 
         # (a) the request: unknown domain or /err/ path => transport error
         domain_known = pc.is_in(batch["domain"], value_set=self._known_hosts)
@@ -207,6 +248,25 @@ class Fetcher:
         res = self._seen.reserve_digests([digs[i] for i in firsts])
 
         owned_pos = [i for i, r in zip(firsts, res) if r == -1]
+        budget_dropped: list[int] = []
+        if self._politeness is not None and owned_pos:
+            # budget-only admission (scale ordering): one token per fetch
+            # ATTEMPT, taken per domain per batch in batch-local
+            # order — which URLs land inside a binding budget is
+            # approximate (vs strict's frontier-exact order), but the
+            # per-host token ACCOUNTING matches the oracle. Dropped rows
+            # release their reservation and vanish silently, exactly
+            # like strict's budget drop (oracle.py budget extension).
+            domains = batch["domain"].to_pylist()
+            by_dom: dict[str, list[int]] = {}
+            for i in owned_pos:
+                by_dom.setdefault(domains[i], []).append(i)
+            admitted: set[int] = set()
+            for d, rows_d in by_dom.items():
+                k = self._politeness.take(d, len(rows_d))
+                admitted.update(rows_d[:k])
+                budget_dropped.extend(rows_d[k:])
+            owned_pos = sorted(admitted)
         sub = batch.take(pa.array(owned_pos, pa.int64()))
         if sub.num_rows:
             import numpy as np
@@ -227,7 +287,9 @@ class Fetcher:
                 outcome[i] = ("cached", r, b"")
             elif r == -2:
                 outcome[i] = ("pending", -1, b"")
-        err_digs = []
+        err_digs = [digs[i] for i in budget_dropped]
+        for i in budget_dropped:
+            outcome[i] = ("error", -1, b"")
         mark_digs, mark_canons, mark_statuses = [], [], []
         if sub.num_rows:
             st_l = status_a.to_pylist()
@@ -412,6 +474,9 @@ class PartitionedFetcher(Fetcher):
         pindex,
         seen_actors: list,
         nshards: int,
+        politeness_actors: list | None = None,
+        politeness_shards: int = 0,
+        cookie_jar=None,
         cache_cap: int = 8,
     ):
         from collections import OrderedDict
@@ -426,7 +491,13 @@ class PartitionedFetcher(Fetcher):
         self._forbidden = cfg.forbidden_paths
         self._body_type = pa.large_binary()
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+        self._politeness = (
+            PolitenessClient(politeness_shards, actors=politeness_actors)
+            if politeness_actors
+            else None
+        )
         self.session = CookieSession(cfg)
+        self._jar = cookie_jar
 
     def _shard_table(self, p: int):
         """Load-and-cache one pages shard as (table sorted by h,
@@ -532,6 +603,9 @@ def make_fetcher_fn(
     nshards: int,
     scale: bool = False,
     scale_opts: dict | None = None,
+    politeness_actors: list | None = None,
+    politeness_shards: int = 0,
+    cookie_jar=None,
 ):
     """Stateless-task variant of the fetch stage with per-worker-process
     state caching: Ray worker processes persist across executions, so
@@ -548,7 +622,15 @@ def make_fetcher_fn(
         f = _WORKER_FETCHERS.get(key)
         if f is None:
             cls = PartitionedFetcher if partitioned else Fetcher
-            f = cls(cfg, index, seen_actors, nshards)
+            f = cls(
+                cfg,
+                index,
+                seen_actors,
+                nshards,
+                politeness_actors=politeness_actors,
+                politeness_shards=politeness_shards,
+                cookie_jar=cookie_jar,
+            )
             _WORKER_FETCHERS.clear()  # one crawl at a time per worker
             _WORKER_FETCHERS[key] = f
         if scale:

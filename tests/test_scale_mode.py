@@ -67,14 +67,35 @@ def test_scale_mode_with_small_batches_forces_pendings(ray_session):
     assert result.seen == oracle.seen
 
 
-def test_scale_mode_rejects_politeness(ray_session):
+def test_scale_mode_rejects_wave_limit(ray_session):
+    """Wave-rate deferral needs frontier-exact ordering; budgets don't."""
     cfg = site_config()
     eng = CrawlEngine(
-        cfg, EngineOptions(seen_shards=2, ordering="scale", per_host_budget=5)
+        cfg, EngineOptions(seen_shards=2, ordering="scale", per_host_wave_limit=5)
     )
     eng.set_pages(build_site(10))
-    with pytest.raises(ValueError, match="politeness"):
+    with pytest.raises(ValueError, match="per_host_wave_limit"):
         eng.run()
+
+
+def test_scale_mode_budget_matches_oracle(ray_session):
+    """Budget-only politeness in scale mode: tokens are taken inside the
+    fetch stage (reservation-style). On single-batch waves admission
+    follows order_key, so even a BINDING budget reproduces the oracle's
+    exact seen set; a non-binding budget must always be exact."""
+    cfg = site_config()
+    table = build_site(45)
+    web = Web.build(table["url"].to_pylist(), table["html"].to_pylist(), cfg)
+
+    for budget in (12, 1000):
+        oracle = crawl_oracle(web, cfg, per_host_budget=budget)
+        eng = CrawlEngine(
+            cfg,
+            EngineOptions(seen_shards=2, ordering="scale", per_host_budget=budget),
+        )
+        eng.set_pages(table)
+        result = eng.run()
+        assert result.seen == oracle.seen, budget
 
 
 def test_scale_mode_robots(ray_session):

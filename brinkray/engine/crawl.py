@@ -712,6 +712,12 @@ class CrawlEngine:
                 min(frontier_n // opts.fetch_batch_size + 1, 8 * ncpus),
             )
             frontier = frontier.repartition(target_blocks)
+        # per-wave batch size: Ray bundles small input blocks up to
+        # batch_size rows per TASK, so a fixed 4096 collapses a small
+        # wave (e.g. 4k urls) into 1-2 serial tasks on an idle cluster.
+        # Target ~2 tasks/cpu; big waves keep the configured batch (the
+        # shard-RPC amortization point).
+        eff_batch = max(8, min(opts.fetch_batch_size, frontier_n // (2 * ncpus) + 1))
         norm = frontier.map_batches(normalize_fn, batch_format="pyarrow")
         if robots_gate is not None:
             norm = norm.map_batches(robots_gate, batch_format="pyarrow")
@@ -737,7 +743,7 @@ class CrawlEngine:
                 cookie_jar=self.cookie_jar,
             ),
             batch_format="pyarrow",
-            batch_size=opts.fetch_batch_size,
+            batch_size=eff_batch,
         ).materialize()
         t_a = time.monotonic()
         if os.environ.get("BRINKRAY_STATS"):

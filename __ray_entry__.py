@@ -371,6 +371,92 @@ def _q_dedup_clusters(sf_dir: str):
     return _to_pandas(cluster_pairs(pairs))
 
 
+def _q_corpus_curation(sf_dir: str):
+    """End-to-end LLM-corpus curation: exact dedup (md5 winners) ->
+    quality signals -> language ID -> filter (en, quality >= 0.5).
+    The dedup winner set is broadcast as an id ARRAY (8 B/id, ray.put
+    once); everything else is stateless map_batches — the whole
+    pipeline is one streaming pass over the corpus plus one small
+    groupby. Fully SQL-twinned (md5/regex/list kernels)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from brinkray.textproc.dedup import exact_dedup
+    from brinkray.textproc.quality import add_lang_id, add_quality_signals
+
+    docs = _ds(sf_dir, "documents").select_columns(["doc_id", "text"])
+    winners = exact_dedup(docs).to_pandas()
+    win_ref = ray.put(np.sort(winners["doc_id"].to_numpy()))
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(np.isin(ids, ray.get(win_ref))))
+
+    ds = add_lang_id(
+        add_quality_signals(docs.map_batches(keep_winners, batch_format="pyarrow"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.equal(t["lang_pred"], "en"),
+            pc.greater_equal(t["quality"], 0.5),
+        )
+        return t.filter(keep).select(["doc_id", "quality"])
+
+    return ds.map_batches(final, batch_format="pyarrow").to_pandas()
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal stage e2e: deterministic BMP/WAV/video payloads are
+    synthesized from the documents table, decoded by the actor-pool
+    MediaDecoder (real numpy/stdlib codecs), features summarized.
+    Not SQL-expressible (binary codecs) -> rows-only check."""
+    import numpy as np
+    import ray.data as rd
+
+    from brinkray.textproc.media import (
+        decode_media,
+        encode_bmp,
+        encode_video,
+        encode_wav,
+    )
+
+    docs = _ds(sf_dir, "documents").select_columns(["doc_id", "text"]).limit(60)
+    rows = docs.take_all()
+    ids, kinds, payloads = [], [], []
+    for r in rows:
+        i, text = int(r["doc_id"]), r["text"]
+        seed = np.frombuffer(text.encode()[:64].ljust(64, b"\0"), dtype=np.uint8)
+        img = np.tile(seed, (16, 16, 3))[:16, :16, :3].astype(np.uint8)
+        k = i % 3
+        if k == 0:
+            kinds.append("image")
+            payloads.append(encode_bmp(img))
+        elif k == 1:
+            kinds.append("audio")
+            t = np.linspace(0, 2 * np.pi * (50 + i % 200), 4000)
+            payloads.append(encode_wav(np.sin(t)))
+        else:
+            kinds.append("video")
+            payloads.append(encode_video([img, 255 - img], fps=1.0))
+        ids.append(i)
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = decode_media(rd.from_arrow(tbl), concurrency=2, batch_size=8).to_pandas()
+    out["feat_sum"] = [float(np.round(np.sum(f), 4)) for f in out["features"]]
+    return out[["media_id", "kind", "feat_sum"]]
+
+
 def _q_crawl_host_stats(sf_dir: str):
     """Per-host budget accounting over the crawl's events (§2.5)."""
     from brinkray.pipelines import host_stats
@@ -429,6 +515,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _q_embedding_dups,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        # end-to-end curation (dedup x quality x lang -> corpus filter)
+        "corpus_curation": _q_corpus_curation,
+        # multimodal decode (actor-pool stage, real BMP/WAV/video codecs)
+        "media_features": _q_media_features,
         # streaming-shaped + join operators
         "windowed_event_counts": _q_windowed_counts,
         "windowed_event_sums": _q_windowed_sums,
@@ -564,6 +654,32 @@ def oracle_sql() -> dict[str, str]:
             "AND CURRENT ROW) AS sid FROM flagged) "
             "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
             "CAST(COUNT(*) AS BIGINT) AS n_events FROM sess GROUP BY user_id, sid"
+        ),
+        # end-to-end curation: md5-winner dedup, then the exact
+        # quality/lang expressions from the twins above, then the filter.
+        "corpus_curation": (
+            "WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents), "
+            "w AS (SELECT h, MIN(doc_id) AS doc_id FROM d GROUP BY h), "
+            "k AS (SELECT d.doc_id, d.text FROM d JOIN w "
+            "ON d.doc_id = w.doc_id AND d.h = w.h), "
+            "q AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) AS punct_ratio, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt, "
+            "len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+            f"t -> t IN ({_sql_set('en')}))) AS ns, "
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ({_sql_set('de')}))) AS c_de, "
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ({_sql_set('es')}))) AS c_es, "
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ({_sql_set('fr')}))) AS c_fr "
+            "FROM k), s AS (SELECT doc_id, nt, ns, c_de, c_es, c_fr, "
+            "GREATEST(0.0, LEAST(1.0, "
+            "0.3 * LEAST(1.0, nt / 50) + 0.3 * alpha_ratio "
+            "+ 0.2 * LEAST(1.0, (CASE WHEN nt = 0 THEN 0.0 ELSE CAST(ns AS DOUBLE) / nt END) * 5) "
+            "+ 0.2 * (1.0 - LEAST(1.0, punct_ratio * 5)))) AS quality FROM q) "
+            "SELECT doc_id, quality FROM s WHERE quality >= 0.5 "
+            "AND NOT (nt = 0 OR (c_de = 0 AND ns = 0 AND c_es = 0 AND c_fr = 0)) "
+            "AND NOT (c_de >= ns AND c_de >= c_es AND c_de >= c_fr) "
+            "AND (ns >= c_es AND ns >= c_fr)"
         ),
         # ANN top-k: membership check (scores differ from DuckDB in the
         # last ulp; values are pytest-verified against ground truth).

@@ -25,10 +25,18 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_vals: list[str],
-    buckets: int = 16,
+    buckets: int | None = None,
 ):
     """For each left row: columns of the latest right row with the same
-    ``key`` and ``right_ts`` <= ``left_ts`` (nulls when none)."""
+    ``key`` and ``right_ts`` <= ``left_ts`` (nulls when none).
+
+    ``buckets`` (the shuffle fan-out; each bucket is one in-memory
+    pandas merge_asof) defaults to 4x the cluster CPU count — a fixed
+    constant would cap join parallelism regardless of cluster size."""
+    if buckets is None:
+        import ray
+
+        buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
     lsch = dict(zip(left_ds.schema().names, left_ds.schema().types))
     rsch = dict(zip(right_ds.schema().names, right_ds.schema().types))
     left_cols = list(lsch)

@@ -178,29 +178,85 @@ def test_fingerprint_normalizes_whitespace(ray_session):
     assert len(fingerprint("x")) == 16
 
 
-def test_media_decode_plumbing(ray_session):
-    import ray.data as rd
-
-    from brinkray.textproc.media import MediaDecoder, decode_media, frame_sample_plan
-
-    tbl = pa.table(
+def _media_tbl(rows):
+    return pa.table(
         {
-            "media_id": pa.array([1, 2], pa.int64()),
-            "kind": pa.array(["image", "audio"], pa.string()),
-            "payload": pa.array([b"\x89PNG fake", b"RIFF fake"], pa.binary()),
-            "mime": pa.array(["image/png", "audio/wav"], pa.string()),
-            "width": pa.array([640, -1], pa.int32()),
-            "height": pa.array([480, -1], pa.int32()),
-            "duration_ms": pa.array([-1, 2000], pa.int32()),
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "payload": pa.array([r[2] for r in rows], pa.binary()),
+            "mime": pa.array([r[3] for r in rows], pa.string()),
+            "width": pa.array([-1] * len(rows), pa.int32()),
+            "height": pa.array([-1] * len(rows), pa.int32()),
+            "duration_ms": pa.array([-1] * len(rows), pa.int32()),
         }
     )
+
+
+def test_media_codecs_roundtrip():
+    from brinkray.textproc.media import (
+        block_mean_resize,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)  # exact roundtrip
+    # block-mean resize of a constant image is constant
+    const = np.full((20, 30, 3), 100, dtype=np.uint8)
+    assert np.allclose(block_mean_resize(const, 4, 4), 100.0)
+
+    x = np.sin(np.linspace(0, 440 * 2 * np.pi, 16000))
+    y, rate = decode_wav(encode_wav(x, rate=16000))
+    assert rate == 16000 and len(y) == 16000
+    assert np.abs(y - x).max() < 1e-3  # 16-bit quantization only
+
+
+def test_media_decode_real(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.media import (
+        MediaDecoder,
+        decode_media,
+        encode_bmp,
+        encode_video,
+        encode_wav,
+        frame_sample_plan,
+    )
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    wav = encode_wav(np.sin(np.linspace(0, 100, 8000)))
+    vid = encode_video([img, img // 2, img // 4], fps=1.0)
+    tbl = _media_tbl(
+        [
+            (1, "image", encode_bmp(img), "image/bmp"),
+            (2, "audio", wav, "audio/wav"),
+            (3, "video", vid, "video/x-bmv"),
+        ]
+    )
     out = decode_media(rd.from_arrow(tbl), concurrency=1, batch_size=8).to_pandas()
-    assert len(out) == 2
-    assert all(len(f) == MediaDecoder.FEATURE_DIM for f in out["features"])
-    # deterministic across calls
+    assert len(out) == 3
+    feats = {m: np.array(f) for m, f in zip(out["media_id"], out["features"])}
+    assert all(len(f) == MediaDecoder.FEATURE_DIM for f in feats.values())
+    # image features carry real pixel statistics (mean in position 27)
+    assert abs(feats[1][27] - img.mean() / 255.0) < 1e-6
+    # deterministic across runs
     out2 = decode_media(rd.from_arrow(tbl), concurrency=1, batch_size=8).to_pandas()
     assert np.allclose(np.stack(out["features"].values), np.stack(out2["features"].values))
-    # real codec path refuses loudly
-    with pytest.raises(NotImplementedError):
-        MediaDecoder(deterministic_fake=False)
+    # compressed formats refuse loudly (no codec libs in the sandbox)
+    with pytest.raises(Exception):
+        MediaDecoder()._features("image", b"\x89PNG fake")
     assert frame_sample_plan(3500, fps=1.0) == [0, 1000, 2000, 3000]
+
+
+def test_media_decode_fake_plumbing(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.media import MediaDecoder, decode_media
+
+    tbl = _media_tbl([(1, "image", b"\x89PNG fake", "image/png")])
+    out = decode_media(rd.from_arrow(tbl), concurrency=1, batch_size=8, fake=True).to_pandas()
+    assert len(out) == 1 and len(out["features"][0]) == MediaDecoder.FEATURE_DIM

@@ -359,6 +359,14 @@ class CrawlEngine:
             self.index = build_partitioned_index(
                 pages, self.cfg, out, self.opts.index_nparts
             )
+        elif not isinstance(pages, pa.Table):
+            # Dataset input = corpus scale: distributed build — map +
+            # distributed sort by h; blocks stay in the object store,
+            # the driver holds only refs + ranges (a driver-concat'd
+            # table would bound the corpus by the driver heap)
+            from .index import build_page_index_distributed
+
+            self.index = build_page_index_distributed(pages, self.cfg)
         else:
             self.index = build_page_index(pages, self.cfg)
         if self.opts.prewarm_workers:
@@ -536,14 +544,15 @@ class CrawlEngine:
             # replays) + text extraction; materialize = the wave barrier
             # after which all marks are visible
             if opts.fetch_mode == "actors":
-                from .fetch import PartitionedFetcher
-                from .index import PartitionedPageIndex
+                from .fetch import BlockRefFetcher, PartitionedFetcher
+                from .index import BlockPageIndex, PartitionedPageIndex
 
-                fetch_cls = (
-                    PartitionedFetcher
-                    if isinstance(self.index, PartitionedPageIndex)
-                    else Fetcher
-                )
+                if isinstance(self.index, PartitionedPageIndex):
+                    fetch_cls = PartitionedFetcher
+                elif isinstance(self.index, BlockPageIndex):
+                    fetch_cls = BlockRefFetcher
+                else:
+                    fetch_cls = Fetcher
                 processed = fetch_input.map_batches(
                     fetch_cls,
                     fn_constructor_args=(

@@ -14,6 +14,7 @@ marked, never emitted.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -24,7 +25,14 @@ from ..state.politeness import PolitenessClient
 from ..state.seen import ShardedSeenSet
 from .index import PageIndex
 
-__all__ = ["CookieSession", "Fetcher", "HttpFetcher"]
+__all__ = [
+    "CookieSession",
+    "SharedCookieJar",
+    "Fetcher",
+    "BlockRefFetcher",
+    "PartitionedFetcher",
+    "HttpFetcher",
+]
 
 
 class CookieSession:
@@ -461,6 +469,157 @@ class Fetcher:
         return out.sort_by("order_key")
 
 
+class BlockRefFetcher(Fetcher):
+    """Fetch against a BlockPageIndex (distributed-sorted blocks in the
+    object store). Each worker maps ALL blocks zero-copy on first
+    construction and stitches them into the single-table layout with
+    METADATA-ONLY concatenation (pa.concat_tables shares the plasma
+    buffers; only the 8-byte h column is copied into one contiguous
+    array for searchsorted) — after which the probe is exactly
+    ``Fetcher._join``. The driver never held more than block refs."""
+
+    def __init__(
+        self,
+        cfg: CrawlConfig,
+        bindex,
+        seen_actors: list,
+        nshards: int,
+        politeness_actors: list | None = None,
+        politeness_shards: int = 0,
+        cookie_jar=None,
+    ):
+        import numpy as np
+
+        tables = [ray.get(r) for r in bindex.block_refs]  # zero-copy maps
+        # flatten to plain chunk lists; arrow compute kernels over a
+        # many-chunk ChunkedArray concatenate internally (a multi-GB
+        # copy PER BATCH on a broadcast corpus), so the join gathers
+        # chunk-aware instead: numpy for h/status, per-row chunk
+        # indexing for canon/html (which materialize per row anyway)
+        self._canon_chunks = [c for t in tables for c in t["canon"].chunks]
+        self._html_chunks = [c for t in tables for c in t["html"].chunks]
+        self._body_type = (
+            self._html_chunks[0].type if self._html_chunks else pa.large_binary()
+        )
+        if tables:
+            self._h = np.concatenate(
+                [
+                    c.to_numpy(zero_copy_only=True)
+                    for t in tables
+                    for c in t["h"].chunks
+                ]
+            )  # blocks are globally h-sorted, so concat stays sorted
+            self._status_np = np.concatenate(
+                [
+                    c.to_numpy(zero_copy_only=False)
+                    for t in tables
+                    for c in t["status"].chunks
+                ]
+            ).astype(np.int32)
+        else:
+            self._h = np.array([], dtype=np.uint64)
+            self._status_np = np.array([], dtype=np.int32)
+        lens = [len(c) for c in self._canon_chunks]
+        self._chunk_offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        self._known_hosts = pa.array(sorted(bindex.known_hosts), pa.string())
+        self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
+        self._max_cl = cfg.max_content_length
+        self._forbidden = cfg.forbidden_paths
+        self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+        self._politeness = (
+            PolitenessClient(politeness_shards, actors=politeness_actors)
+            if politeness_actors
+            else None
+        )
+        self.session = CookieSession(cfg)
+        self._jar = cookie_jar
+
+    def _cell(self, chunks, g: int):
+        c = int(np.searchsorted(self._chunk_offs, g, side="right") - 1)
+        return chunks[c][g - int(self._chunk_offs[c])].as_py()
+
+    def _join(self, batch: pa.Table, hs=None):
+        """Same sorted-hash probe as Fetcher._join, but gathering
+        chunk-aware from the mapped blocks (no arrow kernel over the
+        full chunked corpus)."""
+        from ..state.cuckoo import sha1_64
+
+        canons = batch["canon"].to_pylist()
+        n = len(canons)
+        if hs is None:
+            hs = np.fromiter((sha1_64(c) for c in canons), dtype=np.uint64, count=n)
+        pos = np.searchsorted(self._h, hs)
+        in_range = pos < len(self._h)
+        pos_c = np.where(in_range, pos, 0)
+        hit = in_range & (self._h[pos_c] == hs)
+        st_out = np.full(n, 404, dtype=np.int32)
+        hit_rows = np.nonzero(hit)[0]
+        if len(hit_rows) == 0:
+            return pa.array(st_out, pa.int32()), pa.array([b""] * n, self._body_type)
+        st_out[hit_rows] = self._status_np[pos_c[hit_rows]]
+        g = pos_c[hit_rows].astype(np.int64)
+        cids = np.searchsorted(self._chunk_offs, g, side="right") - 1
+        # fully-arrow gather: per-chunk takes (chunks are plain Arrays —
+        # efficient vectorized gather, no cross-chunk concat), stitched
+        # back to row order with a reorder take over the SMALL selected
+        # array. No per-row Python in the hot path.
+        order = np.argsort(cids, kind="stable")
+        g_ord = g[order]
+        cids_ord = cids[order]
+        canon_parts, body_parts = [], []
+        for c in np.unique(cids_ord):
+            m = cids_ord == c
+            loc = pa.array(g_ord[m] - int(self._chunk_offs[c]), pa.int64())
+            canon_parts.append(pc.take(self._canon_chunks[c], loc))
+            body_parts.append(pc.take(self._html_chunks[c], loc))
+        canon_sel = (
+            pa.concat_arrays(canon_parts) if len(canon_parts) > 1 else canon_parts[0]
+        )
+        body_sel = (
+            pa.concat_arrays(body_parts) if len(body_parts) > 1 else body_parts[0]
+        )
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        inv_arr = pa.array(inv, pa.int64())
+        canon_sel = pc.take(canon_sel, inv_arr)  # back to hit_rows order
+        body_sel = pc.take(body_sel, inv_arr)
+        # verify canon strings (64-bit collision safety), vectorized
+        batch_canon_hit = pc.take(batch["canon"], pa.array(hit_rows, pa.int64()))
+        same = pc.equal(canon_sel, batch_canon_hit).to_numpy(zero_copy_only=False)
+        same = same.astype(bool)
+        if not same.all():
+            body_py = None
+            for j in np.nonzero(~same)[0]:
+                ri = int(hit_rows[j])
+                q, h_val, found = int(g[j]), int(hs[ri]), False
+                while q < len(self._h) and int(self._h[q]) == h_val:
+                    if self._cell(self._canon_chunks, q) == canons[ri]:
+                        st_out[ri] = int(self._status_np[q])
+                        if body_py is None:
+                            body_py = body_sel.to_pylist()
+                        body_py[j] = self._cell(self._html_chunks, q)
+                        found = True
+                        break
+                    q += 1
+                if not found:
+                    st_out[ri] = 404
+                    if body_py is None:
+                        body_py = body_sel.to_pylist()
+                    body_py[j] = b""
+            if body_py is not None:
+                body_sel = pa.array(body_py, self._body_type)
+        # scatter: output[i] = b"" for misses, selected body for hits —
+        # a take over [sentinel b""] ++ selected, still all-arrow
+        idx_full = np.zeros(n, dtype=np.int64)
+        idx_full[hit_rows] = 1 + np.arange(len(hit_rows))
+        sentinel = pa.array([b""], self._body_type)
+        if isinstance(body_sel, pa.ChunkedArray):
+            body_sel = body_sel.combine_chunks()
+        body_all = pa.concat_arrays([sentinel, body_sel])
+        body_out = pc.take(body_all, pa.array(idx_full, pa.int64()))
+        return pa.array(st_out, pa.int32()), body_out
+
+
 class PartitionedFetcher(Fetcher):
     """Fetch against a disk-partitioned page index (PartitionedPageIndex):
     the lookup-join loads only the hash shards the batch's canons map
@@ -613,15 +772,19 @@ def make_fetcher_fn(
     built once per process and reused by every wave — an actor pool
     would be torn down and restarted per wave (per-wave map_batches),
     paying pool startup each time."""
-    from .index import PartitionedPageIndex
+    from .index import BlockPageIndex, PartitionedPageIndex
 
-    partitioned = isinstance(index, PartitionedPageIndex)
-    key = index.root if partitioned else index.table_ref.hex()
+    if isinstance(index, PartitionedPageIndex):
+        cls, key = PartitionedFetcher, index.root
+    elif isinstance(index, BlockPageIndex):
+        cls = BlockRefFetcher
+        key = index.block_refs[0].hex() if index.block_refs else "empty_block_index"
+    else:
+        cls, key = Fetcher, index.table_ref.hex()
 
     def fetch_fn(batch: pa.Table) -> pa.Table:
         f = _WORKER_FETCHERS.get(key)
         if f is None:
-            cls = PartitionedFetcher if partitioned else Fetcher
             f = cls(
                 cfg,
                 index,

@@ -26,7 +26,13 @@ from ..ref.gourl import URLError
 from ..ref.urls import normalize_parts
 from ..ref.world import page_status_for_path
 
-__all__ = ["PageIndex", "build_page_index", "index_batch_fn"]
+__all__ = [
+    "PageIndex",
+    "BlockPageIndex",
+    "build_page_index",
+    "build_page_index_distributed",
+    "index_batch_fn",
+]
 
 
 @dataclass
@@ -171,6 +177,114 @@ def build_partitioned_index(
         known_hosts=known_hosts,
         n_pages=n_pages,
         robots_bodies=robots_bodies,
+    )
+
+
+@dataclass
+class BlockPageIndex:
+    """Distributed broadcast index: the corpus lives as h-sorted Arrow
+    blocks in the object store (the output blocks of a DISTRIBUTED
+    sort), with only (block ref, h-range) metadata on the driver.
+    Unlike ``PageIndex`` (one driver-concat'd table), nothing
+    corpus-sized ever touches the driver heap — the 100-TB build path.
+    Ranges are non-overlapping post-sort, so a fetcher routes each
+    query hash to exactly one block by bisecting the bounds."""
+
+    block_refs: list  # ObjectRef[pa.Table(canon, status, html, h)], h-sorted
+    bounds: "object"  # np.ndarray (nblocks, 2) uint64 [min_h, max_h]
+    known_hosts: frozenset
+    n_pages: int
+    robots_bodies: dict = None
+
+
+@ray.remote
+def _block_meta(tbl: pa.Table):
+    """Per-block metadata for the distributed index build: h range,
+    hosts, robots bodies, rows, duplicate-h count (zero-copy read)."""
+    n = tbl.num_rows
+    if n == 0:
+        return None
+    h = tbl["h"].to_numpy(zero_copy_only=False)
+    hosts = set()
+    robots = {}
+    doms = tbl["domain"].to_pylist()
+    canons = tbl["canon"].to_pylist()
+    hosts.update(doms)
+    for canon, dom, html in zip(canons, doms, tbl["html"].to_pylist()):
+        if canon == f"{dom}/robots.txt":
+            robots[dom] = bytes(html).decode("utf-8", "replace")
+    n_dup_h = int(n - len(set(h.tolist())))
+    return (int(h[0]), int(h[-1]), hosts, robots, n, n_dup_h)
+
+
+def build_page_index_distributed(ds, cfg: CrawlConfig) -> BlockPageIndex:
+    """Dataset in -> distributed normalize/hash -> DISTRIBUTED sort by
+    h -> sorted blocks stay in the object store; the driver sees only
+    refs + ranges. Canon-collision note: the table-input build keeps
+    the reference's exact first-occurrence-wins; a distributed build
+    has no global row order, so duplicate canons (which do not occur
+    in generated corpora; duplicate detection is logged) resolve to an
+    arbitrary winner."""
+    import logging
+
+    import numpy as np
+
+    from ..state.cuckoo import sha1_64
+
+    base_fn = index_batch_fn(cfg)
+
+    def with_h(t: pa.Table) -> pa.Table:
+        t = base_fn(t)
+        hs = np.fromiter(
+            (sha1_64(c) for c in t["canon"].to_pylist()),
+            dtype=np.uint64,
+            count=t.num_rows,
+        )
+        return t.append_column("h", pa.array(hs, pa.uint64()))
+
+    # big sort blocks: the fetchers gather per chunk, so fewer/larger
+    # chunks amortize the per-chunk probe overhead (the crawl itself
+    # re-tightens target_max_block_size for its own frontier blocks)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 256 * 1024 * 1024
+    try:
+        s = (
+            ds.select_columns(["url", "html"])
+            .map_batches(with_h, batch_format="pyarrow")
+            .sort("h")
+            .materialize()
+        )
+    finally:
+        ctx.target_max_block_size = prev_target
+    refs = s.to_arrow_refs()
+    metas_all = ray.get([_block_meta.remote(r) for r in refs])
+    keep = [r for r, m in zip(refs, metas_all) if m]
+    metas = [m for m in metas_all if m]
+    if not metas:
+        return BlockPageIndex([], np.zeros((0, 2), np.uint64), frozenset(), 0, {})
+    bounds = np.array([[m[0], m[1]] for m in metas], dtype=np.uint64)
+    hosts = frozenset().union(*[m[2] for m in metas])
+    robots = {}
+    for m in metas:
+        robots.update(m[3])
+    n_pages = sum(m[4] for m in metas)
+    n_dup = sum(m[5] for m in metas)
+    if n_dup:
+        logging.getLogger("brinkray.index").warning(
+            "distributed index build found %d duplicate canon hashes; "
+            "winner choice is arbitrary (table-input build preserves "
+            "exact first-occurrence-wins)",
+            n_dup,
+        )
+    return BlockPageIndex(
+        block_refs=keep,
+        bounds=bounds,
+        known_hosts=hosts,
+        n_pages=n_pages,
+        robots_bodies=robots,
     )
 
 

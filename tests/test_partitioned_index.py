@@ -67,6 +67,42 @@ def test_partitioned_equals_broadcast(ray_session, tmp_path):
     assert rb.seen == rp.seen
 
 
+def test_blockref_index_matches_table_build(ray_session):
+    """Dataset input triggers the distributed (sorted-block-ref) index
+    build; the crawl must be event-identical to the table-input
+    (driver-built broadcast) path."""
+    import ray.data as rd
+
+    from brinkray.engine.index import BlockPageIndex
+
+    cfg = site_config()
+    table = build_site(80)
+    eb = CrawlEngine(cfg, EngineOptions(seen_shards=2))
+    eb.set_pages(table)
+    rb = eb.run()
+
+    ed = CrawlEngine(cfg, EngineOptions(seen_shards=2))
+    ed.set_pages(rd.from_arrow(table))
+    assert isinstance(ed.index, BlockPageIndex)
+    assert ed.index.n_pages == table.num_rows
+    rd_ = ed.run()
+    assert _events(rb) == _events(rd_)
+    assert rb.seen == rd_.seen
+
+
+def test_blockref_index_scale_mode(ray_session):
+    import ray.data as rd
+
+    cfg = site_config()
+    table = build_site(45)
+    web = Web.build(table["url"].to_pylist(), table["html"].to_pylist(), cfg)
+    oracle = crawl_oracle(web, cfg)
+    eng = CrawlEngine(cfg, EngineOptions(seen_shards=2, ordering="scale"))
+    eng.set_pages(rd.from_arrow(table))
+    result = eng.run()
+    assert result.seen == oracle.seen
+
+
 def test_partitioned_index_scale_mode(ray_session, tmp_path):
     cfg = site_config()
     table = build_site(45)

@@ -112,6 +112,10 @@ class EngineOptions:
     store_text: bool = True  # bench/huge runs can drop the text column
     checkpoint_dir: str | None = None
     max_waves: int | None = None
+    # bounded runs (SURVEY §2.6): keep only the FIFO-first k frontier
+    # rows per wave (lexicographic order_key = FIFO order); the rest
+    # are discarded — a breadth cap for sampling crawls. Default off.
+    per_wave_limit: int | None = None
     # one crawl-wide cookie jar actor (reference: crawler.go:36); only
     # instantiated when the config carries cookies
     shared_cookie_jar: bool = True
@@ -468,6 +472,11 @@ class CrawlEngine:
             frontier_n = frontier.count()
             if frontier_n == 0:
                 break
+            if opts.per_wave_limit is not None and frontier_n > opts.per_wave_limit:
+                frontier = (
+                    frontier.sort("order_key").limit(opts.per_wave_limit).materialize()
+                )
+                frontier_n = opts.per_wave_limit
             # rebuilt per wave: picks up rebalanced shard handles
             seen_check_fn = _make_seen_check_fn(self.seen_actors, opts.seen_shards)
 

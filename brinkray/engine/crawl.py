@@ -449,6 +449,15 @@ class CrawlEngine:
 
         frontier = rd.from_arrow(frontier_tbl)
         wave = start_wave
+        # fused scale mode: the frontier projection is left LAZY and
+        # fuses into the NEXT wave's normalize+fetch execution — ONE
+        # streaming execution per wave instead of two. Checkpointing
+        # needs a materialized frontier (and per-wave-limit an exact
+        # count), so those paths keep the two-execution shape.
+        fused = (
+            opts.ordering == "scale" and ckpt is None and opts.per_wave_limit is None
+        )
+        frontier_est: int | None = None  # upper bound when fused (lazy frontier)
         robots_gate = None
         if opts.robots_enabled:
             from .robots import RobotsPolicy
@@ -469,9 +478,15 @@ class CrawlEngine:
                 # completed wave, stop pulling new frontier work
                 break
             t0 = time.monotonic()
-            frontier_n = frontier.count()
-            if frontier_n == 0:
-                break
+            if fused and frontier_est is not None:
+                # counting a lazy frontier would trigger the execution
+                # the fusion exists to avoid; the estimate only sizes
+                # batches, exactness is not needed
+                frontier_n = frontier_est
+            else:
+                frontier_n = frontier.count()
+                if frontier_n == 0:
+                    break
             if opts.per_wave_limit is not None and frontier_n > opts.per_wave_limit:
                 frontier = (
                     frontier.sort("order_key").limit(opts.per_wave_limit).materialize()
@@ -491,12 +506,17 @@ class CrawlEngine:
                     forbidden_gate,
                     seen_check_fn,
                     robots_gate,
+                    fused=fused,
                 )
                 results.append(wave_results)
                 metrics.append(m)
                 if ckpt:
                     self._write_checkpoint(ckpt, wave, wave_results, frontier, m)
                 wave += 1
+                if fused:
+                    if m["processed"] == 0:
+                        break  # the wave consumed an exhausted frontier
+                    frontier_est = m["processed"]
                 continue
 
             # 1+2 normalize then intra-wave dedup (ONE all-to-all exec;
@@ -693,6 +713,7 @@ class CrawlEngine:
         forbidden_gate,
         seen_check_fn,
         robots_gate,
+        fused: bool = False,
     ):
         """Sort-free wave (ordering='scale'): TWO executions total.
         Dedup is the shards' atomic reserve inside the fetch stage;
@@ -724,7 +745,9 @@ class CrawlEngine:
         # blocks streaming start.
         ncpus = int(ray.cluster_resources().get("CPU", 8))
         floor_blocks = min(frontier_n, ncpus)
-        if frontier.num_blocks() < floor_blocks:
+        # a lazy (fused) frontier has no block count without executing;
+        # its parent blocks are already 2MB-bounded, so skip the check
+        if not (fused and wave > 0) and frontier.num_blocks() < floor_blocks:
             target_blocks = max(
                 floor_blocks,
                 min(frontier_n // opts.fetch_batch_size + 1, 8 * ncpus),
@@ -814,9 +837,13 @@ class CrawlEngine:
                 }
             )
 
-        next_frontier = processed.map_batches(
-            to_frontier, batch_format="pyarrow"
-        ).materialize()
+        next_frontier = processed.map_batches(to_frontier, batch_format="pyarrow")
+        if not fused:
+            # checkpoint / exact-count paths materialize the frontier;
+            # fused mode leaves it lazy so the projection runs INSIDE
+            # the next wave's normalize+fetch execution (one streaming
+            # execution per wave)
+            next_frontier = next_frontier.materialize()
         t_b = time.monotonic()
 
         if self.opts.checkpoint_dir:
@@ -831,7 +858,9 @@ class CrawlEngine:
             # includes the inline-extracted 'link' rows
             "processed": processed.count(),
             "results": -1,  # lazy in scale mode; -1 = not counted
-            "next_frontier": next_frontier.count(),
+            # fused: counting the lazy frontier would trigger the very
+            # execution the fusion avoids; -1 = not counted
+            "next_frontier": -1 if fused else next_frontier.count(),
             "seen_total": self.seen.size(),
             "wall_sec": round(time.monotonic() - t0, 3),
             "phase_sec": [round(t_a - t0, 3), round(t_b - t_a, 3)],

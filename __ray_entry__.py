@@ -371,6 +371,29 @@ def _q_dedup_clusters(sf_dir: str):
     return _to_pandas(cluster_pairs(pairs))
 
 
+def _q_deterministic_sample(sf_dir: str):
+    """Hash-based deterministic sampling (SURVEY §2.6): keep docs whose
+    md5(text) starts with a nibble in 0..3 (a stable ~25% sample —
+    reproducible across runs/clusters unlike random_sample)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(x.encode("utf-8")).hexdigest()[0] in "0123"
+            for x in t["text"].to_pylist()
+        ]
+        return t.filter(pa.array(keep)).select(["doc_id", "n_chars"])
+
+    return (
+        _ds(sf_dir, "documents")
+        .select_columns(["doc_id", "text", "n_chars"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
 def _q_corpus_curation(sf_dir: str):
     """End-to-end LLM-corpus curation: exact dedup (md5 winners) ->
     quality signals -> language ID -> filter (en, quality >= 0.5).
@@ -515,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _q_embedding_dups,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        "deterministic_sample": _q_deterministic_sample,
         # end-to-end curation (dedup x quality x lang -> corpus filter)
         "corpus_curation": _q_corpus_curation,
         # multimodal decode (actor-pool stage, real BMP/WAV/video codecs)
@@ -654,6 +678,10 @@ def oracle_sql() -> dict[str, str]:
             "AND CURRENT ROW) AS sid FROM flagged) "
             "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
             "CAST(COUNT(*) AS BIGINT) AS n_events FROM sess GROUP BY user_id, sid"
+        ),
+        "deterministic_sample": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')"
         ),
         # end-to-end curation: md5-winner dedup, then the exact
         # quality/lang expressions from the twins above, then the filter.

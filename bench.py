@@ -109,6 +109,12 @@ def bench_queries() -> dict[str, float]:
         "per_source_budget",
         "distinct_users_per_event_type",
         "fetch_join",
+        "corpus_curation",
+        "deterministic_sample",
+        "media_features",
+        "dedup_clusters",
+        "asof_join_events_orders",
+        "event_sessions",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -156,26 +156,29 @@ def _q_normalize_projection(sf_dir: str):
 def _q_fetch_join(sf_dir: str):
     """Fetch-as-join (J1): broadcast the small side, look up per batch."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
+
+    import numpy as np
 
     cust = _ds(sf_dir, "customer").select_columns(["c_custkey", "c_name"]).to_pandas()
     max_ck = int(cust["c_custkey"].max())
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    # dense custkey -> name array broadcast once; per-batch lookup is a
+    # pure numpy gather (no per-row Python)
+    names = np.empty(max_ck + 1, dtype=object)
+    names[cust["c_custkey"].to_numpy()] = cust["c_name"].to_numpy()
+    lookup_ref = ray.put(names)
 
     def fn(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        eids = t["event_id"].to_pylist()
-        uids = t["user_id"].to_pylist()
-        out_e, out_n = [], []
-        for e, u in zip(eids, uids):
-            name = lookup.get(u % max_ck + 1)
-            if name is not None:
-                out_e.append(e)
-                out_n.append(name)
+        lut = ray.get(lookup_ref)
+        uids = np.asarray(t["user_id"].to_pylist(), dtype=np.int64)
+        ck = uids % max_ck + 1
+        got = lut[ck]
+        keep = got != None  # noqa: E711 — elementwise on object array
         return pa.table(
             {
-                "event_id": pa.array(out_e, pa.int64()),
-                "c_name": pa.array(out_n, pa.string()),
+                "event_id": pc.filter(t["event_id"], pa.array(keep.astype(bool))),
+                "c_name": pa.array(got[keep].tolist(), pa.string()),
             }
         )
 
@@ -317,6 +320,14 @@ def _q_windowed_sums(sf_dir: str):
     from brinkray.textproc.windows import tumbling_sums_fixed
 
     return tumbling_sums_fixed(_ds(sf_dir, "events"), window="hour").to_pandas()
+
+
+def _q_hopping_counts(sf_dir: str):
+    from brinkray.textproc.windows import hopping_counts
+
+    return hopping_counts(
+        _ds(sf_dir, "events"), window_minutes=60, hop_minutes=30
+    ).to_pandas()
 
 
 def _q_event_sessions(sf_dir: str):
@@ -546,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming-shaped + join operators
         "windowed_event_counts": _q_windowed_counts,
         "windowed_event_sums": _q_windowed_sums,
+        "hopping_window_counts": _q_hopping_counts,
         "event_sessions": _q_event_sessions,
         "asof_join_events_orders": _q_asof_join,
         "dedup_clusters": _q_dedup_clusters,
@@ -665,6 +677,18 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n, "
             "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        # hopping windows: every event lands in window/hop overlapping
+        # windows = union of shifted hop-grid buckets (time_bucket's
+        # 2000-01-01 origin sits on the 30-min epoch grid, so it equals
+        # the engine's epoch-aligned bucketing).
+        "hopping_window_counts": (
+            "WITH e AS (SELECT event_type, "
+            "time_bucket(INTERVAL '30 minutes', ts) AS g FROM events), "
+            "u AS (SELECT event_type, g AS window_start FROM e "
+            "UNION ALL SELECT event_type, g - INTERVAL '30 minutes' FROM e) "
+            "SELECT event_type, window_start, COUNT(*) AS n "
+            "FROM u GROUP BY event_type, window_start"
         ),
         # sessions: SQL gaps-and-islands (LAG -> new-session flag -> running
         # sum) with the same strict > gap predicate as sessionize().

@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_counts", "tumbling_sums_fixed", "sessionize"]
+__all__ = ["tumbling_counts", "tumbling_sums_fixed", "hopping_counts", "sessionize"]
 
 
 def tumbling_counts(events_ds, window: str = "hour", key: str = "event_type"):
@@ -68,6 +68,50 @@ def tumbling_sums_fixed(
         events_ds.map_batches(bucket, batch_format="pyarrow")
         .groupby([key, "window_start"])
         .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+def hopping_counts(
+    events_ds,
+    window_minutes: int = 60,
+    hop_minutes: int = 30,
+    key: str = "event_type",
+):
+    """Hopping (sliding) windows: each event lands in
+    ``window/hop`` overlapping windows; emission is a vectorized
+    per-batch explode (numpy repeat) feeding ONE small groupby — the
+    same partial-then-aggregate shape as tumbling windows, just with a
+    bounded fan-out factor. Windows are aligned to the hop grid, so
+    the result is SQL-twinnable as a union of shifted date_truncs."""
+    from ray.data.aggregate import Count
+
+    assert window_minutes % hop_minutes == 0
+    k = window_minutes // hop_minutes
+    hop_us = np.int64(hop_minutes * 60 * 1_000_000)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        grid = (ts // hop_us) * hop_us  # hop-aligned bucket of the event
+        n = len(ts)
+        keys = t[key].to_numpy(zero_copy_only=False)
+        out_ws = np.empty(n * k, dtype=np.int64)
+        for j in range(k):
+            # window starting j hops back still contains the event
+            out_ws[j * n : (j + 1) * n] = grid - j * hop_us
+        out_keys = np.tile(keys, k)
+        return pa.table(
+            {
+                key: pa.array(out_keys),
+                "window_start": pa.array(out_ws, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return (
+        events_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby([key, "window_start"])
+        .aggregate(Count(alias_name="n"))
     )
 
 

@@ -135,6 +135,26 @@ def test_asof_join_matches_pandas(ray_session):
     )
 
 
+def test_hopping_counts(ray_session):
+    from brinkray.textproc.windows import hopping_counts
+
+    rows = [
+        (TS, 1, "click", 1.0),                               # 10:00
+        (TS + pd.Timedelta(minutes=40), 1, "click", 1.0),    # 10:40
+    ]
+    out = hopping_counts(_events_ds(rows), window_minutes=60, hop_minutes=30)
+    out = out.to_pandas().sort_values("window_start").reset_index(drop=True)
+    # event@10:00 -> windows [09:30, 10:00]; event@10:40 -> [10:00, 10:30]
+    got = {
+        (str(r["window_start"]), int(r["n"])) for _, r in out.iterrows()
+    }
+    assert got == {
+        ("2024-01-01 09:30:00", 1),
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 10:30:00", 1),
+    }
+
+
 def test_cluster_pairs(ray_session):
     import ray.data as rd
     from brinkray.textproc.joins import cluster_pairs

@@ -432,11 +432,27 @@ class CrawlEngine:
         assert self.index is not None, "call set_pages() first"
         opts = self.opts
         ckpt = opts.checkpoint_dir
+        # scoped block-size override: scale crawls want ~2 MiB blocks,
+        # but the setting is process-global DataContext state — restore
+        # it in the finally below so pipelines run AFTER the crawl
+        # (e.g. bench queries in the same process) keep the default
+        # (mirrors build_page_index_distributed's save/restore).
+        _ctx = _prev_block_size = None
         if opts.ordering == "scale" and opts.target_block_bytes:
             from ray.data import DataContext
 
-            DataContext.get_current().target_max_block_size = opts.target_block_bytes
+            _ctx = DataContext.get_current()
+            _prev_block_size = _ctx.target_max_block_size
+            _ctx.target_max_block_size = opts.target_block_bytes
+        try:
+            return self._run_waves(seeds, resume)
+        finally:
+            if _ctx is not None:
+                _ctx.target_max_block_size = _prev_block_size
 
+    def _run_waves(self, seeds: list[str] | None, resume: bool) -> CrawlResult:
+        opts = self.opts
+        ckpt = opts.checkpoint_dir
         start_wave = 0
         frontier_tbl = _seed_frontier(seeds or [self.cfg.root_domain])
         results: list = []
@@ -492,9 +508,6 @@ class CrawlEngine:
                     frontier.sort("order_key").limit(opts.per_wave_limit).materialize()
                 )
                 frontier_n = opts.per_wave_limit
-            # rebuilt per wave: picks up rebalanced shard handles
-            seen_check_fn = _make_seen_check_fn(self.seen_actors, opts.seen_shards)
-
             if opts.ordering == "scale":
                 frontier, wave_results, m = self._scale_wave(
                     frontier,
@@ -504,7 +517,6 @@ class CrawlEngine:
                     normalize_fn,
                     extract_links_fn,
                     forbidden_gate,
-                    seen_check_fn,
                     robots_gate,
                     fused=fused,
                 )
@@ -518,6 +530,11 @@ class CrawlEngine:
                         break  # the wave consumed an exhausted frontier
                     frontier_est = m["processed"]
                 continue
+
+            # rebuilt per wave: picks up rebalanced shard handles
+            # (strict path only; scale dedup is the shards' atomic
+            # reserve inside the fetch stage)
+            seen_check_fn = _make_seen_check_fn(self.seen_actors, opts.seen_shards)
 
             # 1+2 normalize then intra-wave dedup (ONE all-to-all exec;
             # the repartition sets downstream block parallelism)
@@ -711,7 +728,6 @@ class CrawlEngine:
         normalize_fn,
         extract_links_fn,
         forbidden_gate,
-        seen_check_fn,
         robots_gate,
         fused: bool = False,
     ):

@@ -180,10 +180,16 @@ def bench_dedup_recall() -> dict:
     mh_pairs = set(zip(mh["doc_a"], mh["doc_b"]))
     sh_pairs = set(zip(sh["doc_a"], sh["doc_b"]))
     want = set(tuple(sorted(p)) for p in planted)
+    # precision: the base corpus has no true near-dups, so any emitted
+    # pair outside the planted set is a false positive — reporting both
+    # sides keeps threshold tuning honest (recall alone rewards
+    # emitting everything).
     return {
         "planted": len(want),
         "minhash_recall": round(len(want & mh_pairs) / max(1, len(want)), 4),
         "simhash_recall": round(len(want & sh_pairs) / max(1, len(want)), 4),
+        "minhash_precision": round(len(want & mh_pairs) / max(1, len(mh_pairs)), 4),
+        "simhash_precision": round(len(want & sh_pairs) / max(1, len(sh_pairs)), 4),
         "minhash_sec": round(mh_sec, 3),
         "simhash_sec": round(sh_sec, 3),
     }

@@ -51,6 +51,24 @@ def _pairs_frame(a, b, vals, val_name, val_dtype="float64"):
     )
 
 
+_KEY_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _key_hash64(cols: list[np.ndarray]) -> np.ndarray:
+    """Mix integer key columns into one uint64 per row (vectorized).
+    Used for membership FILTERING only: a spurious collision keeps a
+    cold bucket (harmless — downstream groups by the EXACT keys and a
+    1-member bucket emits no pairs); it can never drop a hot one,
+    because hot-set membership is computed with the same function."""
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(cols[0]), dtype=np.uint64)
+        for c in cols:
+            acc ^= c.astype(np.int64).astype(np.uint64)
+            acc *= _KEY_MIX
+            acc ^= acc >> np.uint64(29)
+    return acc
+
+
 def _keep_colliding_buckets(rows_ds, keys: list[str], cap: int = BUCKET_CAP):
     """Two-pass bucket pruning: a native groupby-count finds the bucket
     keys with >= 2 members (the only ones that can emit pairs), the row
@@ -58,12 +76,18 @@ def _keep_colliding_buckets(rows_ds, keys: list[str], cap: int = BUCKET_CAP):
     mostly-unique corpus this turns O(n_buckets) group callbacks into
     O(collisions).
 
+    The hot set travels as a SORTED uint64 hash array behind one
+    ray.put (8 B/bucket — on a dup-heavy corpus the key-tuple set is
+    large and would otherwise be pickled into every filter task), and
+    the per-row probe is one vectorized np.isin — no per-row Python.
+
     No-silent-caps rule: rows beyond ``cap`` in a bucket are truncated
     by the star-pattern pair emission downstream — the count of rows
     that WILL be dropped is computed here (the counts are already on
     the driver) and logged, never swallowed."""
     import logging
 
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -85,12 +109,15 @@ def _keep_colliding_buckets(rows_ds, keys: list[str], cap: int = BUCKET_CAP):
             int((hot_tbl["_n"] > cap).sum()),
             int(hot_tbl["_n"].max()),
         )
-    hot = set(zip(*(hot_tbl[k] for k in keys)))
+    hot_hashes = np.unique(
+        _key_hash64([hot_tbl[k].to_numpy() for k in keys])
+    )  # sorted by construction
+    hot_ref = ray.put(hot_hashes)
 
     def keep(t: pa.Table) -> pa.Table:
-        cols = [t[k].to_pylist() for k in keys]
-        mask = pa.array([tup in hot for tup in zip(*cols)], pa.bool_())
-        return t.filter(mask)
+        hot = ray.get(hot_ref)
+        h = _key_hash64([t[k].to_numpy(zero_copy_only=False) for k in keys])
+        return t.filter(pa.array(np.isin(h, hot)))
 
     return rows_ds.map_batches(keep, batch_format="pyarrow")
 
@@ -122,14 +149,16 @@ def _grouped_bucket_pairs(rows_ds, keys: list[str], coarse_fn, bucket_fn):
     )
 
 
-def _dedup_pairs(pairs_ds, val_name: str, how: str):
+def _dedup_pairs(pairs_ds, val_name: str, how: str, parts: int = 32):
     """Global (doc_a, doc_b) dedup without Ray's per-group aggregate
     (which walks groups in Python — ~0.5 ms/group kills it at 10^4+
-    pairs). Vectorized pandas partials per block, then one small final
-    pass over the already-partially-deduped pairs. LSH candidate sets
-    are bounded by construction (bucket cap), so the final single-block
-    pass stays small; at extreme pair cardinality swap the tail for a
-    hash-partitioned repeat of the partial."""
+    pairs). Vectorized pandas partials per block, then a HASH-
+    PARTITIONED repeat: rows are keyed by hash(doc_a, doc_b) % parts
+    and the final partial runs once per partition (groupby on the
+    small int key, vectorized pandas body per group) — every copy of
+    a pair lands in the same partition, and no stage ever runs as a
+    single block (the round-2 repartition(1) tail serialized here on
+    dup-heavy corpora)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -137,10 +166,25 @@ def _dedup_pairs(pairs_ds, val_name: str, how: str):
         agg = getattr(df.groupby(["doc_a", "doc_b"], as_index=False)[val_name], how)
         return agg()
 
+    def add_pk(t: pa.Table) -> pa.Table:
+        h = _key_hash64(
+            [
+                t["doc_a"].to_numpy(zero_copy_only=False),
+                t["doc_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        return t.append_column(
+            "_pk", pa.array((h % np.uint64(parts)).astype(np.int32), pa.int32())
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return partial(df.drop(columns=["_pk"]))
+
     return (
         pairs_ds.map_batches(partial, batch_format="pandas")
-        .repartition(1)
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(final, batch_format="pandas")
     )
 
 
@@ -356,7 +400,29 @@ def ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", threshold=0.3, ban
             "jaccard": pd.Series([], dtype="float64"),
         }
         if len(g) != 2:
-            return pd.DataFrame(out)
+            # defensive: upstream _dedup_pairs emits unique pairs, so a
+            # group is normally exactly the pair's two shingle sides. A
+            # duplicated upstream pair (2 rows per side) is recovered by
+            # row-dedup; 1 distinct row means both sides had IDENTICAL
+            # shingles (true dup). Anything else (e.g. a candidate doc
+            # absent from ds) is logged and skipped, never swallowed.
+            import logging
+
+            g2 = g.drop_duplicates()
+            if len(g2) == 1 and len(g) >= 2:
+                g = pd.concat([g2, g2], ignore_index=True)
+            elif len(g2) == 2:
+                g = g2
+            else:
+                if len(g) > 0:
+                    logging.getLogger("brinkray.dedup").warning(
+                        "ngram verify: pair (%d, %d) has %d shingle "
+                        "sides after dedup (expected 2) — skipped",
+                        int(g["doc_a"].iloc[0]),
+                        int(g["doc_b"].iloc[0]),
+                        len(g2),
+                    )
+                return pd.DataFrame(out)
         s1 = np.frombuffer(g["shingles"].iloc[0], dtype=np.uint64)
         s2 = np.frombuffer(g["shingles"].iloc[1], dtype=np.uint64)
         inter = len(np.intersect1d(s1, s2))

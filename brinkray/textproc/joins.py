@@ -203,9 +203,12 @@ def cluster_pairs(pairs_ds, max_rounds: int = 30):
         )
         .groupby("doc_id")
         .aggregate(Min("cluster", alias_name="cluster"))
+        .materialize()
     )
-    out = labels.to_pandas()
-    if len(out) == 0:
+    if labels.count() == 0:
         return rd.from_arrow(empty)
-    out = out.sort_values("doc_id", ignore_index=True)
-    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    # stays a Dataset end to end: the label table is corpus-scale on a
+    # dup-heavy corpus (one row per clustered doc), so the sort is
+    # distributed and the driver never gathers it — callers that want
+    # pandas do their own to_pandas on the (typically small) result.
+    return labels.sort("doc_id")

@@ -498,6 +498,15 @@ def _q_crawl_host_stats(sf_dir: str):
     return host_stats(_crawl_result(sf_dir))
 
 
+# the extract-links oracle parses the SAME synthesized pages with
+# DuckDB's regex engine: the query below dumps the (url, html) table
+# here (the driver runs the Ray query before its SQL twin), and the
+# static SQL reads it via read_parquet — an independent re-extraction,
+# exact for this corpus because the generator's HTML stays inside the
+# double-quoted-attribute envelope (fixtures/sitegen.py docstring).
+_EXTRACT_PAGES_PATH = "/tmp/brinkray_extract_pages.parquet"
+
+
 def _q_crawl_extract_links(sf_dir: str):
     """Phase-1 slice: pages -> normalize -> extract links (no loop)."""
     import ray.data as rd
@@ -507,6 +516,9 @@ def _q_crawl_extract_links(sf_dir: str):
 
     pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=500)
     import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pages.select(["url", "html"]), _EXTRACT_PAGES_PATH)
 
     src = pa.table(
         {
@@ -732,6 +744,37 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT (nt = 0 OR (c_de = 0 AND ns = 0 AND c_es = 0 AND c_fr = 0)) "
             "AND NOT (c_de >= ns AND c_de >= c_es AND c_de >= c_fr) "
             "AND (ns >= c_es AND ns >= c_fr)"
+        ),
+        # doc fingerprints: md5 of the whitespace-normalized lowercase
+        # text (explicit ASCII class — Python \s and RE2 \s disagree on \v).
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
+            "'[ \t\n\f\r]+', ' ', 'g'), ' ')) AS fp FROM documents"
+        ),
+        # link extraction: DuckDB independently re-parses the SAME
+        # synthesized pages (dumped by the query to a temp parquet —
+        # the driver runs the Ray query first) with RE2 regexes. The
+        # CASE mirrors absolute_links_in's quirk order (urls.go:47-67):
+        # '//' first (=> the malformed https://// reproduction), then
+        # root-relative, else verbatim; javascript:;/#anchor checks
+        # happen BEFORE the ASCII-space trim (urls.go:96-101), the
+        # empty-href drop after (brink.go:125-128).
+        "crawl_extract_links": (
+            f"WITH pages AS (SELECT url, decode(html) AS html "
+            f"FROM read_parquet('{_EXTRACT_PAGES_PATH}')), "
+            "tags AS (SELECT url, "
+            "regexp_extract(url, '^(https?://[^/]+)', 1) AS hostpfx, "
+            "unnest(regexp_extract_all(html, '<a(?:>|[ \t\n][^>]*>)', 0)) AS tag "
+            "FROM pages), "
+            "raw AS (SELECT url, hostpfx, "
+            "regexp_extract(tag, 'href=\"([^\"]*)\"', 1) AS href0, "
+            "regexp_extract(tag, 'target=\"([^\"]*)\"', 1) AS target FROM tags), "
+            "kept AS (SELECT url, hostpfx, trim(href0, ' ') AS href1, target "
+            "FROM raw WHERE href0 <> 'javascript:;' AND NOT starts_with(href0, '#')) "
+            "SELECT CASE WHEN starts_with(href1, '//') THEN 'https://' || href1 "
+            "WHEN starts_with(href1, '/') THEN hostpfx || href1 "
+            "ELSE href1 END AS href, url AS linked_from, target "
+            "FROM kept WHERE href1 <> ''"
         ),
         # ANN top-k: membership check (scores differ from DuckDB in the
         # last ulp; values are pytest-verified against ground truth).

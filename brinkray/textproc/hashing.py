@@ -94,16 +94,17 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-_FP_BASE = 1_000_003
-_FP_MOD = (1 << 61) - 1
-_WS_RE = re.compile(r"\s+")
+# explicit ASCII whitespace class: Python's \s and RE2's \s (DuckDB)
+# disagree on \v — the explicit class makes the Python operator and its
+# SQL twin (regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))
+# byte-identical by construction
+_WS_RE = re.compile(r"[ \t\n\f\r]+")
 
 
 def fingerprint(text: str) -> str:
-    """Rolling polynomial hash of the whitespace-normalized lowercase
-    text, rendered as 16 hex chars — a cheap stable document id."""
-    norm = _WS_RE.sub(" ", text.lower()).strip()
-    h = 0
-    for ch in norm.encode("utf-8"):
-        h = (h * _FP_BASE + ch) % _FP_MOD
-    return f"{h:016x}"
+    """md5 hex of the whitespace-normalized lowercase text — a stable
+    document fingerprint that is SQL-reproducible, so the operator is
+    driver-certifiable against DuckDB (the earlier bespoke polynomial
+    hash computed the same normalization but had no SQL twin)."""
+    norm = _WS_RE.sub(" ", text.lower()).strip(" ")
+    return hashlib.md5(norm.encode("utf-8")).hexdigest()

@@ -175,7 +175,11 @@ def test_fingerprint_normalizes_whitespace(ray_session):
 
     assert fingerprint("Hello  World") == fingerprint("hello world")
     assert fingerprint("hello world") != fingerprint("hello word")
-    assert len(fingerprint("x")) == 16
+    # md5 hex of the normalized text (SQL-twinnable: DuckDB md5())
+    import hashlib
+
+    assert fingerprint("x") == hashlib.md5(b"x").hexdigest()
+    assert fingerprint(" A\tb\n") == hashlib.md5(b"a b").hexdigest()
 
 
 def _media_tbl(rows):

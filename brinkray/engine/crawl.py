@@ -123,6 +123,22 @@ class EngineOptions:
     # time (steady-state amortized on a long crawl; makes the first
     # sizeable wave pay compute, not process spawns)
     prewarm_workers: bool = False
+    # Cross-wave pipelining (fused scale mode only): unroll up to this
+    # many BFS waves into ONE streaming execution — wave k+1's
+    # normalize+fetch starts on wave k's early output blocks while wave
+    # k's stragglers are still running, so the wave-tail idle (the
+    # dominant scaling loss at the large cluster level) overlaps with
+    # next-wave ramp. Dedup stays exact: reservations are atomic and
+    # generation-tagged (seen.py), and the orphan sweep only clears
+    # generations whose execution has completed. 1 = one wave per
+    # execution (round-2 behavior).
+    pipeline_waves: int = 2
+    # only pipeline once the frontier is at least this big: tiny ramp
+    # waves benefit more from exact per-wave adaptive batch sizing than
+    # from overlap, and a FIXED threshold (not cpu-dependent) keeps the
+    # wave pairing identical across cluster sizes (scaling pairs must
+    # compare the same execution plan).
+    pipeline_min_frontier: int = 4096
     # Ray Data target block size for this crawl (bytes). Frontier rows
     # are ~200 B but carry ~0.5 ms of fetch+extract work each, so the
     # default 128 MiB blocks make task granularity far too coarse and
@@ -307,6 +323,52 @@ def _project_result_cached(t: pa.Table) -> pa.Table:
     )
 
 
+def _frontier_project(keep: pa.Table) -> pa.Table:
+    """Project already-filtered link/pending rows to the frontier
+    schema; requeued pendings move to the next wave."""
+    wave_col = pc.if_else(
+        pc.equal(keep["kind"], "pending"),
+        pc.add(keep["wave"], 1),
+        keep["wave"],
+    ).cast(pa.int32())
+    return pa.table(
+        {
+            "href": keep["href"],
+            "linked_from": keep["linked_from"],
+            "target": keep["target"],
+            "order_key": keep["order_key"],
+            "wave": wave_col,
+        }
+    )
+
+
+def _make_wave_step(normalize_fn, robots_gate, fetch_fn):
+    """One PIPELINED inner wave as a single map_batches callable over
+    the PREVIOUS wave's fetch-output schema: link/pending rows are
+    projected to frontier rows, normalized and fetched in place; every
+    other row (the previous wave's results) passes through untouched.
+    Chaining these after the first wave's fetch keeps all unrolled
+    waves inside ONE streaming execution — Ray Data starts this stage
+    on each upstream block as it lands, overlapping wave k's stragglers
+    with wave k+1's ramp."""
+
+    def step(t: pa.Table) -> pa.Table:
+        is_front = pc.or_(pc.equal(t["kind"], "link"), pc.equal(t["kind"], "pending"))
+        keep = t.filter(is_front)
+        done = t.filter(pc.invert(is_front))
+        if keep.num_rows == 0:
+            return done
+        n = normalize_fn(_frontier_project(keep))
+        if robots_gate is not None:
+            n = robots_gate(n)
+        out = fetch_fn(n)
+        if done.num_rows == 0:
+            return out
+        return pa.concat_tables([done, out.select(done.column_names).cast(done.schema)])
+
+    return step
+
+
 def _filter_batches(ds, predicate):
     return ds.map_batches(
         lambda t: t.filter(predicate(t)), batch_format="pyarrow"
@@ -339,6 +401,10 @@ class CrawlEngine:
 
             self.cookie_jar = SharedCookieJar.remote(cfg)
         self.index: PageIndex | None = None
+        # execution-generation counter for reservation tagging (one
+        # generation per scale-wave streaming execution; the orphan
+        # sweep clears only completed generations)
+        self._reserve_gen = 0
 
     def cookie_jar_state(self) -> dict | None:
         """Observable session state (cookies + headers) of the shared
@@ -509,6 +575,18 @@ class CrawlEngine:
                 )
                 frontier_n = opts.per_wave_limit
             if opts.ordering == "scale":
+                steps = 1
+                if (
+                    fused
+                    and opts.pipeline_waves > 1
+                    and frontier_n >= opts.pipeline_min_frontier
+                    # the per-wave frontier cap is applied at execution
+                    # start only; inner pipelined waves would bypass it
+                    and opts.per_wave_limit is None
+                ):
+                    steps = opts.pipeline_waves
+                    if opts.max_waves is not None:
+                        steps = max(1, min(steps, opts.max_waves - wave))
                 frontier, wave_results, m = self._scale_wave(
                     frontier,
                     frontier_n,
@@ -519,12 +597,13 @@ class CrawlEngine:
                     forbidden_gate,
                     robots_gate,
                     fused=fused,
+                    steps=steps,
                 )
                 results.append(wave_results)
                 metrics.append(m)
                 if ckpt:
                     self._write_checkpoint(ckpt, wave, wave_results, frontier, m)
-                wave += 1
+                wave += steps
                 if fused:
                     if m["processed"] == 0:
                         break  # the wave consumed an exhausted frontier
@@ -730,6 +809,7 @@ class CrawlEngine:
         forbidden_gate,
         robots_gate,
         fused: bool = False,
+        steps: int = 1,
     ):
         """Sort-free wave (ordering='scale'): TWO executions total.
         Dedup is the shards' atomic reserve inside the fetch stage;
@@ -739,7 +819,20 @@ class CrawlEngine:
         marked => cached replay, owner errored => re-fetch) — no
         dedicated resolution barrier. Invariants vs strict/oracle:
         identical final seen set and fetched (url, status, body)
-        multiset; ordering approximate."""
+        multiset; ordering approximate.
+
+        ``steps`` > 1 (cross-wave pipelining) unrolls that many BFS
+        waves into the SAME streaming execution by chaining
+        _make_wave_step map stages after the first wave's fetch: the
+        streaming executor feeds wave k+1's normalize+fetch each wave-k
+        output block as it completes, so wave tails overlap next-wave
+        ramps (the residual idle the round-2 scaling runs measured at
+        the large level). Dedup invariants hold unchanged — reserve is
+        atomic across ALL in-flight batches regardless of wave, a
+        pending whose owner is still in flight re-emits as pending for
+        the next execution, and the orphan sweep below only clears
+        generations whose execution has completed (all reservations in
+        it were resolved, released, or orphaned by task death)."""
         from .fetch import make_fetcher_fn
 
         opts = self.opts
@@ -779,29 +872,45 @@ class CrawlEngine:
         if robots_gate is not None:
             norm = norm.map_batches(robots_gate, batch_format="pyarrow")
 
+        gen = self._reserve_gen
+        fetch_fn = make_fetcher_fn(
+            self.cfg,
+            self.index,
+            self.seen_actors,
+            opts.seen_shards,
+            scale=True,
+            scale_opts={
+                "store_body": opts.store_body,
+                "store_text": opts.store_text,
+                "fast_extract": opts.extract_fast,
+                "gen": gen,
+            },
+            politeness_actors=pol_actors,
+            politeness_shards=opts.politeness_shards,
+            cookie_jar=self.cookie_jar,
+        )
         # exec 1: normalize -> reserve/fetch/mark -> inline text + link
-        # extraction (the barrier). Bodies never cross the barrier
-        # unless store_body is on: the materialized blocks are result
-        # rows + link rows, not the corpus.
-        processed = norm.map_batches(
-            make_fetcher_fn(
-                self.cfg,
-                self.index,
-                self.seen_actors,
-                opts.seen_shards,
-                scale=True,
-                scale_opts={
-                    "store_body": opts.store_body,
-                    "store_text": opts.store_text,
-                    "fast_extract": opts.extract_fast,
-                },
-                politeness_actors=pol_actors,
-                politeness_shards=opts.politeness_shards,
-                cookie_jar=self.cookie_jar,
-            ),
+        # extraction, then (steps-1) chained inner waves — ONE streaming
+        # execution for all of them (the barrier is the materialize).
+        # Bodies never cross the barrier unless store_body is on: the
+        # materialized blocks are result rows + link rows, not the
+        # corpus.
+        proc = norm.map_batches(
+            fetch_fn,
             batch_format="pyarrow",
             batch_size=eff_batch,
-        ).materialize()
+        )
+        for _ in range(1, steps):
+            # inner waves are wide by construction (the pipeline
+            # threshold admits only sizeable frontiers), so the
+            # configured batch size — the shard-RPC amortization
+            # point — is the right granularity
+            proc = proc.map_batches(
+                _make_wave_step(normalize_fn, robots_gate, fetch_fn),
+                batch_format="pyarrow",
+                batch_size=opts.fetch_batch_size,
+            )
+        processed = proc.materialize()
         t_a = time.monotonic()
         if os.environ.get("BRINKRAY_STATS"):
             import sys
@@ -835,22 +944,10 @@ class CrawlEngine:
         # filter branches would double the block count with skewed /
         # empty blocks and force a repartition barrier next wave).
         def to_frontier(t: pa.Table) -> pa.Table:
-            keep = t.filter(
-                pc.or_(pc.equal(t["kind"], "link"), pc.equal(t["kind"], "pending"))
-            )
-            wave_col = pc.if_else(
-                pc.equal(keep["kind"], "pending"),
-                pc.add(keep["wave"], 1),
-                keep["wave"],
-            ).cast(pa.int32())
-            return pa.table(
-                {
-                    "href": keep["href"],
-                    "linked_from": keep["linked_from"],
-                    "target": keep["target"],
-                    "order_key": keep["order_key"],
-                    "wave": wave_col,
-                }
+            return _frontier_project(
+                t.filter(
+                    pc.or_(pc.equal(t["kind"], "link"), pc.equal(t["kind"], "pending"))
+                )
             )
 
         next_frontier = processed.map_batches(to_frontier, batch_format="pyarrow")
@@ -865,11 +962,19 @@ class CrawlEngine:
         if self.opts.checkpoint_dir:
             wave_results = wave_results.materialize()
 
-        # sweep orphaned reservations (died tasks) so requeues can claim
-        ray.get([a.clear_reservations.remote() for a in self.seen_actors])
+        # sweep orphaned reservations (died tasks) so requeues can
+        # claim — generation-scoped: this execution (gen) has fully
+        # completed at this point (materialize above is its barrier),
+        # so sweeping generations < gen+1 can only touch reservations
+        # whose owner task is dead, never an in-flight one
+        self._reserve_gen = gen + 1
+        ray.get(
+            [a.clear_reservations.remote(gen + 1) for a in self.seen_actors]
+        )
 
         m = {
             "wave": wave,
+            "steps": steps,
             "frontier": frontier_n,
             # includes the inline-extracted 'link' rows
             "processed": processed.count(),

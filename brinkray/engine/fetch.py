@@ -226,6 +226,7 @@ class Fetcher:
         store_body: bool = True,
         store_text: bool = True,
         fast_extract: bool = True,
+        gen: int = 0,
     ) -> pa.Table:
         """Scale-ordering fetch (sort-free dedup): within the batch the
         first occurrence per canon (by order_key) drives; cross-batch
@@ -253,7 +254,7 @@ class Fetcher:
         first_of: dict[str, int] = {}
         owner = [first_of.setdefault(c, i) for i, c in enumerate(canons)]
         firsts = sorted(first_of.values())
-        res = self._seen.reserve_digests([digs[i] for i in firsts])
+        res = self._seen.reserve_digests([digs[i] for i in firsts], gen)
 
         owned_pos = [i for i, r in zip(firsts, res) if r == -1]
         budget_dropped: list[int] = []

@@ -60,8 +60,14 @@ class SeenShard:
         self.status: dict[bytes, int] = {}
         # digest -> canon string, populated on mark (conformance surface)
         self.canon: dict[bytes, str] = {}
-        # in-flight reservations (scale ordering mode)
-        self.reserved: set[bytes] = set()
+        # in-flight reservations (scale ordering mode): digest -> the
+        # GENERATION (execution counter) that took it. Generation tags
+        # make the orphan sweep safe under cross-wave pipelining: the
+        # engine sweeps only generations whose execution has fully
+        # completed, so a sweep can never kill a reservation held by an
+        # in-flight task of a newer execution (an untagged clear-all
+        # would double-fetch exactly there).
+        self.reserved: dict[bytes, int] = {}
 
     def check(self, digests: list[bytes]) -> list[int]:
         """Status per digest; -1 = novel. Filter-negative short-circuits
@@ -86,13 +92,15 @@ class SeenShard:
                 self.canon[d] = c
                 self.filter.add_hash(_u64(d))
                 n += 1
-            self.reserved.discard(d)
+            self.reserved.pop(d, None)
         return n
 
-    def reserve(self, digests: list[bytes]) -> list[int]:
+    def reserve(self, digests: list[bytes], gen: int = 0) -> list[int]:
         """Atomic claim for scale-ordering dedup: per digest, returns the
         stored status (>=0), -1 = caller now owns the fetch, or -2 =
-        another in-flight batch owns it (resolve by requeueing)."""
+        another in-flight batch owns it (resolve by requeueing).
+        ``gen`` tags the claim with the caller's execution generation
+        (see ``reserved``)."""
         out = []
         for d in digests:
             st = self.status.get(d)
@@ -101,7 +109,7 @@ class SeenShard:
             elif d in self.reserved:
                 out.append(-2)
             else:
-                self.reserved.add(d)
+                self.reserved[d] = gen
                 out.append(-1)
         return out
 
@@ -110,15 +118,24 @@ class SeenShard:
         branch, brink.go:95-101): the canon stays novel and will be
         re-fetched on rediscovery, like the reference."""
         for d in digests:
-            self.reserved.discard(d)
+            self.reserved.pop(d, None)
 
-    def clear_reservations(self) -> int:
-        """Wave-boundary sweep: any reservation still held here belongs
-        to a task that died between reserve and mark/release; clearing
-        lets the requeued rows claim it next wave."""
-        n = len(self.reserved)
-        self.reserved.clear()
-        return n
+    def clear_reservations(self, before_gen: int | None = None) -> int:
+        """Orphan sweep: a reservation still held from a COMPLETED
+        execution belongs to a task that died between reserve and
+        mark/release; clearing lets requeued rows claim it. With
+        ``before_gen`` only reservations tagged with an older
+        generation are swept — reservations of in-flight executions
+        survive (cross-wave pipelining safety). ``None`` sweeps all
+        (legacy full-barrier callers)."""
+        if before_gen is None:
+            n = len(self.reserved)
+            self.reserved.clear()
+            return n
+        stale = [d for d, g in self.reserved.items() if g < before_gen]
+        for d in stale:
+            del self.reserved[d]
+        return len(stale)
 
     def size(self) -> int:
         return len(self.status)
@@ -181,11 +198,11 @@ class ShardedSeenSet:
                 out[i] = st
         return out
 
-    def reserve_digests(self, digests: list[bytes]) -> list[int]:
+    def reserve_digests(self, digests: list[bytes], gen: int = 0) -> list[int]:
         out = [-1] * len(digests)
         groups = self._group(digests)
         futs = {
-            s: self.actors[s].reserve.remote([digests[i] for i in idxs])
+            s: self.actors[s].reserve.remote([digests[i] for i in idxs], gen)
             for s, idxs in groups.items()
         }
         for s, idxs in groups.items():
@@ -232,8 +249,8 @@ class ShardedSeenSet:
     def mark(self, canons: list[str], statuses: list[int]) -> None:
         self.mark_digests(digests_of(canons), canons, statuses)
 
-    def reserve(self, canons: list[str]) -> list[int]:
-        return self.reserve_digests(digests_of(canons))
+    def reserve(self, canons: list[str], gen: int = 0) -> list[int]:
+        return self.reserve_digests(digests_of(canons), gen)
 
     def release(self, canons: list[str]) -> None:
         self.release_digests(digests_of(canons))

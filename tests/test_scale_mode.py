@@ -149,3 +149,53 @@ def test_scale_mode_robots(ray_session):
     oracle = crawl_oracle(web, cfg, robots=policy)
     result = _run(cfg, table, robots_enabled=True)
     assert result.seen == oracle.seen
+
+
+def test_pipelined_waves_set_exact(ray_session):
+    """Cross-wave pipelining (steps>1, one streaming execution for
+    several BFS waves) must preserve the scale-mode invariants: the
+    exact oracle seen set and fetched-page multiset. Forced on from
+    wave 0 via pipeline_min_frontier=1."""
+    cfg = site_config()
+    table = build_site(60)
+    web = Web.build(table["url"].to_pylist(), table["html"].to_pylist(), cfg)
+    oracle = crawl_oracle(web, cfg)
+    for nsteps in (2, 3):
+        result = _run(cfg, table, pipeline_waves=nsteps, pipeline_min_frontier=1)
+        assert result.seen == oracle.seen, f"steps={nsteps}"
+        # the loop actually pipelined (an execution spanned >1 wave)
+        assert any(m.get("steps", 1) > 1 for m in result.metrics)
+        t = result.events_table()
+        got_fetched = sorted(
+            (u, s, b)
+            for u, s, b, c in zip(
+                t["url"].to_pylist(),
+                t["status"].to_pylist(),
+                t["body"].to_pylist(),
+                t["cached"].to_pylist(),
+            )
+            if not c
+        )
+        want_fetched = sorted(
+            (e.url, e.status, e.body) for e in oracle.events if not e.cached
+        )
+        assert got_fetched == want_fetched, f"steps={nsteps}"
+
+
+def test_pipelined_waves_with_pending_races(ray_session):
+    """Pipelining + tiny fetch batches: wave-k pendings are requeued
+    INSIDE the same execution (the inner wave re-reserves while the
+    owner batch may still be in flight) — the generation-tagged
+    reservation protocol must still converge to the exact seen set."""
+    cfg = site_config()
+    table = build_site(45)
+    web = Web.build(table["url"].to_pylist(), table["html"].to_pylist(), cfg)
+    oracle = crawl_oracle(web, cfg)
+    result = _run(
+        cfg,
+        table,
+        fetch_batch_size=16,
+        pipeline_waves=3,
+        pipeline_min_frontier=1,
+    )
+    assert result.seen == oracle.seen

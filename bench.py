@@ -77,6 +77,7 @@ def bench_crawl(num_cpus: int, index=None) -> tuple[float, dict, object]:
         # byte-identity invariant is pinned by the conformance tests
         ordering="scale",  # the 10^10-design path; strict mode is the
         # conformance path (tests) and reported separately
+        pipeline_waves=int(os.environ.get("BRINKRAY_PIPELINE_WAVES", "2")),
         prewarm_workers=True,  # steady-state measurement: worker spawn
         # + per-worker index map happen before the timed section
     )

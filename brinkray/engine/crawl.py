@@ -904,11 +904,22 @@ class CrawlEngine:
             # inner waves are wide by construction (the pipeline
             # threshold admits only sizeable frontiers), so the
             # configured batch size — the shard-RPC amortization
-            # point — is the right granularity
+            # point — is the right granularity.
+            # ray_remote_args_fn={} blocks OPERATOR FUSION with the
+            # upstream fetch (Ray fuses compatible MapBatches chains
+            # into single tasks): fused, each wave-k task would run
+            # wave k+1's fetch for ALL its extracted links serially
+            # in-task — link fanout amplifies one task's work ~64x and
+            # parallelism collapses (measured: 16-CPU headline 59.6 s
+            # fused vs ~26 s unfused). Unfused, the streaming executor
+            # re-blocks fetch output to the target block size and
+            # schedules inner-wave tasks on blocks as they land — the
+            # actual overlap pipelining exists for.
             proc = proc.map_batches(
                 _make_wave_step(normalize_fn, robots_gate, fetch_fn),
                 batch_format="pyarrow",
                 batch_size=opts.fetch_batch_size,
+                ray_remote_args_fn=lambda: {},
             )
         processed = proc.materialize()
         t_a = time.monotonic()

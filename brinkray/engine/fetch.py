@@ -80,9 +80,12 @@ class SharedCookieJar:
     (crawler.go:36, brink.go:267-274) — this closes the per-actor-jar
     divergence SURVEY §7.4 declared. The actor serializes access, so
     the one-way Authorization drop (brink.go:178-183) happens exactly
-    once crawl-wide. Granularity: one prepare_headers per fetch BATCH;
-    on the sandbox world responses carry no Set-Cookie, so the jar
-    state trajectory is indistinguishable from per-request."""
+    once crawl-wide. Granularity: one prepare_headers RPC per WORKER
+    (first batch blocks; later batches reuse the cached result, which
+    is exact because the jar mutates only via that idempotent drop and
+    via response-cookie merges that invalidate the cache — see
+    Fetcher._lookup_and_gate). A cookie-enabled crawl therefore does
+    NOT serialize per batch on this actor at cluster scale."""
 
     def __init__(self, cfg: CrawlConfig):
         self.session = CookieSession(cfg)
@@ -146,6 +149,7 @@ class Fetcher:
         )
         self.session = CookieSession(cfg)
         self._jar = cookie_jar  # SharedCookieJar handle (or None)
+        self._jar_prepared = False
 
     def _join(self, batch: pa.Table, hs=None):
         """Broadcast-index lookup via the sorted hash column:
@@ -198,9 +202,20 @@ class Fetcher:
         drops (transport / NotAllowed / ContentTooLarge)."""
         # session fidelity: the header/jar state advances per request
         # (on the sandbox world the headers have no observable effect).
-        # With a shared jar the mutation happens in THE one jar actor.
+        # With a shared jar the mutation happens in THE one jar actor —
+        # but the RPC is issued once per WORKER, not per batch: the jar
+        # mutates only via (a) the one-way Authorization drop inside
+        # prepare_headers, idempotent after the first call, and (b)
+        # response-cookie merges (merge_response_cookies), which reset
+        # _jar_prepared and force a refresh on the next batch. On the
+        # sandbox world (no Set-Cookie in responses) the elided calls
+        # are provably state-identical; a cookie-enabled crawl no
+        # longer serializes every fetch batch on the single jar actor
+        # (round-2 cost: one blocking ray.get per batch crawl-wide).
         if self._jar is not None:
-            ray.get(self._jar.prepare_headers.remote())
+            if not self._jar_prepared:
+                ray.get(self._jar.prepare_headers.remote())
+                self._jar_prepared = True
         else:
             self.session.prepare_headers()
 
@@ -219,6 +234,18 @@ class Fetcher:
 
         ok = pc.and_(pc.and_(transport_ok, allowed), fits)
         return status, body, ok
+
+    def _merge_response_cookies(self, cookies) -> None:
+        """Live-transport plumbing: response cookies go to THE shared
+        jar and the worker's prepared-headers cache is invalidated, so
+        the next batch re-RPCs and sees the merged state. The sandbox
+        world never sets cookies; the HTTP transport stub would call
+        this per response batch."""
+        if self._jar is not None:
+            ray.get(self._jar.merge_response_cookies.remote(cookies))
+            self._jar_prepared = False
+        else:
+            self.session.merge_response_cookies(cookies)
 
     def scale_call(
         self,
@@ -534,6 +561,7 @@ class BlockRefFetcher(Fetcher):
         )
         self.session = CookieSession(cfg)
         self._jar = cookie_jar
+        self._jar_prepared = False
 
     def _cell(self, chunks, g: int):
         c = int(np.searchsorted(self._chunk_offs, g, side="right") - 1)
@@ -626,7 +654,20 @@ class PartitionedFetcher(Fetcher):
     the lookup-join loads only the hash shards the batch's canons map
     to, kept in a per-worker LRU. The broadcast variant is preferred
     while the corpus fits the object store; this is the co-partitioned
-    path beyond that (SURVEY §2.4 J1)."""
+    path beyond that (SURVEY §2.4 J1).
+
+    LRU sizing: frontier blocks are NOT shard-ranged (ranging them
+    would cost a per-wave shuffle the wave loop deliberately avoids),
+    so a batch cycles through up to nparts shards — sequential cyclic
+    access is LRU's worst case, and a cache smaller than the working
+    set reloads EVERY shard EVERY batch. ``cache_cap=None`` (default)
+    therefore auto-sizes the cache to as many shards as a memory
+    budget holds (BRINKRAY_SHARD_CACHE_BYTES, default 1 GiB/worker),
+    capped at nparts; ``_shard_loads`` counts parquet (re)loads so the
+    storm is observable (tests assert loads <= nparts). Beyond-budget
+    corpora (nparts * shard_bytes >> budget) need the shard-ranged
+    frontier — the documented 100-TB follow-up — or fewer workers with
+    bigger budgets."""
 
     def __init__(
         self,
@@ -637,13 +678,31 @@ class PartitionedFetcher(Fetcher):
         politeness_actors: list | None = None,
         politeness_shards: int = 0,
         cookie_jar=None,
-        cache_cap: int = 8,
+        cache_cap: int | None = None,
     ):
+        import os
+
         from collections import OrderedDict
 
         self._root = pindex.root
         self._nparts = pindex.nparts
         self._cache: "OrderedDict[int, pa.Table]" = OrderedDict()
+        self._shard_loads = 0
+        if cache_cap is None:
+            budget = int(
+                os.environ.get("BRINKRAY_SHARD_CACHE_BYTES", str(1 << 30))
+            )
+            disk = 0
+            for p in range(self._nparts):
+                d = os.path.join(self._root, f"pshard={p}")
+                if os.path.isdir(d):
+                    disk += sum(
+                        os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+                    )
+            # heap footprint ~2x the parquet bytes (decompression +
+            # arrow offsets); at least 1 shard always fits
+            per_shard = max(1, (2 * disk) // max(1, self._nparts))
+            cache_cap = max(1, min(self._nparts, int(budget // per_shard)))
         self._cache_cap = cache_cap
         self._known_hosts = pa.array(sorted(pindex.known_hosts), pa.string())
         self._allowed = pa.array(sorted(cfg.allowed_domains), pa.string())
@@ -658,6 +717,7 @@ class PartitionedFetcher(Fetcher):
         )
         self.session = CookieSession(cfg)
         self._jar = cookie_jar
+        self._jar_prepared = False
 
     def _shard_table(self, p: int):
         """Load-and-cache one pages shard as (table sorted by h,
@@ -673,6 +733,7 @@ class PartitionedFetcher(Fetcher):
         if entry is not None:
             self._cache.move_to_end(p)
             return entry
+        self._shard_loads += 1
         d = os.path.join(self._root, f"pshard={p}")
         parts = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))]
         if parts:
@@ -782,6 +843,14 @@ def make_fetcher_fn(
         key = index.block_refs[0].hex() if index.block_refs else "empty_block_index"
     else:
         cls, key = Fetcher, index.table_ref.hex()
+    # scope the worker cache to THIS crawl's state actors, not just the
+    # index: two crawls may legally reuse one immutable index (bench
+    # does) but never each other's seen shards — an index-only key
+    # would hand crawl 2 a cached fetcher still wired to crawl 1's
+    # actors. Cache persistence across WAVES (same crawl) is what the
+    # cache is for, and the actor id is constant within a crawl.
+    if seen_actors:
+        key = f"{key}:{seen_actors[0]._actor_id.hex()}"
 
     def fetch_fn(batch: pa.Table) -> pa.Table:
         f = _WORKER_FETCHERS.get(key)

@@ -86,9 +86,10 @@ def index_batch_fn(cfg: CrawlConfig):
 class PartitionedPageIndex:
     """Disk-partitioned variant for corpora beyond broadcast size:
     pages hash-partitioned by sha1(canon) % nparts into parquet shard
-    dirs; fetcher tasks load only the shards their rows hash to (the
-    frontier is sorted with the shard id as the leading key, so blocks
-    are shard-ranged and the per-worker cache stays hot)."""
+    dirs; fetcher tasks load only the shards their rows hash to, held
+    in a per-worker LRU auto-sized to a memory budget (frontier blocks
+    are NOT shard-ranged — see PartitionedFetcher's docstring for the
+    sizing rationale and the 100-TB follow-up)."""
 
     root: str
     nparts: int
@@ -187,8 +188,12 @@ class BlockPageIndex:
     sort), with only (block ref, h-range) metadata on the driver.
     Unlike ``PageIndex`` (one driver-concat'd table), nothing
     corpus-sized ever touches the driver heap — the 100-TB build path.
-    Ranges are non-overlapping post-sort, so a fetcher routes each
-    query hash to exactly one block by bisecting the bounds."""
+    ``bounds`` carries the per-block [min_h, max_h] ranges; the build
+    uses them to detect duplicate-hash runs that straddle block cuts,
+    and BlockRefFetcher probes by zero-copy-mapping all blocks and
+    searchsorting ONE concatenated h array (cheaper per batch than a
+    per-row bounds bisection; the ranges would route block-granular
+    loads on a cluster whose workers can't map every block)."""
 
     block_refs: list  # ObjectRef[pa.Table(canon, status, html, h)], h-sorted
     bounds: "object"  # np.ndarray (nblocks, 2) uint64 [min_h, max_h]
@@ -272,6 +277,13 @@ def build_page_index_distributed(ds, cfg: CrawlConfig) -> BlockPageIndex:
         robots.update(m[3])
     n_pages = sum(m[4] for m in metas)
     n_dup = sum(m[5] for m in metas)
+    # _block_meta counts duplicate hashes only WITHIN each sorted
+    # block; a duplicate run straddling a block boundary shows up here
+    # instead, as equal boundary hashes of adjacent blocks (blocks are
+    # globally h-sorted, so block i's max == block i+1's min iff the
+    # run crosses the cut) — without this the no-silent-caps warning
+    # below would miss exactly those
+    n_dup += int(np.sum(bounds[:-1, 1] == bounds[1:, 0])) if len(bounds) > 1 else 0
     if n_dup:
         logging.getLogger("brinkray.index").warning(
             "distributed index build found %d duplicate canon hashes; "

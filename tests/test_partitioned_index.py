@@ -121,3 +121,53 @@ def test_partitioned_index_scale_mode(ray_session, tmp_path):
     eng.set_pages(table)
     result = eng.run()
     assert result.seen == oracle.seen
+
+
+def test_partitioned_lru_autosizes_no_reload_storm(ray_session, tmp_path):
+    """nparts >> a fixed LRU cap used to thrash: frontier blocks are
+    not shard-ranged, so each mixed-shard batch cycles through up to
+    nparts shards — sequential cyclic access is LRU's worst case, and
+    with cap=8 vs nparts=32 EVERY probe reloads its shard's parquet.
+    The auto-sized cache (cache_cap=None, budget-driven) must hold the
+    whole working set here and load each shard at most once across
+    many batches."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from brinkray.engine.fetch import PartitionedFetcher
+    from brinkray.engine.index import build_partitioned_index
+
+    cfg = site_config()
+    table = build_site(120)
+    pidx = build_partitioned_index(table, cfg, str(tmp_path / "pidx32"), nparts=32)
+
+    # mixed-shard probe batches straight from the persisted shards
+    import os
+
+    canons = []
+    for p in range(32):
+        d = os.path.join(pidx.root, f"pshard={p}")
+        for f in sorted(os.listdir(d)):
+            canons.extend(
+                pq.read_table(os.path.join(d, f), columns=["canon"])["canon"].to_pylist()
+            )
+    rng = np.random.default_rng(7)
+    canons = [canons[i] for i in rng.permutation(len(canons))]
+    batches = [
+        pa.table({"canon": pa.array(canons[i : i + 24], pa.string())})
+        for i in range(0, len(canons), 24)
+    ]
+    assert len(batches) >= 6
+
+    auto = PartitionedFetcher(cfg, pidx, None, 1)
+    assert auto._cache_cap == 32  # tiny corpus: budget holds every shard
+    for b in batches:
+        auto._join(b)
+    assert auto._shard_loads <= 32  # each shard loaded at most once
+
+    storm = PartitionedFetcher(cfg, pidx, None, 1, cache_cap=8)
+    for b in batches:
+        storm._join(b)
+    # the storm the auto-sizing removes: far more loads than shards
+    assert storm._shard_loads > 32

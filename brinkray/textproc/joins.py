@@ -156,17 +156,15 @@ def cluster_pairs(pairs_ds, max_rounds: int = 30):
             {"u": pd.Series(out, dtype="int64"), "v": pd.Series([m] * len(out), dtype="int64")}
         )
 
-    def checksum(ds) -> tuple:
-        n = ds.count()
-        if n == 0:
-            return (0, 0, 0)
+    def edge_sums(ds) -> tuple:
         s = ds.sum(["u", "v"])
-        return (n, int(s["sum(u)"]), int(s["sum(v)"]))
+        return (int(s["sum(u)"]), int(s["sum(v)"]))
 
     edges = pairs_ds.map_batches(
         lambda t: pa.table({"u": t["doc_a"], "v": t["doc_b"]}), batch_format="pyarrow"
     ).materialize()
-    prev = None
+    prev_sums = None
+    prev_n = None
     for _ in range(max_rounds):
         ls = (
             edges.map_batches(both_dirs, batch_format="pyarrow")
@@ -180,10 +178,21 @@ def cluster_pairs(pairs_ds, max_rounds: int = 30):
             .materialize()
         )
         edges = ss
-        cur = checksum(edges)
-        if cur == prev:
+        # convergence = identical (count, sum_u, sum_v) across rounds.
+        # count() is free metadata after materialize; the sums cost a
+        # distributed execution, so they are only computed once the
+        # count has stabilized (a changed count alone proves the round
+        # made progress)
+        n = edges.count()
+        if n == 0:
             break
-        prev = cur
+        if n != prev_n:
+            prev_n, prev_sums = n, None
+            continue
+        cur = edge_sums(edges)
+        if cur == prev_sums:
+            break
+        prev_sums = cur
 
     # star edges: (node, root). Roots appear only as v — add (root, root)
     # rows and take the min per node (defensive if not fully converged).

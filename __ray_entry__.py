@@ -286,10 +286,30 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10).to_pandas()
 
 
+# the crawl-loop oracles re-derive the BFS fixpoint with a DuckDB
+# recursive CTE over the SAME synthesized pages (dumped here; the
+# driver runs the Ray query before its SQL twin). The crawl's seen set
+# and per-host event counts are order-INDEPENDENT (dedup winners change
+# lineage, never membership; every occurrence of a successfully fetched
+# canon is exactly one event), so reachability-from-seed in SQL is an
+# exact independent oracle for the stateful wave loop.
+_CRAWL_PAGES_PATH = "/tmp/brinkray_crawl_pages.parquet"
+
+
+def _dump_crawl_pages(sf_dir: str) -> None:
+    import pyarrow.parquet as pq
+
+    from brinkray.pipelines import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=800)
+    pq.write_table(pages.select(["url", "html"]), _CRAWL_PAGES_PATH)
+
+
 def _q_crawl_seen(sf_dir: str):
     import pandas as pd
 
     res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
     items = sorted(res.seen.items())
     return pd.DataFrame(
         {"url": [u for u, _ in items], "status": [s for _, s in items]}
@@ -495,7 +515,9 @@ def _q_crawl_host_stats(sf_dir: str):
     """Per-host budget accounting over the crawl's events (§2.5)."""
     from brinkray.pipelines import host_stats
 
-    return host_stats(_crawl_result(sf_dir))
+    res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
+    return host_stats(res)
 
 
 # the extract-links oracle parses the SAME synthesized pages with
@@ -587,6 +609,68 @@ def _sql_set(lang: str) -> str:
     from brinkray.textproc.quality import STOPWORDS
 
     return ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+
+
+# Shared CTE prelude for the crawl-loop oracles: pages -> sandbox-web
+# index (ref/world.py conventions) -> expansion-eligible parents
+# (status 200, path not forbidden, not oversized; stages.py:145-160) ->
+# RE2 link re-extraction + absolutize (urls.go:47-67 quirk order) ->
+# per-corpus canon (strip ignored GET params, sort the rest,
+# urls.go:129-152) -> fetch-admissible edges (allowed domain, no
+# transport error, content-length gate; ref/world.py gate order) ->
+# recursive BFS fixpoint from the seed. Valid because seen membership
+# and event counts are order-independent (crawl.py wave anatomy).
+_CRAWL_CTE_TEMPLATE = """
+WITH RECURSIVE
+pages AS (SELECT url, decode(html) AS html, octet_length(html) AS blen
+          FROM read_parquet('{path}')),
+idx AS (SELECT url AS canon,
+        CASE WHEN regexp_matches(url, '^https?://[^/]+/status/[0-9]{{3}}(/|$)')
+             THEN CAST(regexp_extract(url, '/status/([0-9]{{3}})', 1) AS INTEGER)
+             ELSE 200 END AS status,
+        html, blen FROM pages),
+expandable AS (
+  SELECT canon, regexp_extract(canon, '^(https?://[^/?#]+)', 1) AS hostpfx, html
+  FROM idx
+  WHERE status = 200 AND blen <= 8192
+    AND NOT contains(regexp_replace(canon, '^https?://[^/?#]+', ''), 'admin/')),
+tags AS (SELECT canon, hostpfx,
+         unnest(regexp_extract_all(html, '<a(?:>|[ \t\n][^>]*>)', 0)) AS tag
+         FROM expandable),
+raw AS (SELECT canon, hostpfx,
+        regexp_extract(tag, 'href="([^"]*)"', 1) AS href0 FROM tags),
+kept AS (SELECT canon, hostpfx, trim(href0, ' ') AS href1 FROM raw
+         WHERE href0 <> 'javascript:;' AND NOT starts_with(href0, '#')),
+absd AS (SELECT canon AS parent,
+         CASE WHEN starts_with(href1, '//') THEN 'https://' || href1
+              WHEN starts_with(href1, '/') THEN hostpfx || href1
+              ELSE href1 END AS href
+         FROM kept WHERE href1 <> ''),
+canond AS (SELECT parent,
+           split_part(href, '?', 1) AS base,
+           list_sort(list_filter(str_split(split_part(href, '?', 2), '&'),
+                     t -> t <> '' AND split_part(t, '=', 1) <> 'session')) AS toks
+           FROM absd
+           WHERE regexp_matches(href, '^https?://[^/?#]+')),
+cand AS (SELECT parent,
+         CASE WHEN len(toks) = 0 THEN base
+              ELSE base || '?' || array_to_string(toks, '&') END AS child
+         FROM canond),
+edges AS (
+  SELECT c.parent, c.child, COUNT(*) AS cnt
+  FROM cand c LEFT JOIN idx i ON i.canon = c.child
+  WHERE regexp_extract(c.child, '^(https?://[^/?#]+)', 1)
+        IN ('https://site-a.test', 'https://site-b.test')
+    AND NOT starts_with(regexp_replace(c.child, '^https?://[^/?#]+', ''), '/err/')
+    AND (i.canon IS NULL OR i.blen <= 8192)
+  GROUP BY c.parent, c.child),
+reach AS (
+  SELECT 'https://site-a.test' AS canon
+  UNION
+  SELECT e.child FROM reach r JOIN edges e ON e.parent = r.canon)
+"""
+
+_CRAWL_CTE = _CRAWL_CTE_TEMPLATE.format(path=_CRAWL_PAGES_PATH)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -784,5 +868,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10"
+        ),
+        # crawl loop (ST1/ST3/D1/J2 composed): the seen set as a
+        # recursive-CTE BFS fixpoint over the dumped pages — an
+        # independent re-derivation of the stateful wave loop's result,
+        # valid because membership and statuses are order-independent.
+        "crawl_seen_set": (
+            _CRAWL_CTE
+            + "SELECT r.canon AS url, CAST(COALESCE(i.status, 404) AS BIGINT) AS status "
+            "FROM reach r LEFT JOIN idx i ON i.canon = r.canon ORDER BY url"
+        ),
+        # host stats (§2.5): every occurrence of a successfully fetched
+        # canon is one handler event (first = fetched, rest = cached
+        # replays, incl. intra-wave dup losers), so per-host counts
+        # follow from edge multiplicities over the reachable graph.
+        "crawl_host_stats": (
+            _CRAWL_CTE
+            + ", occ AS ("
+            "SELECT e.child AS url, SUM(e.cnt) + CASE WHEN e.child = 'https://site-a.test' "
+            "THEN 1 ELSE 0 END AS n_events "
+            "FROM edges e JOIN reach r ON e.parent = r.canon GROUP BY e.child "
+            "UNION ALL SELECT 'https://site-a.test', 1 WHERE 'https://site-a.test' NOT IN "
+            "(SELECT e.child FROM edges e JOIN reach r ON e.parent = r.canon)) "
+            "SELECT regexp_extract(url, '^(https?://[^/?#]+)', 1) AS host, "
+            "CAST(SUM(n_events) AS BIGINT) AS n_events, "
+            "CAST(SUM(n_events - 1) AS BIGINT) AS n_cached, "
+            "CAST(COUNT(*) AS BIGINT) AS n_fetched "
+            "FROM occ GROUP BY 1"
         ),
     }

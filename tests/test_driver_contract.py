@@ -95,3 +95,38 @@ def test_crawl_queries_and_entry(ray_session):
         "status",
         "cached",
     }
+
+
+def test_crawl_sql_oracle_other_site_size(ray_session, tmp_path):
+    """The recursive-CTE crawl oracle must hold at a site size the
+    driver never exercises (both testdata SFs synthesize 500 pages) —
+    a different n changes the link graph's quirk-page placement, wave
+    count and 404-variant population."""
+    import pyarrow.parquet as pq
+
+    from brinkray.fixtures import build_site
+    from brinkray.pipelines import host_stats, run_crawl
+
+    pages = build_site(150)
+    res = run_crawl(pages)
+    dump = str(tmp_path / "pages.parquet")
+    pq.write_table(pages.select(["url", "html"]), dump)
+
+    sqls = entrymod.oracle_sql()
+    con = duckdb.connect()
+    seen_sql = sqls["crawl_seen_set"].replace(entrymod._CRAWL_PAGES_PATH, dump)
+    got = con.sql(seen_sql).df()
+    items = sorted(res.seen.items())
+    want = pd.DataFrame(
+        {"url": [u for u, _ in items], "status": [s for _, s in items]}
+    )
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, check_exact=True
+    )
+
+    hs_sql = sqls["crawl_host_stats"].replace(entrymod._CRAWL_PAGES_PATH, dump)
+    got_hs = con.sql(hs_sql).df()
+    want_hs = host_stats(res).to_pandas()
+    pd.testing.assert_frame_equal(
+        canon(got_hs), canon(want_hs), check_dtype=False, check_exact=True
+    )

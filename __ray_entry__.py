@@ -253,6 +253,53 @@ def _q_dedup_ngram(sf_dir: str):
     return _to_pandas(ngram_jaccard_pairs(_ds(sf_dir, "documents"), threshold=0.1))
 
 
+def _q_ngram_exact(sf_dir: str):
+    """The exact shingle-Jaccard VERIFY kernel on deterministic pairs
+    (doc_id, doc_id+1 for doc_id % 7 == 0) — SQL-twinnable, unlike
+    dedup_ngram_jaccard whose candidates come from (non-SQL) MinHash
+    LSH. Same distributed machinery (broadcast id-array, two groupby
+    shuffles); DuckDB re-derives the shingle sets from the text with
+    list lambdas, so intersection/union counting is independently
+    checked. threshold=0.0 keeps zero-overlap pairs (kernel check,
+    not a dedup filter)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from brinkray.textproc.dedup import jaccard_verify
+
+    docs = _ds(sf_dir, "documents")
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        a = ids[ids % 7 == 0]
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(a + 1, pa.int64())}
+        )
+
+    # pairs whose doc_b falls off the table end drop on BOTH sides:
+    # SQL's inner join loses them; verify sees one shingle side and
+    # logs + skips (dedup.py::verify cardinality guard)
+    cand = (
+        docs.select_columns(["doc_id"])
+        .map_batches(mk_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    return _to_pandas(jaccard_verify(docs, cand, threshold=0.0))
+
+
+def _q_ann_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe == n_centroids probes every cluster => exact
+    top-k membership == brute force == the ann_cosine SQL twin. Puts a
+    driver oracle on the IVF code path (quantizer build, assignment,
+    probe masking); the pruned nprobe<nlist variant stays rows-only."""
+    from brinkray.textproc.similarity import ivf_topk
+
+    out = ivf_topk(
+        _ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10, n_centroids=16, nprobe=16
+    ).to_pandas()
+    return out[["vec_id"]]
+
+
 def _q_embedding_dups(sf_dir: str):
     from brinkray.textproc.dedup import embedding_dup_pairs
 
@@ -580,9 +627,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
+        "ngram_jaccard_exact": _q_ngram_exact,
         "embedding_dups": _q_embedding_dups,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "deterministic_sample": _q_deterministic_sample,
         # end-to-end curation (dedup x quality x lang -> corpus filter)
         "corpus_curation": _q_corpus_curation,
@@ -868,6 +917,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10"
+        ),
+        # IVF with nprobe == nlist is exhaustive => identical top-k
+        # membership to the brute-force twin above; this certifies the
+        # IVF path (quantizer/assignment/probe) against SQL.
+        "ann_ivf_exhaustive": (
+            "WITH q AS (SELECT embedding FROM embeddings "
+            "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) "
+            "SELECT e.vec_id FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10"
+        ),
+        # exact shingle-Jaccard kernel: DuckDB re-derives the 3-token
+        # shingle SETS from the text (regexp tokenizer == TOKEN_RE,
+        # list lambdas) and counts intersection/union independently of
+        # the uint64 shingle-hash representation (hashing.py:44-66 —
+        # equal strings hash equal; a 64-bit collision inside one
+        # pair's union is ~1e-13 at these doc sizes). Single IEEE
+        # division of exact ints => bit-identical float.
+        "ngram_jaccard_exact": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS shingles "
+            "FROM toks), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "a.shingles AS sa, b.shingles AS sb "
+            "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 "
+            "WHERE a.doc_id % 7 = 0) "
+            "SELECT doc_a, doc_b, "
+            "CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) "
+            "/ greatest(len(list_distinct(sa || sb)), 1) AS jaccard "
+            "FROM pairs"
         ),
         # crawl loop (ST1/ST3/D1/J2 composed): the seen set as a
         # recursive-CTE BFS fixpoint over the dumped pages — an

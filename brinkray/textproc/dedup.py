@@ -305,26 +305,38 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5, bands
 
 def ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", threshold=0.3, bands=BANDS):
     """Exact n-gram (token-shingle) Jaccard over LSH candidates: the
-    MinHash stage proposes, this verifies with true set Jaccard —
-    fully distributed. The candidate ID ARRAY (8 B/id) is the only
-    broadcast (ray.put once, np.isin per batch); the shingle sets
-    themselves are hash-joined to the pairs with two groupby shuffles
-    (doc_id to attach, (doc_a, doc_b) to verify) and never gathered to
-    the driver — a dup-heavy corpus would otherwise OOM it."""
-    import ray
+    MinHash stage proposes, ``jaccard_verify`` verifies with true set
+    Jaccard — fully distributed."""
     import ray.data as rd
 
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
     cand = minhash_lsh_pairs(ds, text_col, id_col, threshold=0.0, bands=bands)
     cand = cand.materialize()
     if cand.count() == 0:
-        return rd.from_arrow(empty)
+        return rd.from_arrow(_EMPTY_JACCARD)
+    return jaccard_verify(ds, cand, text_col, id_col, threshold)
+
+
+_EMPTY_JACCARD = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def jaccard_verify(ds, cand, text_col="text", id_col="doc_id", threshold=0.3):
+    """Exact set-Jaccard over 3-token shingles for each candidate pair
+    in ``cand`` (a Dataset of (doc_a, doc_b)) — fully distributed. The
+    candidate ID ARRAY (8 B/id) is the only broadcast (ray.put once,
+    np.isin per batch); the shingle sets themselves are hash-joined to
+    the pairs with two groupby shuffles (doc_id to attach,
+    (doc_a, doc_b) to verify) and never gathered to the driver — a
+    dup-heavy corpus would otherwise OOM it."""
+    import ray
+    import ray.data as rd
+
+    empty = _EMPTY_JACCARD
 
     # distinct candidate ids (distributed distinct, tiny result)
     ids_tbl = (

@@ -449,6 +449,97 @@ def _q_dedup_clusters(sf_dir: str):
     return _to_pandas(cluster_pairs(pairs))
 
 
+def _q_embedding_dups_exact(sf_dir: str):
+    """Exact all-pairs cosine >= 0.4 (the brute-force baseline the LSH
+    operator approximates). Membership only: the cosine VALUE differs
+    from DuckDB in the last ulp (summation order); the 0.4 boundary has
+    >= 1e-5 margin on every sf (measured), so membership is stable."""
+    from brinkray.textproc.curation import embedding_cosine_pairs_exact
+
+    out = _to_pandas(embedding_cosine_pairs_exact(_ds(sf_dir, "embeddings"), 0.4))
+    return out[["vec_a", "vec_b"]]
+
+
+def _bench_doc_ids(sf_dir: str) -> list[int]:
+    """The 'benchmark set' for decontamination: the 5 smallest doc_ids
+    (SQL-reproducible; a real pipeline would pass its eval-set ids)."""
+    ids = (
+        _ds(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+        .limit(5)
+        .take_all()
+    )
+    return [int(r["doc_id"]) for r in ids]
+
+
+def _q_decontamination(sf_dir: str):
+    from brinkray.textproc.curation import decontaminate
+
+    docs = _ds(sf_dir, "documents")
+    return _to_pandas(decontaminate(docs, _bench_doc_ids(sf_dir)))
+
+
+def _q_repetition_signals(sf_dir: str):
+    from brinkray.textproc.curation import repetition_signals
+
+    return repetition_signals(_ds(sf_dir, "documents")).to_pandas()
+
+
+def _q_stratified_sample(sf_dir: str):
+    from brinkray.textproc.curation import stratified_sample
+
+    return stratified_sample(_ds(sf_dir, "documents"), k=50, by="lang").to_pandas()
+
+
+def _q_heavy_hitters(sf_dir: str):
+    from brinkray.textproc.curation import heavy_hitters
+
+    return heavy_hitters(_ds(sf_dir, "documents"), k=20).to_pandas()
+
+
+def _q_cluster_components_exact(sf_dir: str):
+    """The distributed connected-components operator (cluster_pairs,
+    large-star/small-star rounds) on a DETERMINISTIC edge list —
+    consecutive-id chains within md5-first-hex-char buckets (~n/16
+    docs per bucket => transitive chains ~n/16 long, a real stress of
+    the star rounds). The component minimum per bucket is then
+    SQL-derivable (MIN OVER the same bucket), putting a driver oracle
+    on the clustering path that dedup_clusters (LSH input) cannot
+    have."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from brinkray.textproc.joins import cluster_pairs
+
+    docs = _ds(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = [
+            hashlib.md5(x.encode("utf-8")).hexdigest()[:1]
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "b": pa.array(b, pa.string())})
+
+    import pandas as pd
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].sort_values().to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
+
+    edges = (
+        docs.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(chain, batch_format="pandas")
+    )
+    return _to_pandas(cluster_pairs(edges))
+
+
 def _q_deterministic_sample(sf_dir: str):
     """Hash-based deterministic sampling (SURVEY §2.6): keep docs whose
     md5(text) starts with a nibble in 0..3 (a stable ~25% sample —
@@ -635,6 +726,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": _q_deterministic_sample,
         # end-to-end curation (dedup x quality x lang -> corpus filter)
         "corpus_curation": _q_corpus_curation,
+        # curation family (all SQL-twinned): exact embedding pairs,
+        # benchmark decontamination, repetition signals, stratified
+        # sampling, corpus-wide heavy hitters, exact components
+        "embedding_dups_exact": _q_embedding_dups_exact,
+        "decontamination": _q_decontamination,
+        "repetition_signals": _q_repetition_signals,
+        "stratified_sample_lang": _q_stratified_sample,
+        "heavy_hitters": _q_heavy_hitters,
+        "cluster_components_exact": _q_cluster_components_exact,
         # multimodal decode (actor-pool stage, real BMP/WAV/video codecs)
         "media_features": _q_media_features,
         # streaming-shaped + join operators
@@ -965,6 +1065,74 @@ def oracle_sql() -> dict[str, str]:
         # canon is one handler event (first = fetched, rest = cached
         # replays, incl. intra-wave dup losers), so per-host counts
         # follow from edge multiplicities over the reachable graph.
+        # exact embedding pairs: DuckDB re-derives every pairwise
+        # cosine independently (list_cosine_similarity); membership at
+        # the 0.4 boundary has >= 1e-5 margin on all sfs (measured), so
+        # the last-ulp summation-order difference cannot flip a pair.
+        "embedding_dups_exact": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        # decontamination: DuckDB re-derives the 3-token shingle sets
+        # (same list-lambda kernel as ngram_jaccard_exact) and counts
+        # distinct shared shingles against the benchmark union — an
+        # independent check of the broadcast-set + searchsorted probe.
+        "decontamination": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS shingles "
+            "FROM toks), "
+            "bids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5), "
+            "b AS (SELECT list_distinct(flatten(list(shingles))) AS bs "
+            "FROM sh WHERE doc_id IN (SELECT doc_id FROM bids)) "
+            "SELECT s.doc_id, "
+            "CAST(len(list_distinct(list_intersect(s.shingles, b.bs))) AS BIGINT) "
+            "AS n_overlap FROM sh s, b "
+            "WHERE s.doc_id NOT IN (SELECT doc_id FROM bids) "
+            "AND len(list_distinct(list_intersect(s.shingles, b.bs))) > 0"
+        ),
+        # repetition signals: each ratio is ONE IEEE division of exact
+        # ints => bit-identical to the vectorized numpy kernel.
+        "repetition_signals": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+            "FROM documents), "
+            "c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY doc_id, tok) "
+            "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+            "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS distinct_ratio, "
+            "CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_token_frac "
+            "FROM c GROUP BY doc_id"
+        ),
+        "stratified_sample_lang": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, row_number() OVER "
+            "(PARTITION BY lang ORDER BY md5(text), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 50"
+        ),
+        "heavy_hitters": (
+            "WITH t AS (SELECT "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents) "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        # exact components: the chain edges within each md5-prefix
+        # bucket connect the whole bucket, so the star rounds must
+        # converge every member to the bucket minimum — which SQL
+        # derives directly with a window MIN (singleton buckets have no
+        # edge and are absent from the Ray output; QUALIFY drops them).
+        "cluster_components_exact": (
+            "SELECT doc_id, "
+            "MIN(doc_id) OVER (PARTITION BY substr(md5(text), 1, 1)) AS cluster "
+            "FROM documents "
+            "QUALIFY COUNT(*) OVER (PARTITION BY substr(md5(text), 1, 1)) > 1"
+        ),
         "crawl_host_stats": (
             _CRAWL_CTE
             + ", occ AS ("

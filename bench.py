@@ -197,7 +197,7 @@ def bench_dedup_recall() -> dict:
 
 
 def run_once() -> dict:
-    """Headline crawl is best-of-N (default 2) with every run recorded:
+    """Headline crawl is best-of-N (default 3) with every run recorded:
     this VM's ambient-load noise spans 2x on identical binaries
     (BASELINE.md "Noise disclosure" — identical code measured 21.4 s
     and 47.0 s minutes apart), so a single sample regularly lands in
@@ -208,7 +208,7 @@ def run_once() -> dict:
     payload, so a noise-tail sample is self-diagnosing."""
     ray = _init_ray(NUM_CPUS)
     scaling_only = os.environ.get("BRINKRAY_SCALING_ONLY")
-    n_runs = int(os.environ.get("BRINKRAY_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("BRINKRAY_BENCH_RUNS", "3"))
     load_before = os.getloadavg()
     crawl_runs: list[tuple[float, dict]] = []
     index = None

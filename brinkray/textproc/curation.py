@@ -1,0 +1,303 @@
+"""Corpus-curation operators a training-data pipeline runs between
+dedup and export: benchmark decontamination, repetition/diversity
+signals, deterministic stratified sampling, corpus-wide heavy hitters,
+and the exact embedding-pair verify kernel.
+
+Scale shape shared by all of them: vectorized per-batch kernels in
+``map_batches`` (numpy over exploded token arrays — no per-row Python
+in the hot loop beyond the tokenizer regex), small sides broadcast
+once via ``ray.put`` (the benchmark shingle set, the normalized
+embedding matrix), and at most ONE small groupby/sort for the wide
+step. Every operator here is DuckDB-twinned in ``__ray_entry__`` —
+the exact-kernel counterpart of the LSH/ANN approximations lives
+next to them in dedup.py / similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from .hashing import SHINGLE_K, shingle_hashes, tokens_of
+
+__all__ = [
+    "embedding_cosine_pairs_exact",
+    "decontaminate",
+    "repetition_signals",
+    "stratified_sample",
+    "heavy_hitters",
+]
+
+
+# ---------------------------------------------------------- exact pairs
+def embedding_cosine_pairs_exact(ds, threshold: float, vec_col="embedding", id_col="vec_id"):
+    """ALL pairs (a < b) with cosine >= threshold — the exact
+    brute-force baseline the LSH operator (dedup.embedding_dup_pairs)
+    approximates, and the verify kernel for its candidate buckets.
+
+    Distributed shape: the normalized matrix is ``ray.put`` ONCE and
+    every task reads the same object-store copy (never re-shipped per
+    batch); each batch computes one (batch x corpus) float64 matmul
+    and emits only the above-threshold (a, b) id pairs, so the full
+    n^2 similarity matrix never exists anywhere. O(n^2/p) flops per
+    task is the honest cost of exactness — at 100-TB corpus scale this
+    kernel runs on LSH candidate BUCKETS (m ~ thousands), while the
+    corpus-wide path is the LSH operator; as a corpus-wide oracle it
+    is for conformance scale only.
+    """
+    import ray.data as rd
+
+    mat = ds.select_columns([id_col, vec_col]).materialize()
+    # conformance-scale gather of the broadcast side (embeddings are
+    # the small table); the ids ride along so batch rows can exclude
+    # self/below-diagonal pairs against the full matrix
+    full = mat.to_pandas()
+    ids_all = full[id_col].to_numpy(dtype=np.int64)
+    E = np.asarray(list(full[vec_col]), dtype=np.float64)
+    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    order = np.argsort(ids_all)
+    ref = ray.put((ids_all[order], En[order]))
+
+    def batch_pairs(t: pa.Table) -> pa.Table:
+        ids_ref, mat_ref = ray.get(ref)
+        ids_b = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        V = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        sim = Vn @ mat_ref.T
+        # emit only a < b: each unordered pair is produced by exactly
+        # one batch row (the smaller id), independent of blocking
+        mask = (sim >= threshold) & (ids_b[:, None] < ids_ref[None, :])
+        bi, rj = np.nonzero(mask)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids_b[bi], pa.int64()),
+                "vec_b": pa.array(ids_ref[rj], pa.int64()),
+                "cosine": pa.array(sim[bi, rj], pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(batch_pairs, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return out
+
+
+# ------------------------------------------------------- decontamination
+def decontaminate(
+    docs,
+    bench_ids: list[int],
+    text_col="text",
+    id_col="doc_id",
+    k: int = SHINGLE_K,
+):
+    """Benchmark decontamination: flag corpus documents sharing >= 1
+    k-token shingle with any benchmark document (the held-out set a
+    trained model will be evaluated on). Returns (doc_id, n_overlap)
+    for contaminated non-benchmark docs, n_overlap = DISTINCT shared
+    shingles.
+
+    Scale shape: the benchmark side is small by definition — its
+    deduplicated shingle-hash array (8 B/shingle) is built once,
+    sorted, ``ray.put`` ONCE, and probed per batch with searchsorted;
+    the corpus streams through one stateless map_batches. Shingle
+    hashing is the same uint64 kernel the MinHash family uses
+    (hashing.py:44-66); a 64-bit collision inflating n_overlap is
+    ~1e-13 per doc at these sizes.
+    """
+    import ray.data as rd
+
+    bench_arr = np.asarray(sorted(bench_ids), dtype=np.int64)
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(np.isin(ids, bench_arr)))
+
+    bench_tbl = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(bench_filter, batch_format="pyarrow")
+        .take_all()
+    )  # small side: len(bench_ids) rows
+    sh = [shingle_hashes(r[text_col], k) for r in bench_tbl]
+    bench_sh = np.unique(np.concatenate(sh)) if sh else np.array([], dtype=np.uint64)
+    ref = ray.put(bench_sh)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        out_id, out_n = [], []
+        for i, text in zip(ids, t[text_col].to_pylist()):
+            if i in bench_arr:  # len(bench_arr) is tiny; fine per row
+                continue
+            u = np.unique(shingle_hashes(text, k))
+            pos = np.searchsorted(bs, u)
+            pos[pos == len(bs)] = 0
+            n = int((bs[pos] == u).sum()) if len(bs) else 0
+            if n > 0:
+                out_id.append(int(i))
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_overlap": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = docs.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow"
+    ).materialize()
+    if out.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())}
+            )
+        )
+    return out
+
+
+# --------------------------------------------------- repetition signals
+def repetition_signals(docs, text_col="text", id_col="doc_id"):
+    """Gopher-style repetition/diversity signals per document:
+    n_tokens, n_distinct, distinct_ratio, top_token_frac (most frequent
+    token's share). Docs with zero tokens are dropped (they have no
+    defined ratios — and the SQL twin's unnest drops them identically).
+
+    Vectorized per batch: ONE np.unique over (row, token-code) pairs
+    for the whole batch — no per-document Counter loop. Each ratio is
+    a single IEEE division of exact ints, so the distributed result is
+    bit-identical to the DuckDB twin.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        toks_per_row = [tokens_of(x) for x in texts]
+        lens = np.array([len(tk) for tk in toks_per_row], dtype=np.int64)
+        keep = lens > 0
+        flat = [tok for tk in toks_per_row for tok in tk]
+        n_distinct = np.zeros(len(texts), dtype=np.int64)
+        top = np.zeros(len(texts), dtype=np.int64)
+        if flat:
+            # token string -> int code, then one unique over (row, code)
+            codes = pd.factorize(np.asarray(flat, dtype=object))[0].astype(np.int64)
+            base = np.int64(codes.max() + 1)
+            rows = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            uniq_pair, counts = np.unique(rows * base + codes, return_counts=True)
+            uniq_rows = uniq_pair // base
+            n_distinct = np.bincount(uniq_rows, minlength=len(texts)).astype(np.int64)
+            np.maximum.at(top, uniq_rows, counts)
+        n_tok = lens[keep].astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(lens[keep], pa.int64()),
+                "n_distinct": pa.array(n_distinct[keep], pa.int64()),
+                "distinct_ratio": pa.array(n_distinct[keep] / n_tok, pa.float64()),
+                "top_token_frac": pa.array(top[keep] / n_tok, pa.float64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------- stratified sampling
+def stratified_sample(docs, k: int, by="lang", text_col="text", id_col="doc_id"):
+    """Deterministic per-stratum sample: the k documents per ``by``
+    value with the smallest (md5(text), doc_id) — reproducible across
+    runs, block layouts and cluster sizes, unlike random_sample.
+
+    Scale shape: each batch keeps only its LOCAL top-k per stratum
+    (so the shuffle moves <= k * strata_per_batch rows, not the
+    corpus), then one groupby(by).map_groups takes the global top-k.
+    Strata counts are small (languages); hot-stratum skew is bounded
+    by the per-batch pre-prune.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                id_col: t[id_col].to_pandas(),
+                by: t[by].to_pandas(),
+                "_h": [
+                    hashlib.md5(x.encode("utf-8")).hexdigest()
+                    for x in t[text_col].to_pylist()
+                ],
+            }
+        )
+        df = df.sort_values(["_h", id_col]).groupby(by, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col]).head(k)
+        return g[[by, id_col]]
+
+    return (
+        docs.select_columns([id_col, by, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------- heavy hitters
+def heavy_hitters(docs, k: int = 20, text_col="text"):
+    """Corpus-wide top-k most frequent tokens (token, n), ties broken
+    by token asc — the vocabulary head a tokenizer-training or
+    stopword-mining pass needs.
+
+    Scale shape: pre-aggregation INSIDE map_batches (one np.unique per
+    batch -> at most |batch vocabulary| partial rows leave each task),
+    then groupby(token).sum — the all-to-all moves per-batch partials,
+    never the exploded token stream. The final sort runs on the
+    aggregated vocabulary table, and only k rows reach the caller.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = [tok for x in t[text_col].to_pylist() for tok in tokens_of(x)]
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(u, pa.string()),
+                "n": pa.array(c, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    # top-k with (n desc, token asc) tie-break; Ray's sort is ascending
+    # per-key-list here, so sort on (-n, token) via a negated column
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("_neg_n", pc.multiply(t["n"], -1))
+
+    return (
+        agg.map_batches(neg, batch_format="pyarrow")
+        .sort(["_neg_n", "token"])
+        .limit(k)
+        .drop_columns(["_neg_n"])
+    )

@@ -1,0 +1,161 @@
+"""Curation operators on constructed inputs with known answers:
+exact embedding pairs, decontamination overlap counts, repetition
+signals, stratified sampling determinism, heavy hitters, and the
+exact-components chain stress."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts, langs=None):
+    import ray.data as rd
+
+    cols = {
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    if langs is not None:
+        cols["lang"] = pa.array(langs, pa.string())
+    return rd.from_arrow(pa.table(cols))
+
+
+def test_embedding_pairs_exact_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.curation import embedding_cosine_pairs_exact
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 16
+    E = rng.normal(size=(n, d))
+    E[10] = E[3] + 0.01 * rng.normal(size=d)  # one planted near-dup
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(E.tolist()),
+            }
+        )
+    )
+    out = embedding_cosine_pairs_exact(ds, 0.8).to_pandas()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = En @ En.T
+    iu = np.triu_indices(n, 1)
+    want = {
+        (int(a), int(b))
+        for a, b, c in zip(iu[0], iu[1], C[iu])
+        if c >= 0.8
+    }
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    assert got == want
+    assert (3, 10) in got
+
+
+def test_embedding_pairs_exact_empty(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.curation import embedding_cosine_pairs_exact
+
+    # orthogonal unit vectors: no pair reaches any positive threshold
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]]),
+            }
+        )
+    )
+    out = embedding_cosine_pairs_exact(ds, 0.5)
+    assert out.count() == 0
+    # schema survives the empty result (Dataset.to_pandas drops it on
+    # empty datasets; the query layer rebuilds via _to_pandas)
+    assert out.schema().names == ["vec_a", "vec_b", "cosine"]
+
+
+def test_decontaminate_counts_shared_shingles(ray_session):
+    from brinkray.textproc.curation import decontaminate
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"
+    # doc 1 shares the 'beta gamma delta' .. shingles; doc 2 shares none
+    contaminated = "prefix beta gamma delta epsilon suffix words here"
+    clean = "completely different tokens about engines and benchmarks"
+    ds = _docs_ds([bench, contaminated, clean])
+    out = decontaminate(ds, bench_ids=[0]).to_pandas()
+    assert set(out["doc_id"]) == {1}
+    # shingles of doc1: 'beta gamma delta', 'gamma delta epsilon' shared
+    assert int(out["n_overlap"].iloc[0]) == 2
+
+
+def test_decontaminate_excludes_bench_docs(ray_session):
+    from brinkray.textproc.curation import decontaminate
+
+    ds = _docs_ds(["one two three four", "one two three four"])
+    out = decontaminate(ds, bench_ids=[0]).to_pandas()
+    assert set(out["doc_id"]) == {1}  # the bench doc itself is not reported
+
+
+def test_repetition_signals_values(ray_session):
+    from brinkray.textproc.curation import repetition_signals
+
+    ds = _docs_ds(["a a a b", "x y z", ""])
+    out = (
+        repetition_signals(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 1]  # empty doc dropped
+    assert list(out["n_tokens"]) == [4, 3]
+    assert list(out["n_distinct"]) == [2, 3]
+    assert out["top_token_frac"].iloc[0] == pytest.approx(3 / 4)
+    assert out["distinct_ratio"].iloc[1] == 1.0
+
+
+def test_stratified_sample_deterministic_topk(ray_session):
+    from brinkray.textproc.curation import stratified_sample
+
+    texts = [f"text number {i}" for i in range(30)]
+    langs = ["en" if i % 2 == 0 else "de" for i in range(30)]
+    ds = _docs_ds(texts, langs)
+    out = stratified_sample(ds, k=3, by="lang").to_pandas()
+    assert len(out) == 6
+    assert set(out["lang"].value_counts().to_dict().values()) == {3}
+    # expected: per lang, the 3 smallest (md5(text), doc_id)
+    for lang in ("en", "de"):
+        ids = [i for i in range(30) if langs[i] == lang]
+        want = sorted(ids, key=lambda i: (hashlib.md5(texts[i].encode()).hexdigest(), i))[:3]
+        got = sorted(out[out["lang"] == lang]["doc_id"])
+        assert got == sorted(want)
+    # stable across a second run (block layout independent)
+    out2 = stratified_sample(ds, k=3, by="lang").to_pandas()
+    assert sorted(zip(out2["lang"], out2["doc_id"])) == sorted(
+        zip(out["lang"], out["doc_id"])
+    )
+
+
+def test_heavy_hitters_counts_and_ties(ray_session):
+    from brinkray.textproc.curation import heavy_hitters
+
+    ds = _docs_ds(["b b b a a c", "a c d", "E e"])  # 'e' lowercased: 2
+    out = heavy_hitters(ds, k=3).to_pandas()
+    # totals: a:3, b:3, c:2, e:2, d:1 — count desc, token asc on ties
+    assert list(out["token"]) == ["a", "b", "c"]
+    assert list(out["n"]) == [3, 3, 2]
+
+
+def test_cluster_components_chain(ray_session):
+    """A 100-node chain must converge to a single component label 0
+    (transitive-closure stress for the star rounds)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from brinkray.textproc.joins import cluster_pairs
+
+    edges = pa.table(
+        {
+            "doc_a": pa.array(range(99), pa.int64()),
+            "doc_b": pa.array(range(1, 100), pa.int64()),
+        }
+    )
+    out = cluster_pairs(rd.from_arrow(edges)).to_pandas()
+    assert len(out) == 100
+    assert set(out["cluster"]) == {0}

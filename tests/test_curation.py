@@ -142,6 +142,33 @@ def test_heavy_hitters_counts_and_ties(ray_session):
     assert list(out["n"]) == [3, 3, 2]
 
 
+def test_pack_shards_offsets(ray_session):
+    from brinkray.textproc.curation import pack_shards
+
+    texts = [f"some text body number {i} with a few tokens" for i in range(40)]
+    ds = _docs_ds(texts)
+    out = pack_shards(ds, n_shards=4).to_pandas()
+    assert len(out) == 40
+    # recompute expected layout directly
+    rows = []
+    for i, x in enumerate(texts):
+        h = hashlib.md5(x.encode()).hexdigest()
+        rows.append((int(h[0], 16) % 4, h, i, len(x.lower().split())))
+    for shard in range(4):
+        grp = sorted((r for r in rows if r[0] == shard), key=lambda r: (r[1], r[2]))
+        off = 0
+        for _, _, i, n in grp:
+            got = out[out["doc_id"] == i].iloc[0]
+            assert int(got["shard"]) == shard
+            assert int(got["token_offset"]) == off
+            off += n
+    # deterministic across runs
+    out2 = pack_shards(ds, n_shards=4).to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def test_cluster_components_chain(ray_session):
     """A 100-node chain must converge to a single component label 0
     (transitive-closure stress for the star rounds)."""

@@ -504,6 +504,29 @@ def _q_pack_shards(sf_dir: str):
     return pack_shards(_ds(sf_dir, "documents"), n_shards=16).to_pandas()
 
 
+def _q_export_manifest(sf_dir: str):
+    """The WRITE path: materialize the packed-shard layout as
+    partitioned parquet under a fresh /tmp dir (resumability — skip
+    existing shards, atomic tmp+rename — is pinned by
+    tests/test_curation.py); the returned per-shard manifest is
+    deterministic and SQL-derivable, putting a driver oracle on the
+    export sink itself."""
+    import tempfile
+
+    from brinkray.textproc.curation import write_packed_shards
+
+    out_dir = tempfile.mkdtemp(prefix="brinkray_export_", dir="/tmp")
+    return write_packed_shards(
+        _ds(sf_dir, "documents"), out_dir, n_shards=16
+    ).to_pandas()
+
+
+def _q_ngram_novelty(sf_dir: str):
+    from brinkray.textproc.curation import ngram_novelty
+
+    return ngram_novelty(_ds(sf_dir, "documents")).to_pandas()
+
+
 def _q_cluster_components_exact(sf_dir: str):
     """The distributed connected-components operator (cluster_pairs,
     large-star/small-star rounds) on a DETERMINISTIC edge list —
@@ -741,6 +764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_lang": _q_stratified_sample,
         "heavy_hitters": _q_heavy_hitters,
         "pack_shards": _q_pack_shards,
+        "export_manifest": _q_export_manifest,
+        "ngram_novelty": _q_ngram_novelty,
         "cluster_components_exact": _q_cluster_components_exact,
         # multimodal decode (actor-pool stage, real BMP/WAV/video codecs)
         "media_features": _q_media_features,
@@ -1140,6 +1165,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens "
             "AS BIGINT) AS token_offset FROM d"
+        ),
+        # export sink manifest: shard membership and token totals are
+        # pure arithmetic over md5/token counts — the oracle certifies
+        # WHAT the writer placed in each partition (the file layout
+        # itself is pinned by pytest).
+        "export_manifest": (
+            "WITH d AS (SELECT "
+            "strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS shard, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens "
+            "FROM documents) "
+            "SELECT CAST(shard AS BIGINT) AS shard, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY shard"
+        ),
+        # cross-doc shingle novelty: DuckDB re-derives every doc's
+        # DISTINCT 3-token shingle set via the same list-lambda kernel
+        # as ngram_jaccard_exact (string shingles — independent of the
+        # uint64 hash representation; a collision is ~1e-13 at these
+        # sizes) and counts how many appear in >= 2 docs. shared_frac
+        # is a single IEEE division of exact ints => bit-identical.
+        "ngram_novelty": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh0 AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS shingles "
+            "FROM toks), "
+            "s AS (SELECT DISTINCT doc_id, sh FROM "
+            "(SELECT doc_id, unnest(shingles) AS sh FROM sh0)), "
+            "c AS (SELECT sh, COUNT(*) AS nd FROM s GROUP BY sh) "
+            "SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+            "CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_shared, "
+            "CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ COUNT(*) AS shared_frac "
+            "FROM s JOIN c USING (sh) GROUP BY s.doc_id"
         ),
         # exact components: the chain edges within each md5-prefix
         # bucket connect the whole bucket, so the star rounds must

@@ -32,6 +32,8 @@ __all__ = [
     "stratified_sample",
     "heavy_hitters",
     "pack_shards",
+    "write_packed_shards",
+    "ngram_novelty",
 ]
 
 
@@ -308,6 +310,176 @@ def pack_shards(docs, n_shards: int = 16, text_col="text", id_col="doc_id"):
         .map_batches(assign, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(offsets, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------------- resumable export
+def write_packed_shards(
+    docs, out_dir: str, n_shards: int = 16, text_col="text", id_col="doc_id"
+):
+    """Materialize the ``pack_shards`` layout as PARTITIONED parquet —
+    one ``out_dir/shard=NN/data.parquet`` per shard, rows in the
+    shard's canonical (md5, doc_id) order with their token offsets —
+    and return the per-shard manifest (shard, n_docs, n_tokens).
+
+    RESUMABLE: a shard whose file already exists is skipped (the
+    layout is deterministic, so the existing file is byte-correct);
+    writes go through a ``.tmp`` + rename so a task killed mid-write
+    never leaves a file that a resume would wrongly skip. At cluster
+    scale ``out_dir`` is shared storage (the same contract
+    ``write_parquet`` assumes); the one shuffle is groupby(shard) and
+    this time the TEXT rides it — that is the export itself, there is
+    no smaller payload that could move.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    def assign(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: t[text_col],
+                "h": pa.array(hs, pa.string()),
+                "shard": pa.array(
+                    [int(h[0], 16) % n_shards for h in hs], pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    [len(tokens_of(x)) for x in texts], pa.int64()
+                ),
+            }
+        )
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["shard"].iloc[0])
+        g = g.sort_values(["h", id_col])
+        off = (g["n_tokens"].cumsum() - g["n_tokens"]).to_numpy().astype(np.int64)
+        part_dir = os.path.join(out_dir, f"shard={shard:02d}")
+        path = os.path.join(part_dir, "data.parquet")
+        if not os.path.exists(path):
+            os.makedirs(part_dir, exist_ok=True)
+            tbl = pa.table(
+                {
+                    id_col: pa.array(g[id_col].to_numpy(), pa.int64()),
+                    "token_offset": pa.array(off, pa.int64()),
+                    "n_tokens": pa.array(
+                        g["n_tokens"].to_numpy().astype(np.int64), pa.int64()
+                    ),
+                    text_col: pa.array(list(g[text_col]), pa.string()),
+                }
+            )
+            tmp = path + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_docs": [len(g)],
+                "n_tokens": [int(g["n_tokens"].sum())],
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_group, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------- n-gram novelty
+def ngram_novelty(docs, k: int = SHINGLE_K, text_col="text", id_col="doc_id"):
+    """Cross-document repetition signal: per document, how many of its
+    DISTINCT k-token shingles also occur in at least one OTHER
+    document — (doc_id, n_shingles, n_shared, shared_frac). High
+    shared_frac marks boilerplate/templated docs that per-doc
+    repetition signals (repetition_signals) cannot see; it is the
+    corpus-self-referential sibling of ``decontaminate``.
+
+    Scale shape: pass 1 explodes per-doc DISTINCT shingle hashes and
+    pre-counts per batch, so the one groupby moves (hash, partial
+    count) rows, never the token stream; the shingles seen in >= 2
+    docs come back as ONE sorted uint64 array, ``ray.put`` once, and
+    pass 2 probes it with a single searchsorted per batch. The shared
+    set is small on a deduplicated corpus (run AFTER exact/near dedup
+    — the intended order); its size is logged so a boilerplate-heavy
+    corpus that bloats it is visible, not silent.
+    """
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        per_doc = [np.unique(shingle_hashes(x, k)) for x in t[text_col].to_pylist()]
+        if per_doc:
+            h = np.concatenate(per_doc)
+            # pre-aggregate within the batch: each row is already
+            # distinct per doc, so the partial count of a hash here is
+            # its distinct-doc count within this batch
+            u, c = np.unique(h, return_counts=True)
+        else:
+            u = np.array([], dtype=np.uint64)
+            c = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "h": pa.array(u, pa.uint64()),
+                "nd": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("nd", alias_name="nd"))
+    )
+
+    def keep_shared(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["nd"], 2)).select(["h"])
+
+    shared_tbl = counts.map_batches(keep_shared, batch_format="pyarrow").take_all()
+    shared = np.sort(
+        np.asarray([r["h"] for r in shared_tbl], dtype=np.uint64)
+    )
+    import logging
+
+    logging.getLogger(__name__).info(
+        "ngram_novelty: %d shingles shared by >=2 docs", len(shared)
+    )
+    ref = ray.put(shared)
+
+    def score(t: pa.Table) -> pa.Table:
+        sh = ray.get(ref)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        per_doc = [np.unique(shingle_hashes(x, k)) for x in t[text_col].to_pylist()]
+        n = np.array([len(u) for u in per_doc], dtype=np.int64)
+        if per_doc and len(sh):
+            flat = np.concatenate(per_doc)
+            pos = np.searchsorted(sh, flat)
+            pos[pos == len(sh)] = 0
+            hit = (sh[pos] == flat).astype(np.int64)
+            bounds = np.concatenate([[0], np.cumsum(n)])
+            ns = np.add.reduceat(hit, bounds[:-1]) if len(flat) else np.zeros(
+                len(per_doc), dtype=np.int64
+            )
+        else:
+            ns = np.zeros(len(per_doc), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_shingles": pa.array(n, pa.int64()),
+                "n_shared": pa.array(ns.astype(np.int64), pa.int64()),
+                "shared_frac": pa.array(
+                    ns / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
     )
 
 

@@ -169,6 +169,68 @@ def test_pack_shards_offsets(ray_session):
     )
 
 
+def test_ngram_novelty_known_shares(ray_session):
+    from brinkray.textproc.curation import ngram_novelty
+
+    texts = [
+        "one two three four",  # shingles {one two three, two three four}
+        "two three four five",  # shares {two three four} with doc 0
+        "x y z w",  # no shared shingles
+        "hi",  # <3 tokens: whole-text shingle, shared with doc 4
+        "hi",
+    ]
+    out = ngram_novelty(_docs_ds(texts)).to_pandas().set_index("doc_id")
+    assert int(out.loc[0, "n_shingles"]) == 2
+    assert int(out.loc[0, "n_shared"]) == 1
+    assert out.loc[0, "shared_frac"] == 0.5
+    assert int(out.loc[1, "n_shared"]) == 1
+    assert int(out.loc[2, "n_shared"]) == 0
+    assert out.loc[3, "shared_frac"] == 1.0
+    assert out.loc[4, "shared_frac"] == 1.0
+
+
+def test_write_packed_shards_layout_and_resume(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from brinkray.textproc.curation import pack_shards, write_packed_shards
+
+    texts = [f"body of document {i} with several tokens here" for i in range(60)]
+    ds = _docs_ds(texts)
+    out_dir = str(tmp_path / "packed")
+    manifest = write_packed_shards(ds, out_dir, n_shards=4).to_pandas()
+    assert manifest["n_docs"].sum() == 60
+    # written files agree with the pack_shards layout operator
+    layout = pack_shards(ds, n_shards=4).to_pandas()
+    for shard in manifest["shard"]:
+        path = os.path.join(out_dir, f"shard={int(shard):02d}", "data.parquet")
+        t = pq.read_table(path).to_pandas()
+        want = layout[layout["shard"] == shard].sort_values("token_offset")
+        assert list(t["doc_id"]) == list(want["doc_id"])
+        assert list(t["token_offset"]) == list(want["token_offset"])
+        # rows are in canonical order: offsets strictly nondecreasing
+        assert (t["token_offset"].diff().dropna() >= 0).all()
+    # RESUME: delete one shard, rerun — only that shard is rewritten
+    shards = sorted(int(s) for s in manifest["shard"])
+    victim = shards[0]
+    keep_mtimes = {}
+    for s in shards:
+        p = os.path.join(out_dir, f"shard={s:02d}", "data.parquet")
+        keep_mtimes[s] = os.stat(p).st_mtime_ns
+    os.remove(os.path.join(out_dir, f"shard={victim:02d}", "data.parquet"))
+    manifest2 = write_packed_shards(ds, out_dir, n_shards=4).to_pandas()
+    assert manifest2.sort_values("shard").reset_index(drop=True).equals(
+        manifest.sort_values("shard").reset_index(drop=True)
+    )
+    for s in shards:
+        p = os.path.join(out_dir, f"shard={s:02d}", "data.parquet")
+        if s == victim:
+            assert os.path.exists(p)
+        else:
+            assert os.stat(p).st_mtime_ns == keep_mtimes[s], "resume rewrote a finished shard"
+
+
 def test_cluster_components_chain(ray_session):
     """A 100-node chain must converge to a single component label 0
     (transitive-closure stress for the star rounds)."""

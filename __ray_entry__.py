@@ -527,6 +527,23 @@ def _q_ngram_novelty(sf_dir: str):
     return ngram_novelty(_ds(sf_dir, "documents")).to_pandas()
 
 
+def _q_distinct_tokens_exact(sf_dir: str):
+    from brinkray.textproc.sketch import distinct_tokens_exact
+
+    return distinct_tokens_exact(_ds(sf_dir, "documents")).to_pandas()
+
+
+def _q_hll_distinct_tokens(sf_dir: str):
+    """HyperLogLog sketch (approximate, deterministic: keyed blake2b
+    hashes => bit-stable across runs and block layouts). No SQL twin
+    BY NATURE — the exact sibling distinct_tokens_exact is the
+    oracle-certified query; tests/test_sketch.py ties the two within
+    the sketch's standard error."""
+    from brinkray.textproc.sketch import hll_distinct_tokens
+
+    return hll_distinct_tokens(_ds(sf_dir, "documents")).to_pandas()
+
+
 def _q_cluster_components_exact(sf_dir: str):
     """The distributed connected-components operator (cluster_pairs,
     large-star/small-star rounds) on a DETERMINISTIC edge list —
@@ -766,6 +783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_shards": _q_pack_shards,
         "export_manifest": _q_export_manifest,
         "ngram_novelty": _q_ngram_novelty,
+        "distinct_tokens_exact": _q_distinct_tokens_exact,
+        "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cluster_components_exact": _q_cluster_components_exact,
         # multimodal decode (actor-pool stage, real BMP/WAV/video codecs)
         "media_features": _q_media_features,
@@ -1178,6 +1197,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(shard AS BIGINT) AS shard, "
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY shard"
+        ),
+        # exact distinct-token cardinality — the oracle-certified
+        # sibling of the hll_distinct_tokens sketch.
+        "distinct_tokens_exact": (
+            "SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n FROM "
+            "(SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS tok FROM documents)"
         ),
         # cross-doc shingle novelty: DuckDB re-derives every doc's
         # DISTINCT 3-token shingle set via the same list-lambda kernel

@@ -1,0 +1,59 @@
+"""HyperLogLog sketch: estimate accuracy vs the exact sibling,
+determinism across block layouts, and the CLZ/register kernel."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _docs(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_registers_rank_kernel():
+    from brinkray.textproc.sketch import _registers_of
+
+    p = 4
+    # hash with register idx 0 and first remaining bit set -> rank 1
+    h = np.array([np.uint64(1) << np.uint64(59)], dtype=np.uint64)
+    regs = _registers_of(h, p)
+    assert regs[0] == 1
+    # hash 0: all 60 remaining bits zero -> sentinel caps rank at 64-p+1
+    regs = _registers_of(np.array([0], dtype=np.uint64), p)
+    assert regs[0] == 64 - p + 1
+
+
+def test_hll_within_two_percent_of_exact(ray_session):
+    from brinkray.textproc.sketch import distinct_tokens_exact, hll_distinct_tokens
+
+    rng = np.random.default_rng(11)
+    # ~30k distinct tokens spread over 300 docs with heavy repetition
+    vocab = [f"tok{i}" for i in range(30_000)]
+    texts = [
+        " ".join(rng.choice(vocab, size=400)) for _ in range(300)
+    ]
+    ds = _docs(texts)
+    exact = int(distinct_tokens_exact(ds).to_pandas()["n"][0])
+    truth = len({t for x in texts for t in x.split()})
+    assert exact == truth
+    est = int(hll_distinct_tokens(ds, p=14).to_pandas()["n_estimate"][0])
+    assert abs(est - exact) / exact < 0.02
+
+
+def test_hll_deterministic_across_block_layouts(ray_session):
+    from brinkray.textproc.sketch import hll_distinct_tokens
+
+    texts = [f"alpha beta w{i} w{i + 1} gamma" for i in range(500)]
+    a = int(hll_distinct_tokens(_docs(texts)).to_pandas()["n_estimate"][0])
+    b = int(
+        hll_distinct_tokens(_docs(texts).repartition(17)).to_pandas()["n_estimate"][0]
+    )
+    assert a == b

@@ -77,7 +77,7 @@ def bench_crawl(num_cpus: int, index=None) -> tuple[float, dict, object]:
         # byte-identity invariant is pinned by the conformance tests
         ordering="scale",  # the 10^10-design path; strict mode is the
         # conformance path (tests) and reported separately
-        pipeline_waves=int(os.environ.get("BRINKRAY_PIPELINE_WAVES", "2")),
+        pipeline_waves=int(os.environ.get("BRINKRAY_PIPELINE_WAVES", "3")),
         prewarm_workers=True,  # steady-state measurement: worker spawn
         # + per-worker index map happen before the timed section
     )
@@ -181,6 +181,17 @@ def bench_dedup_recall() -> dict:
     mh_pairs = set(zip(mh["doc_a"], mh["doc_b"]))
     sh_pairs = set(zip(sh["doc_a"], sh["doc_b"]))
     want = set(tuple(sorted(p)) for p in planted)
+    # the production pipeline is LSH candidates -> exact-Jaccard verify:
+    # chain the distributed verify kernel onto the MinHash candidates and
+    # report the verified stage too (precision of raw LSH candidates is
+    # intentionally loose — the verify stage is what filters them).
+    from brinkray.textproc.dedup import jaccard_verify
+
+    t0 = time.monotonic()
+    ver = jaccard_verify(ds, rd.from_pandas(mh[["doc_a", "doc_b"]]), threshold=0.4)
+    vdf = ver.to_pandas()
+    ver_sec = time.monotonic() - t0
+    ver_pairs = set(zip(vdf["doc_a"], vdf["doc_b"]))
     # precision: the base corpus has no true near-dups, so any emitted
     # pair outside the planted set is a false positive — reporting both
     # sides keeps threshold tuning honest (recall alone rewards
@@ -191,8 +202,13 @@ def bench_dedup_recall() -> dict:
         "simhash_recall": round(len(want & sh_pairs) / max(1, len(want)), 4),
         "minhash_precision": round(len(want & mh_pairs) / max(1, len(mh_pairs)), 4),
         "simhash_precision": round(len(want & sh_pairs) / max(1, len(sh_pairs)), 4),
+        "verified_recall": round(len(want & ver_pairs) / max(1, len(want)), 4),
+        "verified_precision": round(
+            len(want & ver_pairs) / max(1, len(ver_pairs)), 4
+        ),
         "minhash_sec": round(mh_sec, 3),
         "simhash_sec": round(sh_sec, 3),
+        "verify_sec": round(ver_sec, 3),
     }
 
 

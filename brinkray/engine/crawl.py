@@ -131,8 +131,13 @@ class EngineOptions:
     # next-wave ramp. Dedup stays exact: reservations are atomic and
     # generation-tagged (seen.py), and the orphan sweep only clears
     # generations whose execution has completed. 1 = one wave per
-    # execution (round-2 behavior).
-    pipeline_waves: int = 2
+    # execution (round-2 behavior). Depth 3 measured fastest at the
+    # 16/32-CPU levels (more wave tail hidden: 32-CPU headline mean
+    # 21.3 s vs 24.5 s at depth 2, interleaved A/B); at a pinned-4
+    # "cluster" depth 3 over-subscribes the tiny node (~15% slower) —
+    # deeper pipelines pay off as the cluster grows, which is the
+    # deployment this engine targets.
+    pipeline_waves: int = 3
     # only pipeline once the frontier is at least this big: tiny ramp
     # waves benefit more from exact per-wave adaptive batch sizing than
     # from overlap, and a FIXED threshold (not cpu-dependent) keeps the

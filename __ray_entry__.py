@@ -527,6 +527,74 @@ def _q_ngram_novelty(sf_dir: str):
     return ngram_novelty(_ds(sf_dir, "documents")).to_pandas()
 
 
+# Deterministic boilerplate injected into the paragraph-dedup and
+# PII driver inputs: the sf documents carry no newlines / emails / IPs,
+# so the driver queries CONSTRUCT a web-shaped corpus from them —
+# identically in the Ray query and its SQL twin — to make the removal
+# paths non-trivially exercised (organic multi-paragraph behavior is
+# pinned separately in tests/test_webclean.py).
+_BOILER1 = "all rights reserved copyright footer"
+_BOILER2 = "subscribe to our newsletter today"
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    import pyarrow as pa
+
+    from brinkray.textproc.webclean import paragraph_dedup
+
+    def construct(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = [
+            _BOILER1 + "\n" + x + ("\n" + _BOILER2 if i % 2 == 0 else "")
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(out, pa.string())}
+        )
+
+    docs = (
+        _ds(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(construct, batch_format="pyarrow")
+    )
+    return paragraph_dedup(docs).to_pandas()
+
+
+def _q_pii_scrub(sf_dir: str):
+    import pyarrow as pa
+
+    from brinkray.textproc.webclean import pii_scrub
+
+    def construct(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = []
+        for i, x in zip(ids, texts):
+            s = x
+            if i % 3 == 0:
+                s += f" contact user{i}@mail.example.com for details"
+            if i % 5 == 0:
+                s += f" logged from {i % 223}.17.{i % 250}.9"
+            out.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(out, pa.string())}
+        )
+
+    docs = (
+        _ds(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(construct, batch_format="pyarrow")
+    )
+    return pii_scrub(docs).to_pandas()
+
+
+def _q_token_length_percentiles(sf_dir: str):
+    from brinkray.textproc.webclean import token_length_percentiles
+
+    return token_length_percentiles(_ds(sf_dir, "documents"))
+
+
 def _q_distinct_tokens_exact(sf_dir: str):
     from brinkray.textproc.sketch import distinct_tokens_exact
 
@@ -783,6 +851,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_shards": _q_pack_shards,
         "export_manifest": _q_export_manifest,
         "ngram_novelty": _q_ngram_novelty,
+        # web-corpus cleaning (paragraph dedup / PII / exact percentiles)
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pii_scrub": _q_pii_scrub,
+        "token_length_percentiles": _q_token_length_percentiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cluster_components_exact": _q_cluster_components_exact,
@@ -1228,6 +1300,63 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
             "/ COUNT(*) AS shared_frac "
             "FROM s JOIN c USING (sh) GROUP BY s.doc_id"
+        ),
+        # web-corpus cleaning twins. The paragraph/PII inputs are
+        # CONSTRUCTED from documents (boilerplate header/footer,
+        # synthetic emails/IPs) identically to the Ray queries — the
+        # sf texts carry no newlines/emails natively, and a removal
+        # path that never fires would be a vacuous oracle.
+        "paragraph_dedup": (
+            f"WITH base AS (SELECT doc_id, '{_BOILER1}' || chr(10) || text || "
+            f"CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_BOILER2}' "
+            "ELSE '' END AS text FROM documents), "
+            "sp AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM base), "
+            "p AS (SELECT doc_id, unnest(ps) AS para, "
+            "generate_subscripts(ps, 1) AS i FROM sp), "
+            "shared AS (SELECT para FROM p WHERE length(para) > 0 "
+            "GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2), "
+            "kept AS (SELECT doc_id, para, i FROM p WHERE length(para) = 0 "
+            "OR para NOT IN (SELECT para FROM shared)), "
+            "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras "
+            "FROM p GROUP BY doc_id), "
+            "agg AS (SELECT doc_id, COUNT(*) AS n_kept, "
+            "string_agg(para, chr(10) ORDER BY i) AS text_clean "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_paras, "
+            "CAST(t.n_paras - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed, "
+            "COALESCE(a.text_clean, '') AS text_clean "
+            "FROM tot t LEFT JOIN agg a USING (doc_id)"
+        ),
+        "pii_scrub": (
+            "WITH base AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@mail.example.com for details' "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN ' logged from ' || "
+            "CAST(doc_id % 223 AS VARCHAR) || '.17.' || "
+            "CAST(doc_id % 250 AS VARCHAR) || '.9' ELSE '' END AS text "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_emails, "
+            "CAST(len(regexp_extract_all(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) "
+            "AS n_ipv4, "
+            "regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+            "AS text_redacted FROM base"
+        ),
+        "token_length_percentiles": (
+            "WITH t AS (SELECT len(regexp_extract_all(text, '\\S+')) AS n "
+            "FROM documents) "
+            + " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(n, {q}) AS BIGINT) AS n_tokens FROM t"
+                for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+            )
         ),
         # exact components: the chain edges within each md5-prefix
         # bucket connect the whole bucket, so the star rounds must

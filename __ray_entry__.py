@@ -441,6 +441,57 @@ def _q_asof_join(sf_dir: str):
     return out[["event_id", "o_orderdate"]].rename(columns={"o_orderdate": "o_date"})
 
 
+def _q_interval_join(sf_dir: str):
+    """Range join: each event matched to ALL of the user's orders whose
+    7-day attribution window [o_orderdate, o_orderdate + 7d] contains
+    the event time (inner, closed interval). The event timestamp is
+    CONSTRUCTED into the orders era (events are 2024, orders 1995-2001
+    — the native join is vacuous) with the same deterministic formula
+    in Ray and SQL, spreading events across the full o_orderdate range."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.joins import interval_join
+
+    cust = _ds(sf_dir, "customer").select_columns(["c_custkey"]).to_pandas()
+    max_ck = int(cust["c_custkey"].max())
+    base_us = np.datetime64("1995-01-01", "us").astype("int64")
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        ck = [u % max_ck + 1 for u in t["user_id"].to_pylist()]
+        off_s = (eid * 1123457) % 208_000_000  # ~6.6y of seconds
+        ts2 = (base_us + off_s * 1_000_000).astype("datetime64[us]")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ck": pa.array(ck, pa.int64()),
+                "ts": pa.array(ts2),
+            }
+        )
+
+    seven_days = np.timedelta64(7, "D")
+
+    def add_window(t: pa.Table) -> pa.Table:
+        lo = t["o_orderdate"]
+        # Arrow durations have no day unit — pass microseconds
+        hi = pc.add(lo, pa.scalar(seven_days.astype("timedelta64[us]")))
+        return pa.table(
+            {"ck": t["o_custkey"], "o_lo": lo, "o_hi": hi, "o_orderkey": t["o_orderkey"]}
+        )
+
+    left = _ds(sf_dir, "events").map_batches(add_ck, batch_format="pyarrow")
+    right = _ds(sf_dir, "orders").map_batches(add_window, batch_format="pyarrow")
+    out = interval_join(
+        left, right, key="ck", left_ts="ts", right_lo="o_lo", right_hi="o_hi",
+        right_vals=["o_orderkey"], max_span=seven_days,
+    ).to_pandas()
+    return out[["event_id", "o_orderkey"]].sort_values(
+        ["event_id", "o_orderkey"]
+    ).reset_index(drop=True)
+
+
 def _q_dedup_clusters(sf_dir: str):
     from brinkray.textproc.dedup import minhash_lsh_pairs
     from brinkray.textproc.joins import cluster_pairs
@@ -866,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": _q_hopping_counts,
         "event_sessions": _q_event_sessions,
         "asof_join_events_orders": _q_asof_join,
+        "interval_join_events_orders": _q_interval_join,
         "dedup_clusters": _q_dedup_clusters,
         # the crawl engine itself (non-SQL-expressible: stateful wave loop)
         "crawl_seen_set": _q_crawl_seen,
@@ -994,6 +1046,18 @@ def oracle_sql() -> dict[str, str]:
             "ASOF JOIN orders o "
             "ON ((e.user_id % (SELECT MAX(c_custkey) FROM customer)) + 1) = o.o_custkey "
             "AND e.ts >= o.o_orderdate"
+        ),
+        "interval_join_events_orders": (
+            "WITH e2 AS (SELECT event_id, "
+            "(user_id % (SELECT MAX(c_custkey) FROM customer)) + 1 AS ck, "
+            "TIMESTAMP '1995-01-01' + "
+            "((event_id * 1123457) % 208000000) * INTERVAL 1 SECOND AS ts "
+            "FROM events) "
+            "SELECT e.event_id, o.o_orderkey FROM e2 e JOIN orders o "
+            "ON e.ck = o.o_custkey "
+            "AND e.ts >= o.o_orderdate "
+            "AND e.ts <= o.o_orderdate + INTERVAL 7 DAY "
+            "ORDER BY e.event_id, o.o_orderkey"
         ),
         "quality_basic": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_chars, "

@@ -4,6 +4,11 @@
   bucketed by key into one schema-aligned dataset, sorted by time
   within each bucket, ``pd.merge_asof`` per bucket inside map_groups.
   Semantics match DuckDB's ASOF JOIN (greatest right ts <= left ts).
+* ``interval_join`` — key-equal range join (all right rows whose
+  [lo, hi] interval contains the left timestamp), same hash-bucket
+  shuffle shape as ``asof_join``; in-bucket probe is two vectorized
+  searchsorteds over the lo-sorted right side, made O(window) per left
+  row by the declared ``max_span`` bound on interval length.
 * ``cluster_pairs`` — connected components over near-dup pairs via
   iterated min-label propagation (groupby rounds; the label map is
   broadcast per round — candidate graphs are LSH output, bounded).
@@ -15,7 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["asof_join", "cluster_pairs"]
+__all__ = ["asof_join", "interval_join", "cluster_pairs"]
 
 
 def asof_join(
@@ -98,6 +103,153 @@ def asof_join(
             suffixes=("", "_r"),
         )
         return merged[out_cols]
+
+    return lt.union(rt).groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+def _ts_i64(arr: np.ndarray) -> np.ndarray:
+    """Timestamps (any datetime64 unit) or integers -> comparable int64
+    microseconds. Intervals must be passed in the same clock."""
+    a = np.asarray(arr)
+    if a.dtype.kind == "M":
+        return a.astype("datetime64[us]").view("int64")
+    return a.astype("int64")
+
+
+def interval_join(
+    left_ds,
+    right_ds,
+    key: str,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    right_vals: list[str],
+    max_span,
+    buckets: int | None = None,
+):
+    """Inner range join: every (left, right) pair with equal ``key``
+    and ``right_lo <= left_ts <= right_hi`` (closed interval).
+
+    Distribution shape: both sides are hash-bucketed on ``key`` into
+    one schema-aligned dataset (the asof_join shuffle) so each bucket
+    joins independently. In-bucket the right side is sorted once by
+    ``lo``; for each left timestamp the candidate window is
+    ``lo in [ts - max_span, ts]`` (two searchsorteds), exploded with
+    np.repeat/cumsum and filtered by ``hi >= ts`` — fully vectorized,
+    no per-row Python.
+
+    ``max_span`` is the PARTITIONING ASSUMPTION this operator relies
+    on (cf. the custom-operator contract): it must upper-bound every
+    right interval's length (``hi - lo``); intervals longer than it
+    would fall outside the probe window and be silently missed, so
+    violations raise. Datetime columns are compared in microseconds —
+    pass ``max_span`` as ``np.timedelta64``/``pd.Timedelta`` (or int
+    microseconds) accordingly.
+
+    Reference parity note: the reference engine has no relational
+    range join; this extends the fetch-as-join family (SURVEY.md
+    §2 J1-J3) to the windowed-attribution shape a training-data
+    pipeline needs (event -> all orders within N days).
+    """
+    if buckets is None:
+        import ray
+
+        buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+    # NB: np.timedelta64 subclasses np.signedinteger — test it FIRST
+    if isinstance(max_span, np.timedelta64) or not isinstance(
+        max_span, (int, np.integer)
+    ):
+        span_us = int(np.timedelta64(max_span, "us").view("int64"))
+    else:
+        span_us = int(max_span)
+    lsch = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    rsch = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    left_cols = list(lsch)
+    extra = []
+    for c in [right_lo, right_hi, *right_vals]:
+        if c not in left_cols and c not in extra:
+            extra.append(c)
+    right_keep = [key] + extra if key not in extra else extra
+    unified: dict = {c: lsch[c] for c in left_cols}
+    for c in right_keep:
+        if c not in unified:
+            unified[c] = rsch[c]
+
+    from ..state.cuckoo import sha1_64
+
+    def prep(keep: list[str], side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            data = {}
+            for c, typ in unified.items():
+                data[c] = t[c] if c in keep else pa.nulls(n, typ)
+            data["_b"] = pa.array(
+                [sha1_64(str(v)) % buckets for v in t[key].to_pylist()],
+                pa.int32(),
+            )
+            data["_side"] = pa.array([side] * n, pa.string())
+            return pa.table(data)
+
+        return fn
+
+    lt = left_ds.map_batches(prep(left_cols, "l"), batch_format="pyarrow")
+    rt = right_ds.map_batches(prep(right_keep, "r"), batch_format="pyarrow")
+    out_cols = left_cols + extra
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = (g["_side"] == "l").to_numpy()
+        # factorize over the WHOLE bucket so left and right rows of the
+        # same key share a code — the probe is on (key_code, time), so
+        # key equality is exact (buckets hold many hash-sharing keys)
+        codes, _ = pd.factorize(g[key], sort=False)
+        l = g[lmask][left_cols]
+        r = g[~lmask][right_keep]
+        # the schema-aligned union null-pads each side's missing columns,
+        # which promotes ints to float64 in pandas; restore the unified
+        # Arrow dtypes on the (NA-free, inner-join) output
+        dtypes = {c: unified[c].to_pandas_dtype() for c in out_cols}
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=dtypes[c]) for c in out_cols}
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        lo = _ts_i64(r[right_lo].to_numpy())
+        hi = _ts_i64(r[right_hi].to_numpy())
+        if (hi - lo).max() > span_us:
+            raise ValueError(
+                f"interval_join: right interval longer than max_span "
+                f"({int((hi - lo).max())} us > {span_us} us) — pairs "
+                "would be silently missed; raise max_span"
+            )
+        kdt = np.dtype([("k", "i8"), ("t", "i8")])
+        rcode = codes[~lmask]
+        order = np.lexsort((lo, rcode))
+        r = r.iloc[order]
+        lo, hi, rcode = lo[order], hi[order], rcode[order]
+        r_rec = np.empty(len(r), kdt)
+        r_rec["k"], r_rec["t"] = rcode, lo
+        ts = _ts_i64(l[left_ts].to_numpy())
+        lcode = codes[lmask]
+        q = np.empty(len(l), kdt)
+        q["k"] = lcode
+        q["t"] = ts - span_us
+        start = np.searchsorted(r_rec, q, side="left")
+        q["t"] = ts
+        end = np.searchsorted(r_rec, q, side="right")
+        counts = end - start
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(len(l)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ri = np.arange(total) - np.repeat(offs, counts) + np.repeat(start, counts)
+        keep = hi[ri] >= ts[li]
+        li, ri = li[keep], ri[keep]
+        out = l.iloc[li].reset_index(drop=True)
+        rsel = r.iloc[ri].reset_index(drop=True)
+        for c in extra:
+            out[c] = rsel[c]
+        return out[out_cols].astype(dtypes)
 
     return lt.union(rt).groupby("_b").map_groups(per_bucket, batch_format="pandas")
 

@@ -182,3 +182,98 @@ def test_cluster_pairs_empty(ray_session):
         )
     )
     assert cluster_pairs(empty).count() == 0
+
+
+def _ij_frames(seed=7, nl=120, nr=80, nk=6):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, nk, nl),
+            "lts": pd.to_datetime(rng.integers(0, 10**6, nl), unit="s"),
+            "lval": np.arange(nl),
+        }
+    )
+    lo = rng.integers(0, 10**6, nr)
+    span = rng.integers(0, 50_000, nr)  # seconds, < max_span below
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, nk, nr),
+            "lo": pd.to_datetime(lo, unit="s"),
+            "hi": pd.to_datetime(lo + span, unit="s"),
+            "rval": np.arange(nr) + 1000,
+        }
+    )
+    return left, right
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+    from brinkray.textproc.joins import interval_join
+
+    left, right = _ij_frames()
+    got = (
+        interval_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            key="k",
+            left_ts="lts",
+            right_lo="lo",
+            right_hi="hi",
+            right_vals=["rval"],
+            max_span=np.timedelta64(50_000, "s"),
+        )
+        .to_pandas()
+        .sort_values(["lval", "rval"])
+        .reset_index(drop=True)
+    )
+    # brute force: cross join per key, closed-interval containment
+    bf = left.merge(right, on="k")
+    bf = bf[(bf["lts"] >= bf["lo"]) & (bf["lts"] <= bf["hi"])]
+    bf = bf.sort_values(["lval", "rval"]).reset_index(drop=True)
+    assert len(got) == len(bf) > 0
+    pd.testing.assert_frame_equal(
+        got[["k", "lval", "rval"]].astype("int64"),
+        bf[["k", "lval", "rval"]].astype("int64"),
+    )
+    # dtype stability despite the null-padded union (the r01 asof miss)
+    assert str(got["lval"].dtype) == "int64"
+    assert str(got["rval"].dtype) == "int64"
+
+
+def test_interval_join_max_span_violation_raises(ray_session):
+    import ray.data as rd
+    from brinkray.textproc.joins import interval_join
+
+    left, right = _ij_frames()
+    with pytest.raises(Exception, match="max_span"):
+        interval_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            key="k",
+            left_ts="lts",
+            right_lo="lo",
+            right_hi="hi",
+            right_vals=["rval"],
+            max_span=np.timedelta64(10, "s"),  # << real spans
+        ).to_pandas()
+
+
+def test_interval_join_empty_right(ray_session):
+    import ray.data as rd
+    from brinkray.textproc.joins import interval_join
+
+    left, right = _ij_frames()
+    out = interval_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right.iloc[:0]),
+        key="k",
+        left_ts="lts",
+        right_lo="lo",
+        right_hi="hi",
+        right_vals=["rval"],
+        max_span=np.timedelta64(50_000, "s"),
+    ).to_pandas()
+    assert len(out) == 0
+    # Ray drops the pandas schema when every output block is empty, so
+    # the column set is either absent entirely or the full output schema
+    assert set(out.columns) in (set(), {"k", "lts", "lval", "lo", "hi", "rval"})

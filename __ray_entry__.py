@@ -543,6 +543,20 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(_ds(sf_dir, "documents"), k=50, by="lang").to_pandas()
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    """Top 3 documents per language by whitespace token count
+    (deterministic: ties broken by ascending doc_id)."""
+    from brinkray.textproc.curation import top_k_per_group
+    from brinkray.textproc.quality import add_token_counts
+
+    docs = add_token_counts(
+        _ds(sf_dir, "documents").select_columns(["doc_id", "lang", "text"])
+    )
+    return top_k_per_group(
+        docs, by="lang", score_col="n_tokens", k=3, id_col="doc_id"
+    ).to_pandas()
+
+
 def _q_heavy_hitters(sf_dir: str):
     from brinkray.textproc.curation import heavy_hitters
 
@@ -898,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination": _q_decontamination,
         "repetition_signals": _q_repetition_signals,
         "stratified_sample_lang": _q_stratified_sample,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "heavy_hitters": _q_heavy_hitters,
         "pack_shards": _q_pack_shards,
         "export_manifest": _q_export_manifest,
@@ -1301,6 +1316,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, row_number() OVER "
             "(PARTITION BY lang ORDER BY md5(text), doc_id) AS rn "
             "FROM documents) WHERE rn <= 50"
+        ),
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, n_tokens FROM ("
+            "SELECT lang, doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "row_number() OVER (PARTITION BY lang ORDER BY "
+            "len(regexp_extract_all(text, '\\S+')) DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
         ),
         "heavy_hitters": (
             "WITH t AS (SELECT "

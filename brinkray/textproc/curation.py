@@ -30,6 +30,7 @@ __all__ = [
     "decontaminate",
     "repetition_signals",
     "stratified_sample",
+    "top_k_per_group",
     "heavy_hitters",
     "pack_shards",
     "write_packed_shards",
@@ -251,6 +252,44 @@ def stratified_sample(docs, k: int, by="lang", text_col="text", id_col="doc_id")
     return (
         docs.select_columns([id_col, by, text_col])
         .map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------ group-wise top-k
+def top_k_per_group(ds, by: str, score_col: str, k: int, id_col: str,
+                    descending: bool = True):
+    """The k rows per ``by`` group with the best ``score_col``
+    (descending by default), ties broken by ascending ``id_col`` —
+    fully deterministic, the curation primitive behind "keep the k
+    highest-quality documents per domain/language".
+
+    Scale shape (same as stratified_sample): each batch first keeps
+    only its LOCAL top-k per group, so the one groupby shuffle moves
+    <= k * groups_per_batch rows instead of the corpus; the final
+    per-group take is a vectorized sort+head. Hot-group skew is
+    bounded by the pre-prune: a group's shuffle share is k per input
+    block no matter how many rows it has.
+    """
+    cols = [by, score_col, id_col]
+    asc = [not descending, True]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        df = (
+            df.sort_values([score_col, id_col], ascending=asc, kind="mergesort")
+            .groupby(by, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([score_col, id_col], ascending=asc, kind="mergesort")
+        return g.head(k)[cols]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(by)
         .map_groups(final, batch_format="pandas")
     )

@@ -248,3 +248,42 @@ def test_cluster_components_chain(ray_session):
     out = cluster_pairs(rd.from_arrow(edges)).to_pandas()
     assert len(out) == 100
     assert set(out["cluster"]) == {0}
+
+
+def test_top_k_per_group_matches_bruteforce(ray_session):
+    """Partial per-batch prune + final groupby must equal a global
+    window-rank, including ties (broken by ascending id) and groups
+    smaller than k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from brinkray.textproc.curation import top_k_per_group
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 7, n),          # group 6 will be tiny
+            "score": rng.integers(0, 20, n),     # heavy ties
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    df = df[~((df["g"] == 6) & (df["id"] > 5))]  # group 6: <= k rows
+    ds = rd.from_pandas(df).repartition(8)       # force multi-batch partials
+    got = (
+        top_k_per_group(ds, by="g", score_col="score", k=4, id_col="id")
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["score", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(4)
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)[["g", "score", "id"]]
+    )
+    pd.testing.assert_frame_equal(
+        got[["g", "score", "id"]].astype("int64"), want.astype("int64")
+    )

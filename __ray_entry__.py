@@ -557,6 +557,12 @@ def _q_top_docs_per_lang(sf_dir: str):
     ).to_pandas()
 
 
+def _q_tf_df_scores(sf_dir: str):
+    from brinkray.textproc.curation import tf_df_scores
+
+    return tf_df_scores(_ds(sf_dir, "documents")).to_pandas()
+
+
 def _q_heavy_hitters(sf_dir: str):
     from brinkray.textproc.curation import heavy_hitters
 
@@ -913,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": _q_repetition_signals,
         "stratified_sample_lang": _q_stratified_sample,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "tf_df_scores": _q_tf_df_scores,
         "heavy_hitters": _q_heavy_hitters,
         "pack_shards": _q_pack_shards,
         "export_manifest": _q_export_manifest,
@@ -1316,6 +1323,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, row_number() OVER "
             "(PARTITION BY lang ORDER BY md5(text), doc_id) AS rn "
             "FROM documents) WHERE rn <= 50"
+        ),
+        "tf_df_scores": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM t GROUP BY doc_id, token), "
+            "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY token) "
+            "SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "CAST((tf.tf * 1000000) // df.df AS BIGINT) AS tfidf_ppm "
+            "FROM tf JOIN df USING (token)"
         ),
         "top_docs_per_lang": (
             "SELECT lang, doc_id, n_tokens FROM ("

@@ -287,3 +287,33 @@ def test_top_k_per_group_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got[["g", "score", "id"]].astype("int64"), want.astype("int64")
     )
+
+
+def test_tf_df_scores_handworked(ray_session):
+    """tf, df and the rational-exact ppm score on a hand-worked corpus."""
+    import pandas as pd
+    import ray.data as rd
+
+    from brinkray.textproc.curation import tf_df_scores
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["cat cat dog", "dog fish", "CAT! fish fish fish"], pa.string()
+            ),
+        }
+    )
+    out = (
+        tf_df_scores(rd.from_arrow(docs).repartition(3))
+        .to_pandas()
+        .set_index(["doc_id", "token"])
+    )
+    # df: cat=2 (docs 1,3 — case-folded), dog=2, fish=2
+    assert out.loc[(1, "cat"), "tf"] == 2
+    assert out.loc[(1, "cat"), "df"] == 2
+    assert out.loc[(1, "cat"), "tfidf_ppm"] == 1_000_000  # 2*1e6 // 2
+    assert out.loc[(3, "fish"), "tf"] == 3
+    assert out.loc[(3, "fish"), "tfidf_ppm"] == 1_500_000  # 3*1e6 // 2
+    assert out.loc[(2, "dog"), "tfidf_ppm"] == 500_000  # 1*1e6 // 2
+    assert len(out) == 6  # (1,cat)(1,dog)(2,dog)(2,fish)(3,cat)(3,fish)

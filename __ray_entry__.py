@@ -666,6 +666,20 @@ def _q_token_length_percentiles(sf_dir: str):
     return token_length_percentiles(_ds(sf_dir, "documents"))
 
 
+def _q_cms_heavy_hitter_counts(sf_dir: str):
+    """Count-min estimates for the corpus's exact top-20 tokens. The
+    probe set comes from the SQL-certified exact sibling
+    (heavy_hitters), so the whole row set is deterministic; the CMS
+    estimate itself is non-SQL (keyed blake2b + fixed row params) —
+    rows-only driver check, overestimate bound pinned in pytest."""
+    from brinkray.textproc.curation import heavy_hitters
+    from brinkray.textproc.sketch import cms_token_counts
+
+    docs = _ds(sf_dir, "documents")
+    probe = heavy_hitters(docs, k=20).to_pandas()["token"].tolist()
+    return cms_token_counts(docs, probe).to_pandas()
+
+
 def _q_distinct_tokens_exact(sf_dir: str):
     from brinkray.textproc.sketch import distinct_tokens_exact
 
@@ -930,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_length_percentiles": _q_token_length_percentiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
+        "cms_heavy_hitter_counts": _q_cms_heavy_hitter_counts,
         "cluster_components_exact": _q_cluster_components_exact,
         # multimodal decode (actor-pool stage, real BMP/WAV/video codecs)
         "media_features": _q_media_features,

@@ -24,7 +24,12 @@ import pyarrow as pa
 
 from .hashing import tokens_of
 
-__all__ = ["hll_distinct_tokens", "distinct_tokens_exact", "hll_estimate"]
+__all__ = [
+    "hll_distinct_tokens",
+    "distinct_tokens_exact",
+    "hll_estimate",
+    "cms_token_counts",
+]
 
 
 def _hash_tokens_u64(tokens: list[str]) -> np.ndarray:
@@ -127,3 +132,82 @@ def distinct_tokens_exact(docs, text_col="text"):
         .count()  # rows in the aggregated vocabulary = distinct tokens
     )
     return rd.from_arrow(pa.table({"n": pa.array([int(n)], pa.int64())}))
+
+
+# ------------------------------------------------------- count-min sketch
+_CMS_RNG = np.random.default_rng(0xC0117)  # fixed: row params are the format
+_CMS_MAX_D = 8
+_CMS_A = _CMS_RNG.integers(1, (1 << 61) - 1, size=_CMS_MAX_D, dtype=np.uint64) | np.uint64(1)
+_CMS_B = _CMS_RNG.integers(0, (1 << 61) - 1, size=_CMS_MAX_D, dtype=np.uint64)
+_M61 = np.uint64((1 << 61) - 1)
+
+
+def _cms_buckets(h: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, len(h)) bucket indices: row-j bucket of each uint64 hash via
+    pairwise-independent (a*h + b) mod M61 mod w, all vectorized."""
+    out = np.empty((d, len(h)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(d):
+            mixed = (h * _CMS_A[j] + _CMS_B[j]) % _M61
+            out[j] = (mixed % np.uint64(w)).astype(np.int64)
+    return out
+
+
+def cms_token_counts(docs, probe_tokens: list[str], d: int = 4, w: int = 8192,
+                     text_col="text"):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) estimate of each
+    probe token's TOTAL occurrence count — "how often does this token
+    appear in 100 TB" without shuffling the token stream. Guarantees
+    estimate >= true count always, and <= true + eps*N (eps = e/w)
+    with prob 1 - delta (delta = e^-d) — the pytest pins both sides.
+
+    Scale shape (the HLL pattern): per-batch token counts fold into a
+    local d x w counter table (np.add.at — counters are sums, so
+    partials MERGE exactly); the one groupby moves <= d*w (cell, sum)
+    rows per block; the driver probes a constant-size table. Keyed
+    blake2b token hashes + fixed row params make the estimate
+    bit-stable across runs, block layouts and cluster sizes — the
+    exact sibling (``heavy_hitters``) is the SQL-certified oracle.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if d > _CMS_MAX_D:
+        raise ValueError(f"d <= {_CMS_MAX_D}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t[text_col].to_pylist():
+            toks.extend(tokens_of(x))
+        if not toks:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        h = _hash_tokens_u64(toks)
+        bk = _cms_buckets(h, d, w)  # (d, n)
+        cells = (np.arange(d, dtype=np.int64)[:, None] * w + bk).ravel()
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    merged = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # <= d*w rows regardless of corpus size
+    table = np.zeros(d * w, dtype=np.int64)
+    for r in merged:
+        table[int(r["cell"])] = int(r["n"])
+    table = table.reshape(d, w)
+    ph = _hash_tokens_u64(list(probe_tokens))
+    pb = _cms_buckets(ph, d, w)  # (d, n_probe)
+    est = table[np.arange(d)[:, None], pb].min(axis=0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(list(probe_tokens), pa.string()),
+                "n_est": pa.array(est.astype(np.int64), pa.int64()),
+            }
+        )
+    )

@@ -57,3 +57,55 @@ def test_hll_deterministic_across_block_layouts(ray_session):
         hll_distinct_tokens(_docs(texts).repartition(17)).to_pandas()["n_estimate"][0]
     )
     assert a == b
+
+
+def test_cms_overestimates_and_is_tight(ray_session):
+    """CMS never undercounts; at w=8192 over a small corpus the
+    estimate for every probed token is exact (no collisions bite)."""
+    import collections
+
+    import ray.data as rd
+
+    from brinkray.textproc.hashing import tokens_of
+    from brinkray.textproc.sketch import cms_token_counts
+
+    texts = [
+        "the cat sat on the mat the end",
+        "a dog and a cat and a fish",
+        "the quick brown fox jumps over the lazy dog",
+    ] * 20
+    exact = collections.Counter(
+        tok for x in texts for tok in tokens_of(x)
+    )
+    docs = rd.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(6)
+    probe = ["the", "cat", "dog", "a", "fox"]
+    out = (
+        cms_token_counts(docs, probe)
+        .to_pandas()
+        .set_index("token")["n_est"]
+    )
+    for tok in probe:
+        assert out[tok] >= exact[tok], tok  # CMS never undercounts
+        assert out[tok] <= exact[tok] + 5, tok  # tight at this w
+
+
+def test_cms_layout_determinism(ray_session):
+    """Identical estimates across block layouts (merge is exact)."""
+    import ray.data as rd
+
+    from brinkray.textproc.sketch import cms_token_counts
+
+    texts = ["alpha beta gamma beta"] * 17 + ["gamma delta"] * 5
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    probe = ["alpha", "beta", "gamma", "delta"]
+    a = (
+        cms_token_counts(rd.from_arrow(tbl).repartition(1), probe)
+        .to_pandas()["n_est"].tolist()
+    )
+    b = (
+        cms_token_counts(rd.from_arrow(tbl).repartition(9), probe)
+        .to_pandas()["n_est"].tolist()
+    )
+    assert a == b == [17, 34, 22, 5]

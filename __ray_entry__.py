@@ -492,6 +492,18 @@ def _q_interval_join(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    from brinkray.textproc.joins import revenue_by_nation
+
+    out = revenue_by_nation(
+        _ds(sf_dir, "orders"),
+        _ds(sf_dir, "customer"),
+        _ds(sf_dir, "nation"),
+        num_partitions=8,
+    ).to_pandas()
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def _q_dedup_clusters(sf_dir: str):
     from brinkray.textproc.dedup import minhash_lsh_pairs
     from brinkray.textproc.joins import cluster_pairs
@@ -678,6 +690,27 @@ def _q_cms_heavy_hitter_counts(sf_dir: str):
     docs = _ds(sf_dir, "documents")
     probe = heavy_hitters(docs, k=20).to_pandas()["token"].tolist()
     return cms_token_counts(docs, probe).to_pandas()
+
+
+def _q_totalprice_quantiles(sf_dir: str):
+    """Exact quantile_disc of o_totalprice (~all-distinct doubles) via
+    distributed range refinement — the returned floats are ELEMENTS of
+    the input column, so the hash compare vs DuckDB is exact."""
+    from brinkray.textproc.sketch import exact_float_quantiles
+
+    return exact_float_quantiles(
+        _ds(sf_dir, "orders"), "o_totalprice", cap=10_000
+    )
+
+
+def _q_ngram_novelty_shuffled(sf_dir: str):
+    """Shuffle-join path of ngram_novelty (no broadcast shared set) —
+    certified against the same SQL twin as the broadcast path."""
+    from brinkray.textproc.curation import ngram_novelty_shuffled
+
+    return ngram_novelty_shuffled(
+        _ds(sf_dir, "documents"), num_partitions=8
+    ).to_pandas()
 
 
 def _q_distinct_tokens_exact(sf_dir: str):
@@ -938,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_shards": _q_pack_shards,
         "export_manifest": _q_export_manifest,
         "ngram_novelty": _q_ngram_novelty,
+        "ngram_novelty_shuffled": _q_ngram_novelty_shuffled,
         # web-corpus cleaning (paragraph dedup / PII / exact percentiles)
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -945,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_heavy_hitter_counts": _q_cms_heavy_hitter_counts,
+        "totalprice_quantiles": _q_totalprice_quantiles,
         "cluster_components_exact": _q_cluster_components_exact,
         # multimodal decode (actor-pool stage, real BMP/WAV/video codecs)
         "media_features": _q_media_features,
@@ -955,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": _q_event_sessions,
         "asof_join_events_orders": _q_asof_join,
         "interval_join_events_orders": _q_interval_join,
+        "revenue_by_nation": _q_revenue_by_nation,
         "dedup_clusters": _q_dedup_clusters,
         # the crawl engine itself (non-SQL-expressible: stateful wave loop)
         "crawl_seen_set": _q_crawl_seen,
@@ -1035,6 +1071,14 @@ _CRAWL_CTE = _CRAWL_CTE_TEMPLATE.format(path=_CRAWL_PAGES_PATH)
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # the shuffle-join novelty path computes the identical quantity —
+    # it shares the broadcast path's twin verbatim
+    d["ngram_novelty_shuffled"] = d["ngram_novelty"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         "distinct_users_per_event_type": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
@@ -1095,6 +1139,13 @@ def oracle_sql() -> dict[str, str]:
             "AND e.ts >= o.o_orderdate "
             "AND e.ts <= o.o_orderdate + INTERVAL 7 DAY "
             "ORDER BY e.event_id, o.o_orderkey"
+        ),
+        "revenue_by_nation": (
+            "SELECT n.n_name, CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS "
+            "BIGINT)) AS BIGINT) AS total_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name ORDER BY n.n_name"
         ),
         "quality_basic": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_chars, "
@@ -1338,6 +1389,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, row_number() OVER "
             "(PARTITION BY lang ORDER BY md5(text), doc_id) AS rn "
             "FROM documents) WHERE rn <= 50"
+        ),
+        "totalprice_quantiles": (
+            "WITH t AS (SELECT o_totalprice AS v FROM orders) "
+            + " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"quantile_disc(v, {q}) AS value FROM t"
+                for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+            )
         ),
         "tf_df_scores": (
             "WITH t AS (SELECT doc_id, "

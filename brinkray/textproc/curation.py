@@ -35,6 +35,7 @@ __all__ = [
     "pack_shards",
     "write_packed_shards",
     "ngram_novelty",
+    "ngram_novelty_shuffled",
     "tf_df_scores",
 ]
 
@@ -521,6 +522,87 @@ def ngram_novelty(docs, k: int = SHINGLE_K, text_col="text", id_col="doc_id"):
     return docs.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def ngram_novelty_shuffled(docs, k: int = SHINGLE_K, text_col="text",
+                           id_col="doc_id", num_partitions: int = 32):
+    """``ngram_novelty`` for boilerplate-heavy corpora where the
+    shared-shingle set is too large to broadcast: the (doc_id, shingle
+    hash) stream is hash-joined (Ray's native shuffle ``Dataset.join``)
+    to the >=2-doc shingle set instead — nothing corpus-scale ever
+    reaches the driver or a single task. Three exchanges total
+    (count-per-hash, rows⋈shared, count-per-doc), each partitioned by
+    ``num_partitions`` (size ~4x cluster CPUs at scale). Same output
+    as ``ngram_novelty``; equality is pinned in pytest and both modes
+    share the SQL twin.
+    """
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        per_doc = [np.unique(shingle_hashes(x, k)) for x in t[text_col].to_pylist()]
+        n = np.array([len(u) for u in per_doc], dtype=np.int64)
+        h = np.concatenate(per_doc) if per_doc else np.array([], dtype=np.uint64)
+        # int64 view: the native hash join mangles uint64 key columns
+        # (one side arrives as a pickled-object extension type)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n), pa.int64()),
+                "h": pa.array(h.view(np.int64), pa.int64()),
+            }
+        )
+
+    base = docs.select_columns([id_col, text_col])
+    rows = base.map_batches(explode_pairs, batch_format="pyarrow")
+
+    def keep_shared(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["count()"], 2)).select(["h"])
+
+    shared = rows.groupby("h").count().map_batches(
+        keep_shared, batch_format="pyarrow"
+    )
+    n_shared = (
+        rows.join(shared, join_type="inner", num_partitions=num_partitions,
+                  on=("h",))
+        .groupby("doc_id")
+        .count()
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        n = np.array(
+            [len(np.unique(shingle_hashes(x, k))) for x in t[text_col].to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "n_shingles": pa.array(n, pa.int64())}
+        )
+
+    out = base.map_batches(totals, batch_format="pyarrow").join(
+        n_shared,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ns = pc.cast(pc.coalesce(t["count()"], pa.scalar(0)), pa.int64())
+        n = t["n_shingles"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_shingles": n,
+                "n_shared": ns,
+                "shared_frac": pc.divide(
+                    pc.cast(ns, pa.float64()), pc.cast(n, pa.float64())
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- tf / df

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["asof_join", "interval_join", "cluster_pairs"]
+__all__ = ["asof_join", "interval_join", "revenue_by_nation", "cluster_pairs"]
 
 
 def asof_join(
@@ -252,6 +252,60 @@ def interval_join(
         return out[out_cols].astype(dtypes)
 
     return lt.union(rt).groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+def revenue_by_nation(orders_ds, customer_ds, nation_ds, num_partitions: int = 32):
+    """Total order revenue per nation — the classic star-schema
+    aggregation, built on Ray Data's NATIVE hash-shuffle join
+    (``Dataset.join``, hash-partitioned on the key) for the big⋈big
+    side and a broadcast map for the tiny dimension:
+
+    * orders ⋈ customer on custkey — both sides corpus-scale, so this
+      is the genuine shuffle join (``num_partitions`` sizes the
+      exchange; at cluster scale set it ~4x cluster CPUs);
+    * revenue is summed as int64 CENTS before the groupby (fixed-point
+      => associative => bit-reproducible distributed Sum, the
+      windowed-sums rule);
+    * nation (25 rows) is joined by broadcast dict inside map_batches,
+      never shuffled.
+
+    Returns (n_name, total_cents), one row per nation with orders.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({"custkey": t["o_custkey"], "cents": cents})
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"custkey": t["c_custkey"], "nationkey": t["c_nationkey"]})
+
+    joined = orders_ds.map_batches(orders_prep, batch_format="pyarrow").join(
+        customer_ds.map_batches(cust_prep, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("custkey",),
+    )
+    per_nation = joined.groupby("nationkey").aggregate(
+        Sum("cents", alias_name="total_cents")
+    )
+    names = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nation_ds.select_columns(["n_nationkey", "n_name"]).take_all()
+    }
+
+    def add_name(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [names[int(k)] for k in t["nationkey"].to_pylist()], pa.string()
+                ),
+                "total_cents": t["total_cents"],
+            }
+        )
+
+    return per_nation.map_batches(add_name, batch_format="pyarrow")
 
 
 def cluster_pairs(pairs_ds, max_rounds: int = 30):

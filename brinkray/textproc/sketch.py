@@ -29,6 +29,7 @@ __all__ = [
     "distinct_tokens_exact",
     "hll_estimate",
     "cms_token_counts",
+    "exact_float_quantiles",
 ]
 
 
@@ -210,4 +211,165 @@ def cms_token_counts(docs, probe_tokens: list[str], d: int = 4, w: int = 8192,
                 "n_est": pa.array(est.astype(np.int64), pa.int64()),
             }
         )
+    )
+
+
+# ------------------------------------------- exact float quantiles
+def _f64_sortkey(x: np.ndarray) -> np.ndarray:
+    """Order-preserving IEEE-double -> uint64 transform (standard bit
+    trick: flip the sign bit for non-negatives, complement everything
+    for negatives) — lets range/bucket logic on doubles run in exact
+    integer space."""
+    b = x.astype(np.float64).view(np.int64)
+    mask = np.where(b < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(1) << np.uint64(63))
+    return b.view(np.uint64) ^ mask
+
+
+def _f64_sortkey_inv(u: np.ndarray) -> np.ndarray:
+    """Inverse of _f64_sortkey."""
+    u = u.astype(np.uint64)
+    neg = u < (np.uint64(1) << np.uint64(63))
+    mask = np.where(neg, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(1) << np.uint64(63))
+    return (u ^ mask).view(np.int64).view(np.float64)
+
+
+def exact_float_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                          cap: int = 100_000):
+    """EXACT quantile_disc of a float64 column (1-based rank
+    ``max(1, ceil(q*n))`` over the sorted multiset, DuckDB semantics)
+    — for columns where values are ~all distinct, so the (value,
+    count) histogram trick (token_length_percentiles) would itself be
+    corpus-sized.
+
+    Scale shape: iterative range refinement in order-preserving uint64
+    key space. Each round is ONE streaming pass emitting per-batch
+    (q_idx, bucket, count) partials over 4096 buckets per still-open
+    quantile — a constant-size groupby — after which each target
+    rank's range narrows 4096x. When a range's row count <= ``cap``
+    the final pass gathers just those rows (expected n/4096^rounds)
+    and takes the exact rank. log_4096(n) + 1 passes total (3 passes
+    at 10^12 rows); the driver never holds more than ``cap`` values
+    per quantile. NaNs/nulls are excluded (SQL NULL semantics); the
+    returned value is an ELEMENT of the input, so the float is
+    hash-exact against the SQL twin.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    BUCKET_BITS = 12
+    NB = 1 << BUCKET_BITS
+
+    base = ds.select_columns([col])
+
+    def clean(t: pa.Table) -> np.ndarray:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return v[~np.isnan(v)]
+
+    # total non-null count (one metadata-cheap pass)
+    def count_batch(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([len(clean(t))], pa.int64())})
+
+    n = 0
+    for row in base.map_batches(count_batch, batch_format="pyarrow").iter_rows():
+        n += int(row["n"])
+    if n == 0:
+        return pd.DataFrame({"q": np.array(qs, np.float64),
+                             "value": np.full(len(qs), np.nan)})
+
+    # state per quantile: open key range [lo, hi), rank within range
+    import math
+
+    state = []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))  # 1-based global rank
+        state.append({"lo": np.uint64(0), "hi": np.uint64(0xFFFFFFFFFFFFFFFF),
+                      "rank": rank, "count": n, "value": None})
+    # hi is inclusive-top sentinel; ranges are [lo, hi]
+    max_rounds = 7  # 4096^6 > 2^64: always terminates
+    for _ in range(max_rounds):
+        open_idx = [i for i, s in enumerate(state)
+                    if s["value"] is None and s["count"] > cap]
+        if not open_idx:
+            break
+        spans = {}
+        for i in open_idx:
+            s = state[i]
+            width = int(s["hi"]) - int(s["lo"]) + 1
+            step = max(1, (width + NB - 1) // NB)
+            spans[i] = (int(s["lo"]), int(s["hi"]), step)
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = clean(t)
+            k = _f64_sortkey(v).astype(np.uint64)
+            qi, bk, ct = [], [], []
+            for i, (lo, hi, step) in spans.items():
+                m = (k >= np.uint64(lo)) & (k <= np.uint64(hi))
+                if not m.any():
+                    continue
+                b = ((k[m] - np.uint64(lo)) // np.uint64(step)).astype(np.int64)
+                u, c = np.unique(b, return_counts=True)
+                qi.extend([i] * len(u))
+                bk.extend(u.tolist())
+                ct.extend(c.astype(np.int64).tolist())
+            return pa.table({"qi": pa.array(qi, pa.int64()),
+                             "bk": pa.array(bk, pa.int64()),
+                             "n": pa.array(ct, pa.int64())})
+
+        merged = (
+            base.map_batches(hist, batch_format="pyarrow")
+            .groupby(["qi", "bk"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        for i in open_idx:
+            s = state[i]
+            lo, hi, step = spans[i]
+            sub = merged[merged["qi"] == i].sort_values("bk")
+            cum = sub["n"].cumsum().to_numpy()
+            pos = int(np.searchsorted(cum, s["rank"]))
+            b = int(sub["bk"].to_numpy()[pos])
+            prev = int(cum[pos - 1]) if pos else 0
+            s["rank"] -= prev
+            s["count"] = int(sub["n"].to_numpy()[pos])
+            s["lo"] = np.uint64(lo + b * step)
+            s["hi"] = np.uint64(min(hi, lo + (b + 1) * step - 1))
+            if s["lo"] == s["hi"]:
+                # range is a single key: decode it — no gather needed
+                # even if that one value repeats a billion times
+                s["value"] = float(_f64_sortkey_inv(np.array([s["lo"]],
+                                                             np.uint64))[0])
+
+    # final gather: ranges are small now — collect values per open q
+    open_idx = [i for i, s in enumerate(state) if s["value"] is None]
+    if open_idx:
+        franges = {i: (int(state[i]["lo"]), int(state[i]["hi"])) for i in open_idx}
+
+        def gather(t: pa.Table) -> pa.Table:
+            v = clean(t)
+            k = _f64_sortkey(v).astype(np.uint64)
+            qi, vals = [], []
+            for i, (lo, hi) in franges.items():
+                m = (k >= np.uint64(lo)) & (k <= np.uint64(hi))
+                if m.any():
+                    qi.extend([i] * int(m.sum()))
+                    vals.extend(v[m].tolist())
+            return pa.table({"qi": pa.array(qi, pa.int64()),
+                             "v": pa.array(vals, pa.float64())})
+
+        got = base.map_batches(gather, batch_format="pyarrow").to_pandas()
+        for i in open_idx:
+            s = state[i]
+            vals = np.sort(got[got["qi"] == i]["v"].to_numpy())
+            if len(vals) != s["count"]:
+                raise RuntimeError(
+                    f"exact_float_quantiles: gathered {len(vals)} values "
+                    f"but histogram counted {s['count']} — passes disagree"
+                )
+            s["value"] = float(vals[s["rank"] - 1])
+
+    return pd.DataFrame(
+        {
+            "q": np.array(qs, np.float64),
+            "value": np.array([s["value"] for s in state], np.float64),
+        }
     )

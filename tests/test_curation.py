@@ -317,3 +317,39 @@ def test_tf_df_scores_handworked(ray_session):
     assert out.loc[(3, "fish"), "tfidf_ppm"] == 1_500_000  # 3*1e6 // 2
     assert out.loc[(2, "dog"), "tfidf_ppm"] == 500_000  # 1*1e6 // 2
     assert len(out) == 6  # (1,cat)(1,dog)(2,dog)(2,fish)(3,cat)(3,fish)
+
+
+def test_ngram_novelty_shuffled_equals_broadcast(ray_session):
+    """The shuffle-join path must produce exactly the broadcast path's
+    rows on a boilerplate-heavy corpus (including zero-shared docs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from brinkray.textproc.curation import ngram_novelty, ngram_novelty_shuffled
+
+    boiler = "all rights reserved copyright footer two thousand"
+    texts = [f"unique document {i} words alpha beta {boiler}" for i in range(30)]
+    texts += ["totally singular text with no shared shingles at all xyzzy"]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(5)
+    a = (
+        ngram_novelty(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_novelty_shuffled(docs, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[a.columns]
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_shared"] > 0).sum() == 30  # boilerplate detected
+    assert a[a["doc_id"] == 30]["n_shared"].iloc[0] == 0

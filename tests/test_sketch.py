@@ -109,3 +109,45 @@ def test_cms_layout_determinism(ray_session):
         .to_pandas()["n_est"].tolist()
     )
     assert a == b == [17, 34, 22, 5]
+
+
+def test_exact_float_quantiles_matches_duckdb(ray_session):
+    """Range refinement must reproduce quantile_disc exactly on
+    all-distinct doubles, including with a cap that forces multiple
+    refinement rounds."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from brinkray.textproc.sketch import exact_float_quantiles
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(5000) * 1e4  # positives and negatives
+    tbl = pa.table({"x": pa.array(v, pa.float64())})
+    qs = (0.01, 0.25, 0.5, 0.9, 0.999)
+    got = exact_float_quantiles(
+        rd.from_arrow(tbl).repartition(7), "x", qs=qs, cap=50
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    for q, val in zip(got["q"], got["value"]):
+        want = con.execute(
+            f"SELECT quantile_disc(x, {q}) FROM t"
+        ).fetchone()[0]
+        assert val == want, (q, val, want)
+
+
+def test_exact_float_quantiles_heavy_duplicate(ray_session):
+    """A value repeated far beyond cap must resolve via single-key
+    decode, never a corpus-scale gather."""
+    import numpy as np
+    import ray.data as rd
+
+    v = np.concatenate([np.full(4000, 7.25), np.array([1.0, 2.0, 99.0])])
+    tbl = pa.table({"x": pa.array(v, pa.float64())})
+    from brinkray.textproc.sketch import exact_float_quantiles
+
+    got = exact_float_quantiles(
+        rd.from_arrow(tbl).repartition(5), "x", qs=(0.5,), cap=10
+    )
+    assert got["value"].iloc[0] == 7.25

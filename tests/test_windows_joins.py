@@ -277,3 +277,48 @@ def test_interval_join_empty_right(ray_session):
     # Ray drops the pandas schema when every output block is empty, so
     # the column set is either absent entirely or the full output schema
     assert set(out.columns) in (set(), {"k", "lts", "lval", "lo", "hi", "rval"})
+
+
+def test_revenue_by_nation_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from brinkray.textproc.joins import revenue_by_nation
+
+    rng = np.random.default_rng(9)
+    orders = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(1, 30, 200),
+            "o_totalprice": (rng.integers(100, 10**6, 200) / 100.0),
+        }
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": np.arange(1, 30), "c_nationkey": np.arange(1, 30) % 5}
+    )
+    nation = pd.DataFrame(
+        {"n_nationkey": np.arange(5), "n_name": [f"NATION_{i}" for i in range(5)]}
+    )
+    got = (
+        revenue_by_nation(
+            rd.from_pandas(orders).repartition(4),
+            rd.from_pandas(customer),
+            rd.from_arrow(pa.Table.from_pandas(nation)),
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    merged = orders.merge(customer, left_on="o_custkey", right_on="c_custkey")
+    merged["cents"] = (merged["o_totalprice"] * 100).round().astype("int64")
+    want = (
+        merged.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .groupby("n_name", as_index=False)["cents"]
+        .sum()
+        .rename(columns={"cents": "total_cents"})
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"total_cents": "int64"}), want.astype({"total_cents": "int64"})
+    )

@@ -672,6 +672,31 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(docs).to_pandas()
 
 
+def _q_customers_without_orders(sf_dir: str):
+    """Anti-join (NOT EXISTS): customers with no HIGH-VALUE order
+    (totalprice > 300k — every customer has some order in this data,
+    so the unrestricted anti-join would be vacuous)."""
+    from brinkray.textproc.joins import anti_join
+
+    big = _ds(sf_dir, "orders").filter(
+        expr="o_totalprice > 300000.0"
+    ).select_columns(["o_custkey"])
+    out = anti_join(
+        _ds(sf_dir, "customer").select_columns(["c_custkey"]),
+        big,
+        on="c_custkey",
+        right_on="o_custkey",
+        num_partitions=8,
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_grouped_token_quantiles(sf_dir: str):
+    from brinkray.textproc.webclean import grouped_token_quantiles
+
+    return grouped_token_quantiles(_ds(sf_dir, "documents"))
+
+
 def _q_token_length_percentiles(sf_dir: str):
     from brinkray.textproc.webclean import token_length_percentiles
 
@@ -976,6 +1001,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_scrub": _q_pii_scrub,
         "token_length_percentiles": _q_token_length_percentiles,
+        "customers_without_orders": _q_customers_without_orders,
+        "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_heavy_hitter_counts": _q_cms_heavy_hitter_counts,
@@ -1396,6 +1423,21 @@ def _oracle_sql_dict() -> dict[str, str]:
                 f"SELECT CAST({q} AS DOUBLE) AS q, "
                 f"quantile_disc(v, {q}) AS value FROM t"
                 for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+            )
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 300000.0) ORDER BY c_custkey"
+        ),
+        "grouped_token_quantiles": (
+            "WITH t AS (SELECT lang, "
+            "len(regexp_extract_all(text, '\\S+')) AS n FROM documents) "
+            + " UNION ALL ".join(
+                f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(n, {q}) AS BIGINT) AS n_tokens "
+                "FROM t GROUP BY lang"
+                for q in (0.5, 0.9)
             )
         ),
         "tf_df_scores": (

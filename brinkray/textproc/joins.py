@@ -20,7 +20,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["asof_join", "interval_join", "revenue_by_nation", "cluster_pairs"]
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "revenue_by_nation",
+    "anti_join",
+    "cluster_pairs",
+]
 
 
 def asof_join(
@@ -306,6 +312,41 @@ def revenue_by_nation(orders_ds, customer_ds, nation_ds, num_partitions: int = 3
         )
 
     return per_nation.map_batches(add_name, batch_format="pyarrow")
+
+
+def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              num_partitions: int = 32):
+    """Left rows with NO match in ``right_ds`` (SQL NOT EXISTS) —
+    distributed: the right side is reduced to its distinct keys plus a
+    presence marker (``unique`` — one shuffle over keys only, never
+    right payloads), hash-joined LEFT OUTER via the native
+    ``Dataset.join``, and rows whose marker survived are dropped.
+    The decontamination/"not yet crawled" primitive as a standalone
+    relational operator."""
+    import pyarrow.compute as pc
+
+    right_on = right_on or on
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {on: t[right_on], "_present": pa.array([1] * t.num_rows, pa.int8())}
+        )
+
+    # distributed distinct (groupby — never a driver-side unique())
+    keys = (
+        right_ds.select_columns([right_on])
+        .groupby(right_on)
+        .count()
+        .map_batches(mark, batch_format="pyarrow")
+    )
+    joined = left_ds.join(
+        keys, join_type="left_outer", num_partitions=num_partitions, on=(on,)
+    )
+
+    def only_missing(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["_present"])).drop_columns(["_present"])
+
+    return joined.map_batches(only_missing, batch_format="pyarrow")
 
 
 def cluster_pairs(pairs_ds, max_rounds: int = 30):

@@ -45,6 +45,7 @@ __all__ = [
     "paragraph_dedup",
     "pii_scrub",
     "token_length_percentiles",
+    "grouped_token_quantiles",
     "EMAIL_RE",
     "IPV4_RE",
 ]
@@ -238,3 +239,51 @@ def token_length_percentiles(docs, qs=(0.25, 0.5, 0.75, 0.9, 0.99), text_col="te
         out_q.append(float(q))
         out_v.append(int(vals[idx]))
     return pd.DataFrame({"q": np.array(out_q, dtype=np.float64), "n_tokens": np.array(out_v, dtype=np.int64)})
+
+
+def grouped_token_quantiles(docs, by="lang", qs=(0.5, 0.9), text_col="text"):
+    """EXACT per-group percentiles of the whitespace token count —
+    ``token_length_percentiles`` partitioned by ``by`` (per-language
+    length medians are the standard corpus-mix diagnostic). Same
+    distributed-histogram shape: per-batch (group, value, count)
+    partials, ONE groupby sum, and a driver-side rank walk over the
+    merged histogram, whose size is bounded by groups x distinct
+    values (languages x plausible doc lengths), never the corpus.
+    Returns (``by``, q, n_tokens) with DuckDB quantile_disc rank
+    semantics (1-based ``max(1, ceil(q*n))``)."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = np.array([len(x.split()) for x in t[text_col].to_pylist()], dtype=np.int64)
+        df = pd.DataFrame({by: t[by].to_pandas(), "n_tokens": n})
+        g = df.groupby([by, "n_tokens"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        docs.select_columns([by, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([by, "n_tokens"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out_g, out_q, out_v = [], [], []
+    for gval, sub in hist.groupby(by, sort=True):
+        sub = sub.sort_values("n_tokens")
+        cum = sub["cnt"].cumsum().to_numpy()
+        vals = sub["n_tokens"].to_numpy()
+        n = int(cum[-1])
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            out_g.append(gval)
+            out_q.append(float(q))
+            out_v.append(int(vals[int(np.searchsorted(cum, rank))]))
+    return pd.DataFrame(
+        {
+            by: out_g,
+            "q": np.array(out_q, np.float64),
+            "n_tokens": np.array(out_v, np.int64),
+        }
+    )

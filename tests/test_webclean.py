@@ -163,3 +163,28 @@ def test_percentiles_match_duckdb_quantile_disc(ray_session, n):
         assert v == want, (q, v, want)
     assert str(got["q"].dtype) == "float64"
     assert str(got["n_tokens"].dtype) == "int64"
+
+
+def test_grouped_token_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from brinkray.textproc.webclean import grouped_token_quantiles
+
+    rng = np.random.default_rng(13)
+    langs = rng.choice(["en", "de", "fr"], 400)
+    texts = [" ".join(["w"] * int(n)) for n in rng.integers(1, 200, 400)]
+    tbl = pa.table({"lang": pa.array(langs), "text": pa.array(texts)})
+    got = grouped_token_quantiles(
+        rd.from_arrow(tbl).repartition(6), qs=(0.1, 0.5, 0.95)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    for _, row in got.iterrows():
+        want = con.execute(
+            "SELECT quantile_disc(len(string_split(text, ' ')), ?) FROM t "
+            "WHERE lang = ?",
+            [row["q"], row["lang"]],
+        ).fetchone()[0]
+        assert row["n_tokens"] == want, (row["lang"], row["q"])

@@ -322,3 +322,26 @@ def test_revenue_by_nation_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"total_cents": "int64"}), want.astype({"total_cents": "int64"})
     )
+
+
+def test_anti_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.joins import anti_join
+
+    left = pd.DataFrame({"k": np.arange(20, dtype=np.int64), "val": np.arange(20) * 2})
+    right = pd.DataFrame({"rk": np.array([1, 3, 3, 5, 17, 99], dtype=np.int64)})
+    got = (
+        anti_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right),
+            on="k",
+            right_on="rk",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = left[~left["k"].isin(right["rk"])].sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))

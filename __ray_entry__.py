@@ -703,6 +703,18 @@ def _q_token_length_percentiles(sf_dir: str):
     return token_length_percentiles(_ds(sf_dir, "documents"))
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means labels over the embeddings table
+    (k=8, 5 fixed rounds — deterministic; iterative, genuinely
+    non-SQL: rows-only driver check, quality pinned in pytest against
+    the table's planted labels)."""
+    from brinkray.textproc.similarity import kmeans_labels
+
+    return kmeans_labels(
+        _ds(sf_dir, "embeddings"), k=8, iters=5
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_cms_heavy_hitter_counts(sf_dir: str):
     """Count-min estimates for the corpus's exact top-20 tokens. The
     probe set comes from the SQL-certified exact sibling
@@ -1006,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
         "cms_heavy_hitter_counts": _q_cms_heavy_hitter_counts,
+        "kmeans_clusters": _q_kmeans_clusters,
         "totalprice_quantiles": _q_totalprice_quantiles,
         "cluster_components_exact": _q_cluster_components_exact,
         # multimodal decode (actor-pool stage, real BMP/WAV/video codecs)

@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-__all__ = ["cosine_topk", "ivf_topk", "build_ivf_centroids"]
+__all__ = ["cosine_topk", "ivf_topk", "build_ivf_centroids", "kmeans_labels"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -120,3 +120,89 @@ def ivf_topk(
             "cosine": pa.array(cos[order], pa.float64()),
         }
     )
+
+
+def kmeans_labels(ds, k: int = 8, iters: int = 10, vec_col="embedding",
+                  id_col="vec_id"):
+    """Fully DISTRIBUTED Lloyd's k-means over the whole embedding
+    column (unit-normalized, cosine geometry) — unlike
+    ``build_ivf_centroids`` (driver-side k-means on a bounded sample),
+    every point participates in every round. Returns a Dataset of
+    (``id_col``, cluster).
+
+    Per round: centroids are broadcast once (``ray.put``); each batch
+    assigns vectorized (one matmul) and emits <= k partial rows
+    (cluster, count, sum-vector) — the combiner pattern, so the
+    groupby(cluster).map_groups reduction moves k x n_blocks tiny rows
+    and the driver sees exactly k rows per round regardless of corpus
+    size. Iteration count is fixed (no data-dependent stopping), so
+    results are bit-stable across runs, block layouts and cluster
+    sizes. An emptied cluster keeps its previous centroid.
+
+    Init is deterministic: the sample-based quantizer seed
+    (``build_ivf_centroids`` with 0 refinement iterations).
+    """
+    cents = build_ivf_centroids(ds, n_centroids=k, iters=0, vec_col=vec_col)
+    base = ds.select_columns([id_col, vec_col])
+
+    import pandas as pd
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = _unit(_as_matrix(t[vec_col]))
+            a = np.argmax(x @ c.T, axis=1)
+            out_c, out_n, out_s = [], [], []
+            for ci in np.unique(a):
+                m = x[a == ci]
+                out_c.append(int(ci))
+                out_n.append(len(m))
+                out_s.append(m.sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "cluster": pa.array(out_c, pa.int64()),
+                    "n": pa.array(out_n, pa.int64()),
+                    "s": pa.array(out_s, pa.list_(pa.float64())),
+                }
+            )
+
+        def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+            s = np.sum(np.stack(g["s"].to_numpy()), axis=0)
+            return pd.DataFrame(
+                {
+                    "cluster": [int(g["cluster"].iloc[0])],
+                    "n": [int(g["n"].sum())],
+                    "s": [s.tolist()],
+                }
+            )
+
+        rows = (
+            base.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(reduce_group, batch_format="pandas")
+            .take_all()
+        )  # exactly <= k rows
+        new = cents.copy()
+        for r in rows:
+            if r["n"]:
+                new[int(r["cluster"])] = _unit(
+                    np.asarray(r["s"], dtype=np.float64) / r["n"]
+                )
+        cents = new
+
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _unit(_as_matrix(t[vec_col]))
+        a = np.argmax(x @ c.T, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return base.map_batches(assign, batch_format="pyarrow")

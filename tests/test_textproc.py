@@ -264,3 +264,43 @@ def test_media_decode_fake_plumbing(ray_session):
     tbl = _media_tbl([(1, "image", b"\x89PNG fake", "image/png")])
     out = decode_media(rd.from_arrow(tbl), concurrency=1, batch_size=8, fake=True).to_pandas()
     assert len(out) == 1 and len(out["features"][0]) == MediaDecoder.FEATURE_DIM
+
+
+def test_kmeans_labels_recovers_blobs(ray_session):
+    """3 well-separated blobs -> the distributed Lloyd's rounds must
+    produce a partition identical to ground truth (up to relabeling),
+    and identical across block layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from brinkray.textproc.similarity import kmeans_labels
+
+    rng = np.random.default_rng(21)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    truth = rng.integers(0, 3, 300)
+    x = centers[truth] + rng.standard_normal((300, 3)) * 0.3
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in x], pa.list_(pa.float32())),
+        }
+    )
+    a = (
+        kmeans_labels(rd.from_arrow(tbl).repartition(6), k=3, iters=8)
+        .to_pandas()
+        .sort_values("vec_id")["cluster"]
+        .to_numpy()
+    )
+    # partition equality up to relabeling: each truth blob maps to
+    # exactly one predicted cluster and vice versa
+    df = pd.DataFrame({"t": truth, "p": a})
+    assert df.groupby("t")["p"].nunique().max() == 1
+    assert df.groupby("p")["t"].nunique().max() == 1
+    b = (
+        kmeans_labels(rd.from_arrow(tbl).repartition(1), k=3, iters=8)
+        .to_pandas()
+        .sort_values("vec_id")["cluster"]
+        .to_numpy()
+    )
+    assert (a == b).all()  # layout determinism

@@ -403,6 +403,41 @@ def _q_event_sessions(sf_dir: str):
     return sessionize(_ds(sf_dir, "events"), gap_minutes=30).to_pandas()
 
 
+def _q_running_totals(sf_dir: str):
+    """Per-customer running order total (window-function shape)."""
+    from brinkray.textproc.windows import running_totals
+
+    out = running_totals(
+        _ds(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+        ),
+        key="o_custkey",
+        ts_col="o_orderdate",
+        val_col="o_totalprice",
+        id_col="o_orderkey",
+    ).to_pandas()
+    return out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).reset_index(
+        drop=True
+    )
+
+
+def _q_event_type_pivot(sf_dir: str):
+    """user_id x event_type count matrix (long -> wide pivot)."""
+    from brinkray.textproc.windows import pivot_counts
+
+    types = sorted(
+        _ds(sf_dir, "events")
+        .groupby("event_type")
+        .count()
+        .to_pandas()["event_type"]
+        .tolist()
+    )
+    return pivot_counts(
+        _ds(sf_dir, "events"), row_key="user_id", col_key="event_type",
+        col_values=types,
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
 def _q_asof_join(sf_dir: str):
     """As-of join: each event matched to the user's latest order at or
     before the event time (inner semantics, like DuckDB ASOF JOIN)."""
@@ -1028,6 +1063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_event_sums": _q_windowed_sums,
         "hopping_window_counts": _q_hopping_counts,
         "event_sessions": _q_event_sessions,
+        "running_totals": _q_running_totals,
+        "event_type_pivot": _q_event_type_pivot,
         "asof_join_events_orders": _q_asof_join,
         "interval_join_events_orders": _q_interval_join,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1161,6 +1198,23 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "COUNT(*) AS n "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "running_totals": (
+            "SELECT o_custkey, o_orderdate, o_orderkey, "
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS v_cents, "
+            "CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents "
+            "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"
+        ),
+        "event_type_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) "
+                f"AS n_{t}"
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "asof_join_events_orders": (
             "SELECT e.event_id, o.o_orderdate AS o_date FROM events e "

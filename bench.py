@@ -125,6 +125,18 @@ def bench_queries() -> dict[str, float]:
         "dedup_clusters",
         "asof_join_events_orders",
         "event_sessions",
+        # round-3 operators
+        "interval_join_events_orders",
+        "revenue_by_nation",
+        "top_docs_per_lang",
+        "tf_df_scores",
+        "paragraph_dedup",
+        "pii_scrub",
+        "totalprice_quantiles",
+        "customers_without_orders",
+        "ngram_novelty_shuffled",
+        "kmeans_clusters",
+        "cms_heavy_hitter_counts",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -15,7 +15,14 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_counts", "tumbling_sums_fixed", "hopping_counts", "sessionize"]
+__all__ = [
+    "tumbling_counts",
+    "tumbling_sums_fixed",
+    "hopping_counts",
+    "sessionize",
+    "running_totals",
+    "pivot_counts",
+]
 
 
 def tumbling_counts(events_ds, window: str = "hour", key: str = "event_type"):
@@ -151,4 +158,74 @@ def sessionize(events_ds, gap_minutes: float = 30.0, key: str = "user_id"):
 
     return events_ds.select_columns([key, "ts"]).groupby(key).map_groups(
         per_key, batch_format="pandas"
+    )
+
+
+def running_totals(ds, key: str, ts_col: str, val_col: str, id_col: str,
+                   scale: int = 100):
+    """Per-key ORDERED cumulative sum — SQL's
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id)`` as a distributed
+    operator: one groupby(key) shuffle, then a vectorized
+    mergesort + cumsum per group (ties broken by ``id_col`` so the
+    running order — and therefore every intermediate total — is fully
+    deterministic). Values are fixed-point int64 (floor(v*scale)):
+    associative, bit-reproducible, SQL-twinnable.
+
+    Scale note: a group's rows must fit one task (the per-customer /
+    per-host order-history shape — bounded in practice); corpus-wide
+    running totals (ONE giant key) are a different operator and would
+    need a prefix-sum pass over sorted blocks.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t[val_col], pa.scalar(float(scale)))), pa.int64()
+        )
+        return pa.table(
+            {key: t[key], ts_col: t[ts_col], id_col: t[id_col], "v_cents": cents}
+        )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        g = g.reset_index(drop=True)
+        g["running_cents"] = g["v_cents"].cumsum()
+        return g[[key, ts_col, id_col, "v_cents", "running_cents"]]
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str]):
+    """Long -> wide count pivot: one row per ``row_key``, one int64
+    column per value in ``col_values`` (fixed, declared up front — a
+    data-dependent column set is not a stable schema), counting rows
+    with that ``col_key`` value. Per-batch vectorized crosstab
+    partials, ONE groupby(row_key) sum — the conditional-aggregation
+    shape (SQL: COUNT(*) FILTER (WHERE ...)).
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(col_values)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({row_key: t[row_key].to_pandas(),
+                           "_c": t[col_key].to_pandas()})
+        ct = pd.crosstab(df[row_key], df["_c"])
+        out = {row_key: ct.index.to_numpy()}
+        for c in cols:
+            out["n_" + c] = (
+                ct[c].to_numpy().astype(np.int64)
+                if c in ct.columns
+                else np.zeros(len(ct), dtype=np.int64)
+            )
+        return pa.Table.from_pydict(out)
+
+    return (
+        ds.select_columns([row_key, col_key])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(row_key)
+        .aggregate(*[Sum("n_" + c, alias_name="n_" + c) for c in cols])
     )

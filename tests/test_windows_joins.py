@@ -345,3 +345,46 @@ def test_anti_join_matches_pandas(ray_session):
     )
     want = left[~left["k"].isin(right["rk"])].sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_running_totals_ties_and_order(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.windows import running_totals
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "ts": pd.to_datetime(["2024-01-02", "2024-01-01", "2024-01-01", "2024-01-01"]),
+            "id": [10, 11, 9, 1],
+            "v": [1.5, 2.25, 4.0, 7.0],
+        }
+    )
+    out = (
+        running_totals(rd.from_pandas(df).repartition(3), key="k", ts_col="ts",
+                       val_col="v", id_col="id")
+        .to_pandas()
+        .sort_values(["k", "ts", "id"])
+        .reset_index(drop=True)
+    )
+    # k=1 order: (01-01, id 9, 400) -> (01-01, id 11, +225) -> (01-02, id 10, +150)
+    assert out[out["k"] == 1]["running_cents"].tolist() == [400, 625, 775]
+    assert out[out["k"] == 2]["running_cents"].tolist() == [700]
+
+
+def test_pivot_counts_missing_value_fills_zero(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.windows import pivot_counts
+
+    df = pd.DataFrame({"u": [1, 1, 2], "e": ["a", "b", "a"]})
+    out = (
+        pivot_counts(rd.from_pandas(df).repartition(3), row_key="u", col_key="e",
+                     col_values=["a", "b", "zzz"])
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert out["n_a"].tolist() == [1, 1]
+    assert out["n_b"].tolist() == [1, 0]
+    assert out["n_zzz"].tolist() == [0, 0]

@@ -462,9 +462,11 @@ def ngram_novelty(docs, k: int = SHINGLE_K, text_col="text", id_col="doc_id"):
         else:
             u = np.array([], dtype=np.uint64)
             c = np.array([], dtype=np.int64)
+        # int64 bit view — uint64 >= 2^63 trips Ray's shuffle-side
+        # Arrow conversion and pickles the block (equality-only use)
         return pa.table(
             {
-                "h": pa.array(u, pa.uint64()),
+                "h": pa.array(u.view(np.int64), pa.int64()),
                 "nd": pa.array(c.astype(np.int64), pa.int64()),
             }
         )
@@ -483,7 +485,7 @@ def ngram_novelty(docs, k: int = SHINGLE_K, text_col="text", id_col="doc_id"):
 
     shared_tbl = counts.map_batches(keep_shared, batch_format="pyarrow").take_all()
     shared = np.sort(
-        np.asarray([r["h"] for r in shared_tbl], dtype=np.uint64)
+        np.asarray([r["h"] for r in shared_tbl], dtype=np.int64)
     )
     import logging
 
@@ -498,7 +500,7 @@ def ngram_novelty(docs, k: int = SHINGLE_K, text_col="text", id_col="doc_id"):
         per_doc = [np.unique(shingle_hashes(x, k)) for x in t[text_col].to_pylist()]
         n = np.array([len(u) for u in per_doc], dtype=np.int64)
         if per_doc and len(sh):
-            flat = np.concatenate(per_doc)
+            flat = np.concatenate(per_doc).view(np.int64)  # shared is int64 bits
             pos = np.searchsorted(sh, flat)
             pos[pos == len(sh)] = 0
             hit = (sh[pos] == flat).astype(np.int64)
@@ -644,8 +646,10 @@ def tf_df_scores(docs, text_col="text", id_col="doc_id"):
             (_token_hash(s) for s in uniq), dtype=np.uint64, count=len(uniq)
         )
         u, c = np.unique(hu[codes], return_counts=True)
+        # int64 bit view (see ngram_novelty) — equality-only use
         return pa.table(
-            {"h": pa.array(u, pa.uint64()), "nd": pa.array(c.astype(np.int64))}
+            {"h": pa.array(u.view(np.int64), pa.int64()),
+             "nd": pa.array(c.astype(np.int64))}
         )
 
     df_tbl = (
@@ -655,8 +659,9 @@ def tf_df_scores(docs, text_col="text", id_col="doc_id"):
         .aggregate(Sum("nd", alias_name="df"))
         .to_pandas()
     )
-    order = np.argsort(df_tbl["h"].to_numpy().astype(np.uint64))
-    h_sorted = df_tbl["h"].to_numpy().astype(np.uint64)[order]
+    hs = df_tbl["h"].to_numpy().astype(np.int64)
+    order = np.argsort(hs)
+    h_sorted = hs[order]
     df_sorted = df_tbl["df"].to_numpy().astype(np.int64)[order]
     ref = ray.put((h_sorted, df_sorted))
 
@@ -672,7 +677,7 @@ def tf_df_scores(docs, text_col="text", id_col="doc_id"):
         hu = np.fromiter(
             (_token_hash(s) for s in uniq), dtype=np.uint64, count=len(uniq)
         )
-        h = hu[codes]
+        h = hu[codes].view(np.int64)  # df table is int64 bits
         pos = np.searchsorted(sh, h)
         if len(h) and (
             (pos >= len(sh)).any() or not (sh[np.minimum(pos, len(sh) - 1)] == h).all()

@@ -488,7 +488,14 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
                 "chunk": pa.array(out_chunk, pa.int32()),
                 "val": pa.array(out_val, pa.int32()),
                 id_col: pa.array(out_id, pa.int64()),
-                "sig": pa.array(out_sig, pa.uint64()),
+                # int64 BIT VIEW of the uint64 signature: a uint64
+                # column >= 2^63 trips Ray's shuffle-side Arrow
+                # conversion (int overflow) and silently degrades the
+                # whole block to pickled python objects; bucket_pairs'
+                # astype(np.uint64) reinterprets the bits back
+                "sig": pa.array(
+                    np.array(out_sig, dtype=np.uint64).view(np.int64), pa.int64()
+                ),
             }
         )
 

@@ -102,9 +102,12 @@ def paragraph_dedup(docs, min_docs: int = 2, text_col="text", id_col="doc_id"):
         else:
             u = np.array([], dtype=np.uint64)
             c = np.array([], dtype=np.int64)
+        # int64 bit view: uint64 >= 2^63 trips Ray's shuffle-side Arrow
+        # conversion and silently pickles the block (equality-only use,
+        # so the reinterpretation is free)
         return pa.table(
             {
-                "h": pa.array(u, pa.uint64()),
+                "h": pa.array(u.view(np.int64), pa.int64()),
                 "nd": pa.array(c.astype(np.int64), pa.int64()),
             }
         )
@@ -122,7 +125,7 @@ def paragraph_dedup(docs, min_docs: int = 2, text_col="text", id_col="doc_id"):
         return t.filter(pc.greater_equal(t["nd"], min_docs)).select(["h"])
 
     dup_rows = counts.map_batches(keep_dup, batch_format="pyarrow").take_all()
-    dup = np.sort(np.asarray([r["h"] for r in dup_rows], dtype=np.uint64))
+    dup = np.sort(np.asarray([r["h"] for r in dup_rows], dtype=np.int64))
     log.info("paragraph_dedup: %d paragraphs shared by >=%d docs", len(dup), min_docs)
     ref = ray.put(dup)
 
@@ -132,10 +135,11 @@ def paragraph_dedup(docs, min_docs: int = 2, text_col="text", id_col="doc_id"):
         n_paras, n_removed, cleaned = [], [], []
         for x in t[text_col].to_pylist():
             paras, h = _para_hashes(x)
+            hv = h.view(np.int64)  # probe in the same int64 bit space
             if len(shared):
-                pos = np.searchsorted(shared, h)
+                pos = np.searchsorted(shared, hv)
                 pos[pos == len(shared)] = 0
-                hit = (shared[pos] == h) & (h != 0)
+                hit = (shared[pos] == hv) & (hv != 0)
             else:
                 hit = np.zeros(len(h), dtype=bool)
             kept = [p for p, bad in zip(paras, hit) if not bad]

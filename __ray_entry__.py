@@ -421,6 +421,18 @@ def _q_running_totals(sf_dir: str):
     )
 
 
+def _q_user_event_histories(sf_dir: str):
+    """Per-user ordered event-type history string (string_agg shape —
+    the build-a-training-prompt-per-session primitive)."""
+    from brinkray.textproc.windows import collect_ordered
+
+    out = collect_ordered(
+        _ds(sf_dir, "events"), key="user_id", ts_col="ts", id_col="event_id",
+        val_col="event_type",
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_event_type_pivot(sf_dir: str):
     """user_id x event_type count matrix (long -> wide pivot)."""
     from brinkray.textproc.windows import pivot_counts
@@ -1065,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": _q_event_sessions,
         "running_totals": _q_running_totals,
         "event_type_pivot": _q_event_type_pivot,
+        "user_event_histories": _q_user_event_histories,
         "asof_join_events_orders": _q_asof_join,
         "interval_join_events_orders": _q_interval_join,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1215,6 +1228,11 @@ def _oracle_sql_dict() -> dict[str, str]:
                 for t in ("click", "error", "purchase", "signup", "view")
             )
             + " FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "user_event_histories": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "string_agg(event_type, ',' ORDER BY ts, event_id) AS history "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "asof_join_events_orders": (
             "SELECT e.event_id, o.o_orderdate AS o_date FROM events e "

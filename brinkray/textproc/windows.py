@@ -21,6 +21,7 @@ __all__ = [
     "hopping_counts",
     "sessionize",
     "running_totals",
+    "collect_ordered",
     "pivot_counts",
 ]
 
@@ -193,6 +194,34 @@ def running_totals(ds, key: str, ts_col: str, val_col: str, id_col: str,
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def collect_ordered(ds, key: str, ts_col: str, id_col: str, val_col: str,
+                    sep: str = ","):
+    """Per-key ORDERED value concatenation — SQL's
+    ``string_agg(v, sep ORDER BY ts, id)`` as a distributed operator
+    (the build-a-prompt-per-session / event-history shape). One
+    groupby(key) shuffle; per group a vectorized mergesort + join,
+    ties broken by ``id_col`` so the string is deterministic.
+    Returns (key, n_events, history). Same scale note as
+    running_totals: one key's rows must fit one task.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n_events": [len(g)],
+                "history": [sep.join(map(str, g[val_col]))],
+            }
+        )
+
+    return (
+        ds.select_columns([key, ts_col, id_col, val_col])
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
     )

@@ -388,3 +388,30 @@ def test_pivot_counts_missing_value_fills_zero(ray_session):
     assert out["n_a"].tolist() == [1, 1]
     assert out["n_b"].tolist() == [1, 0]
     assert out["n_zzz"].tolist() == [0, 0]
+
+
+def test_collect_ordered_deterministic_ties(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.windows import collect_ordered
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-01-02", "2024-01-01"]
+            ),
+            "id": [5, 2, 9, 1],
+            "e": ["b", "a", "c", "x"],
+        }
+    )
+    out = (
+        collect_ordered(rd.from_pandas(df).repartition(3), key="u", ts_col="ts",
+                        id_col="id", val_col="e")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    # tie at 2024-01-01 broken by id: id2 ('a') before id5 ('b')
+    assert out["history"].tolist() == ["a,b,c", "x"]
+    assert out["n_events"].tolist() == [3, 1]

@@ -433,6 +433,45 @@ def _q_user_event_histories(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_event_deltas(sf_dir: str):
+    """Per-user time-since-previous-event (LAG window function);
+    first event of a user gets -1."""
+    from brinkray.textproc.windows import lag_deltas
+
+    out = lag_deltas(
+        _ds(sf_dir, "events"), key="user_id", ts_col="ts", id_col="event_id"
+    ).to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def _q_rolling_order_sums(sf_dir: str):
+    """Per-customer 3-order moving total (ROWS BETWEEN 2 PRECEDING)."""
+    from brinkray.textproc.windows import rolling_sums
+
+    out = rolling_sums(
+        _ds(sf_dir, "orders"),
+        key="o_custkey",
+        ts_col="o_orderdate",
+        id_col="o_orderkey",
+        val_col="o_totalprice",
+        window_rows=3,
+    ).to_pandas()
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def _q_latest_event_per_user(sf_dir: str):
+    """Each user's most recent event (CDC-compaction / keep-latest)."""
+    from brinkray.textproc.windows import latest_per_key
+
+    out = latest_per_key(
+        _ds(sf_dir, "events"),
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_type"],
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_event_type_pivot(sf_dir: str):
     """user_id x event_type count matrix (long -> wide pivot)."""
     from brinkray.textproc.windows import pivot_counts
@@ -736,6 +775,59 @@ def _q_customers_without_orders(sf_dir: str):
         num_partitions=8,
     ).to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_suppliers_with_returns(sf_dir: str):
+    """Semi-join (EXISTS) with the Bloom prefilter on: suppliers with
+    at least one high-quantity returned lineitem. The Bloom bitmap is
+    sized generously for the testdata; false positives only cost
+    shuffle volume, never correctness (exact inner join follows)."""
+    from brinkray.textproc.joins import semi_join
+
+    returns = (
+        _ds(sf_dir, "lineitem")
+        .filter(expr="l_returnflag == 'R' and l_quantity > 49.0 "
+                     "and l_extendedprice > 55000.0")
+        .select_columns(["l_suppkey"])
+    )
+    out = semi_join(
+        _ds(sf_dir, "supplier").select_columns(["s_suppkey"]),
+        returns,
+        on="s_suppkey",
+        right_on="l_suppkey",
+        num_partitions=8,
+        bloom_bits=1 << 16,
+    ).to_pandas()
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shape multi-measure aggregate with exact fixed-point
+    sums (qty / base price / discounted price / charge)."""
+    from brinkray.textproc.relagg import pricing_summary
+
+    out = pricing_summary(_ds(sf_dir, "lineitem")).to_pandas()
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def _q_lang_source_rollup(sf_dir: str):
+    """Document counts at every ROLLUP(lang, source) level (rolled-up
+    slots are NULL), from ONE fine-level shuffle."""
+    from brinkray.textproc.relagg import rollup_counts
+
+    out = rollup_counts(_ds(sf_dir, "documents"), ["lang", "source"]).to_pandas()
+    return out.sort_values(
+        ["lang", "source", "n"], na_position="first"
+    ).reset_index(drop=True)
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Fixed-64-token document chunking (context-packing prep): one row
+    per (doc, chunk) with token count + md5 of the chunk text."""
+    from brinkray.textproc.curation import doc_chunks
+
+    out = doc_chunks(_ds(sf_dir, "documents"), chunk_tokens=64).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
 def _q_grouped_token_quantiles(sf_dir: str):
@@ -1078,6 +1170,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "event_type_pivot": _q_event_type_pivot,
         "user_event_histories": _q_user_event_histories,
+        "event_deltas": _q_event_deltas,
+        "rolling_order_sums": _q_rolling_order_sums,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "suppliers_with_returns": _q_suppliers_with_returns,
+        "pricing_summary": _q_pricing_summary,
+        "lang_source_rollup": _q_lang_source_rollup,
+        "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
         "interval_join_events_orders": _q_interval_join,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1514,6 +1613,61 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_totalprice > 300000.0) ORDER BY c_custkey"
+        ),
+        "event_deltas": (
+            "SELECT user_id, event_id, COALESCE(date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), "
+            "-1) AS delta_us FROM events ORDER BY user_id, event_id"
+        ),
+        "rolling_order_sums": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(floor(o_totalprice*100.0) AS BIGINT) AS v_cents, "
+            "CAST(SUM(CAST(floor(o_totalprice*100.0) AS BIGINT)) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents "
+            "FROM orders ORDER BY o_custkey, o_orderkey"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id, ts, event_id, event_type FROM ("
+            "SELECT user_id, ts, event_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1 ORDER BY user_id"
+        ),
+        "suppliers_with_returns": (
+            "SELECT s_suppkey FROM supplier s WHERE EXISTS ("
+            "SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey "
+            "AND l.l_returnflag = 'R' AND l.l_quantity > 49.0 "
+            "AND l.l_extendedprice > 55000.0) ORDER BY s_suppkey"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CAST(floor(l_quantity*100.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_cents, "
+            "CAST(SUM(CAST(floor(l_extendedprice*100.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_base_cents, "
+            "CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100.0) AS BIGINT)) "
+            "AS BIGINT) AS sum_disc_cents, "
+            "CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100.0) "
+            "AS BIGINT)) AS BIGINT) AS sum_charge_cents "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "lang_source_rollup": (
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+            "GROUP BY ROLLUP(lang, source) "
+            "ORDER BY lang NULLS FIRST, source NULLS FIRST, n"
+        ),
+        "doc_chunks": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents) "
+            "SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id, "
+            "CAST(least(64, len(tk) - g.i*64) AS BIGINT) AS n_tokens, "
+            "md5(array_to_string(tk[(g.i*64+1):((g.i+1)*64)], ' ')) AS chunk_md5 "
+            "FROM toks, LATERAL UNNEST(generate_series(0, "
+            "CAST(ceil(len(tk)/64.0) AS BIGINT)-1)) AS g(i) "
+            "ORDER BY doc_id, chunk_id"
         ),
         "grouped_token_quantiles": (
             "WITH t AS (SELECT lang, "

@@ -137,6 +137,11 @@ def bench_queries() -> dict[str, float]:
         "ngram_novelty_shuffled",
         "kmeans_clusters",
         "cms_heavy_hitter_counts",
+        "pricing_summary",
+        "doc_chunks",
+        "suppliers_with_returns",
+        "rolling_order_sums",
+        "latest_event_per_user",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

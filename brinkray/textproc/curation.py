@@ -33,6 +33,7 @@ __all__ = [
     "top_k_per_group",
     "heavy_hitters",
     "pack_shards",
+    "doc_chunks",
     "write_packed_shards",
     "ngram_novelty",
     "ngram_novelty_shuffled",
@@ -294,6 +295,47 @@ def top_k_per_group(ds, by: str, score_col: str, k: int, id_col: str,
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(by)
         .map_groups(final, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------- doc chunking
+def doc_chunks(docs, chunk_tokens: int = 64, text_col="text", id_col="doc_id"):
+    """Split every document into fixed-token-window chunks — the
+    context-length packing prep step before tokenized export. Tokens
+    are whitespace runs over the trimmed text (``re.split(r'\\s+')``,
+    the SQL-reproducible tokenizer); each chunk is identified by
+    (doc_id, chunk_id) and carried as (n_tokens, md5-of-chunk-text)
+    so the exploded table ships 48 B/chunk instead of re-shipping
+    text. Purely per-document => embarrassingly parallel map_batches,
+    no shuffle; string-bound per-batch body like the shingle stages
+    (the regex is compiled once per process). Empty documents yield
+    one empty-string chunk (matches DuckDB's regexp_split_to_array).
+    """
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, cids, ntoks, md5s = [], [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = ws.split(txt.strip())
+            for i in range(0, len(toks), chunk_tokens):
+                chunk = toks[i : i + chunk_tokens]
+                ids.append(did)
+                cids.append(i // chunk_tokens)
+                ntoks.append(len(chunk))
+                md5s.append(hashlib.md5(" ".join(chunk).encode()).hexdigest())
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+                "chunk_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
     )
 
 

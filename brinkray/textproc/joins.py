@@ -25,8 +25,97 @@ __all__ = [
     "interval_join",
     "revenue_by_nation",
     "anti_join",
+    "semi_join",
     "cluster_pairs",
 ]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (public-domain
+    constant mixing; used for Bloom double-hashing)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray, n_hashes: int, m_bits: int):
+    """k double-hashed bit positions per int64 key (Kirsch–Mitzenmacher:
+    idx_j = h1 + j*h2 mod m). Yields (word_index, bit_mask) pairs."""
+    u = keys.astype(np.int64).view(np.uint64)
+    h1 = _mix64(u)
+    h2 = _mix64(u ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    for j in range(n_hashes):
+        idx = (h1 + np.uint64(j) * h2) % m
+        yield (idx >> np.uint64(6)).astype(np.int64), np.uint64(1) << (idx & np.uint64(63))
+
+
+def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              num_partitions: int = 32, bloom_bits: int = 0,
+              bloom_hashes: int = 4):
+    """Left rows WITH a match in ``right_ds`` (SQL EXISTS) — the dual
+    of :func:`anti_join`: the right side reduces to its distinct keys
+    (one shuffle over keys only, never right payloads), then a native
+    hash-shuffle INNER ``Dataset.join`` keeps exactly the matching left
+    rows (distinct keys => no fan-out duplication).
+
+    ``bloom_bits > 0`` adds the at-scale shuffle-volume reducer: a
+    Bloom bitmap over the right keys is built by a distributed
+    ``AggregateFn`` tree reduction (constant-size uint64 accumulator
+    per task, OR-merged — only ``bloom_bits/8`` bytes ever reach the
+    driver), broadcast once via ``ray.put``, and definitely-absent
+    left rows are dropped inside map_batches BEFORE the exchange.
+    Bloom false positives are removed by the exact join, so the result
+    is exact for any sizing; keys must be integers.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    right_on = right_on or on
+    keys = (
+        right_ds.select_columns([right_on])
+        .groupby(right_on)
+        .count()
+        .map_batches(
+            lambda t: pa.table({on: t[right_on]}), batch_format="pyarrow"
+        )
+    )
+
+    if bloom_bits > 0:
+        m_bits = ((bloom_bits + 63) // 64) * 64
+        n_words = m_bits // 64
+
+        def acc(bitmap: np.ndarray, block: pa.Table) -> np.ndarray:
+            k = block[right_on].to_numpy(zero_copy_only=False)
+            for w_idx, mask in _bloom_positions(k, bloom_hashes, m_bits):
+                np.bitwise_or.at(bitmap, w_idx, mask)
+            return bitmap
+
+        bloom = right_ds.select_columns([right_on]).aggregate(
+            AggregateFn(
+                init=lambda k: np.zeros(n_words, dtype=np.uint64),
+                merge=np.bitwise_or,
+                accumulate_block=acc,
+                name="bloom",
+            )
+        )["bloom"]
+        bloom_ref = ray.put(bloom)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            bm = ray.get(bloom_ref)
+            k = t[on].to_numpy(zero_copy_only=False)
+            keep = np.ones(len(k), dtype=bool)
+            for w_idx, mask in _bloom_positions(k, bloom_hashes, m_bits):
+                keep &= (bm[w_idx] & mask) != 0
+            return t.filter(pa.array(keep))
+
+        left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
+
+    return left_ds.join(
+        keys, join_type="inner", num_partitions=num_partitions, on=(on,)
+    )
 
 
 def asof_join(

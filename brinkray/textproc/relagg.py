@@ -1,0 +1,135 @@
+"""Relational aggregation shapes beyond a single flat groupby:
+multi-measure scan aggregates (the TPC-H Q1 / pricing-summary shape)
+and ROLLUP/grouping-sets, both built so the only corpus-scale exchange
+is ONE fine-level groupby — coarser levels re-aggregate the already
+tiny fine result.
+
+Float policy matches the engine-wide rule (windows.py): every summed
+measure is fixed-point int64 (floor at the row level, identical IEEE
+expression order to the SQL twin) so the distributed Sum is
+associative and bit-reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "pricing_summary",
+    "rollup_counts",
+]
+
+
+def pricing_summary(lineitem_ds, cutoff: str = "1998-09-01"):
+    """The classic pricing-summary report (TPC-H Q1 shape) over
+    lineitem: per (returnflag, linestatus), row count plus four exact
+    fixed-point sums — quantity, base price, discounted price
+    ``ep*(1-disc)``, and charge ``ep*(1-disc)*(1+tax)``. One
+    vectorized prep stage computes int64 cents per row with the SAME
+    left-associated IEEE expression order as the SQL twin (so floor()
+    agrees bit-for-bit), then ONE groupby over a handful of groups;
+    per-block partial aggregation means only ~|groups| rows per block
+    enter the exchange. The date predicate is applied in the prep
+    stage (at scale: pushed into the parquet row-group filter).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    cut = np.datetime64(cutoff, "us")
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cut)))
+        ep = t["l_extendedprice"]
+        one_minus_d = pc.subtract(pa.scalar(1.0), t["l_discount"])
+        one_plus_t = pc.add(pa.scalar(1.0), t["l_tax"])
+        disc_price = pc.multiply(ep, one_minus_d)
+        charge = pc.multiply(disc_price, one_plus_t)
+
+        def cents(arr):
+            return pc.cast(pc.floor(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_cents": cents(t["l_quantity"]),
+                "base_cents": cents(ep),
+                "disc_cents": cents(disc_price),
+                "charge_cents": cents(charge),
+            }
+        )
+
+    return (
+        lineitem_ds.select_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_shipdate",
+            ]
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Sum("qty_cents", alias_name="sum_qty_cents"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Sum("charge_cents", alias_name="sum_charge_cents"),
+        )
+    )
+
+
+def rollup_counts(ds, keys: list[str]):
+    """Counts at every ROLLUP level of ``keys`` (SQL ``GROUP BY
+    ROLLUP(k1, k2, ...)``): the full key tuple, each prefix, and the
+    grand total, with rolled-up columns NULL. The corpus only moves
+    once — the fine-level groupby; every coarser level is a
+    re-aggregation of that already small result (|distinct combos|
+    rows), and the grand total is a driver-side scalar fold of the
+    same small table. Key columns must be strings (nullable string is
+    the rolled-up-slot type).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    fine = ds.select_columns(keys).groupby(keys).aggregate(Count(alias_name="n"))
+
+    def with_nulls(level: int):
+        # pad keys[level:] with NULL so every level shares one schema
+        def pad(t: pa.Table) -> pa.Table:
+            cols = {k: t[k] for k in keys[:level]}
+            for k in keys[level:]:
+                cols[k] = pa.nulls(t.num_rows, pa.string())
+            cols["n"] = t["n"]
+            return pa.table(cols)
+
+        return pad
+
+    levels = [fine.map_batches(with_nulls(len(keys)), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, 0, -1):
+        lvl = (
+            fine.groupby(keys[:i])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(with_nulls(i), batch_format="pyarrow")
+        )
+        levels.append(lvl)
+
+    total = int(fine.aggregate(Sum("n", alias_name="n"))["n"])
+    grand = rd.from_arrow(
+        pa.table(
+            {**{k: pa.nulls(1, pa.string()) for k in keys},
+             "n": pa.array([total], pa.int64())}
+        )
+    )
+    levels.append(grand)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

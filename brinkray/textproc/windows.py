@@ -22,6 +22,9 @@ __all__ = [
     "sessionize",
     "running_totals",
     "collect_ordered",
+    "lag_deltas",
+    "rolling_sums",
+    "latest_per_key",
     "pivot_counts",
 ]
 
@@ -224,6 +227,98 @@ def collect_ordered(ds, key: str, ts_col: str, id_col: str, val_col: str,
         ds.select_columns([key, ts_col, id_col, val_col])
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def lag_deltas(ds, key: str, ts_col: str, id_col: str):
+    """Per-key LAG: microseconds since the key's PREVIOUS event — SQL's
+    ``ts - lag(ts) OVER (PARTITION BY key ORDER BY ts, id)`` as a
+    distributed operator (the inter-arrival-time / session-feature
+    shape). One groupby(key) shuffle; per group a vectorized
+    mergesort + ``np.diff`` over int64 microseconds. The first event of
+    a key gets delta_us = -1 (NULL-free => stable int64 schema across
+    blocks). Same scale note as running_totals: one key's rows must
+    fit one task.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        delta = np.empty(len(us), dtype=np.int64)
+        delta[0] = -1
+        if len(us) > 1:
+            delta[1:] = np.diff(us)
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+                "delta_us": delta,
+            }
+        )
+
+    return (
+        ds.select_columns([key, ts_col, id_col])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def rolling_sums(ds, key: str, ts_col: str, id_col: str, val_col: str,
+                 window_rows: int = 3, scale: int = 100):
+    """Per-key moving-window sum over the last ``window_rows`` rows
+    (current row inclusive) — SQL's ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW)``.
+    One groupby(key) shuffle; the per-group body is the O(n) cumsum
+    difference trick (``cs[i] - cs[i-N]``), never a per-row window
+    loop. Fixed-point int64 cents => associative, bit-reproducible,
+    SQL-twinnable. Same scale note as running_totals.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t[val_col], pa.scalar(float(scale)))), pa.int64()
+        )
+        return pa.table(
+            {key: t[key], ts_col: t[ts_col], id_col: t[id_col], "v_cents": cents}
+        )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        v = g["v_cents"].to_numpy()
+        cs = np.concatenate(([0], np.cumsum(v)))
+        lo = np.maximum(np.arange(len(v)) - (window_rows - 1), 0)
+        g["rolling_cents"] = cs[1:] - cs[lo]
+        return g[[key, id_col, "v_cents", "rolling_cents"]]
+
+    return (
+        ds.select_columns([key, ts_col, id_col, val_col])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def latest_per_key(ds, key: str, order_cols: list[str], payload_cols: list[str]):
+    """Keep each key's LAST row under ``order_cols`` ordering — the
+    CDC-compaction / state-table primitive (SQL: ``row_number() OVER
+    (PARTITION BY key ORDER BY ... DESC) = 1``). Two-level: each batch
+    first reduces to one candidate row per key it sees (vectorized
+    sort + drop_duplicates — so at most one row per (key, block)
+    enters the exchange, the pre-aggregation rule), then ONE
+    groupby(key) picks the global winner the same way. Ties must be
+    broken by the caller including a unique id as the last order col.
+    """
+    cols = [key, *order_cols, *payload_cols]
+
+    def best_in(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="mergesort")
+        return df.drop_duplicates(subset=[key], keep="last")[cols]
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(best_in, batch_format="pandas")
+        .groupby(key)
+        .map_groups(best_in, batch_format="pandas")
     )
 
 

@@ -1,0 +1,127 @@
+"""pricing_summary / rollup_counts / doc_chunks."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _lineitem_ds(n=400, seed=3):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n)),
+                "l_linestatus": pa.array(rng.choice(["F", "O"], n)),
+                "l_quantity": pa.array(rng.integers(1, 51, n).astype(np.float64)),
+                "l_extendedprice": pa.array(rng.uniform(900, 105000, n)),
+                "l_discount": pa.array(rng.integers(0, 11, n) / 100.0),
+                "l_tax": pa.array(rng.integers(0, 9, n) / 100.0),
+                "l_shipdate": pa.array(
+                    pd.Timestamp("1996-01-01")
+                    + pd.to_timedelta(rng.integers(0, 2000, n), unit="D")
+                ).cast(pa.timestamp("us")),
+            }
+        )
+    ).repartition(5)
+
+
+def test_pricing_summary_brute_force(ray_session):
+    from brinkray.textproc.relagg import pricing_summary
+
+    ds = _lineitem_ds()
+    out = (
+        pricing_summary(ds, cutoff="1998-09-01")
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    df = ds.to_pandas()
+    df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-01")].copy()
+    df["qty_cents"] = np.floor(df["l_quantity"] * 100.0).astype(np.int64)
+    df["base_cents"] = np.floor(df["l_extendedprice"] * 100.0).astype(np.int64)
+    disc = df["l_extendedprice"] * (1.0 - df["l_discount"])
+    df["disc_cents"] = np.floor(disc * 100.0).astype(np.int64)
+    df["charge_cents"] = np.floor(disc * (1.0 + df["l_tax"]) * 100.0).astype(np.int64)
+    exp = (
+        df.groupby(["l_returnflag", "l_linestatus"])
+        .agg(
+            n_rows=("qty_cents", "size"),
+            sum_qty_cents=("qty_cents", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"),
+            sum_charge_cents=("charge_cents", "sum"),
+        )
+        .reset_index()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[exp.columns.tolist()], exp, check_dtype=False
+    )
+
+
+def test_rollup_counts_levels(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import rollup_counts
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", "en", "de", "de", "fr"],
+            "source": ["a", "a", "b", "a", "c", "c"],
+        }
+    )
+    out = rollup_counts(
+        rd.from_pandas(df).repartition(3), ["lang", "source"]
+    ).to_pandas()
+    fine = out[out["source"].notna()]
+    mid = out[out["source"].isna() & out["lang"].notna()]
+    grand = out[out["lang"].isna()]
+    assert dict(zip(zip(fine["lang"], fine["source"]), fine["n"])) == {
+        ("en", "a"): 2, ("en", "b"): 1, ("de", "a"): 1, ("de", "c"): 1,
+        ("fr", "c"): 1,
+    }
+    assert dict(zip(mid["lang"], mid["n"])) == {"en": 3, "de": 2, "fr": 1}
+    assert len(grand) == 1 and grand["n"].iloc[0] == 6
+    assert out["n"].dtype == np.int64
+
+
+def test_doc_chunks_boundaries(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from brinkray.textproc.curation import doc_chunks
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(f"t{i}" for i in range(130)),  # 3 chunks: 64/64/2
+                        "one two",                                # 1 chunk
+                        "",                                       # empty -> [''] 1 chunk
+                    ]
+                ),
+            }
+        )
+    ).repartition(2)
+    out = (
+        doc_chunks(docs, chunk_tokens=64)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert out[out["doc_id"] == 1]["n_tokens"].tolist() == [64, 64, 2]
+    assert out[out["doc_id"] == 2]["n_tokens"].tolist() == [2]
+    assert out[out["doc_id"] == 3]["n_tokens"].tolist() == [1]
+    toks = [f"t{i}" for i in range(130)]
+    want = hashlib.md5(" ".join(toks[64:128]).encode()).hexdigest()
+    assert out[(out["doc_id"] == 1) & (out["chunk_id"] == 1)]["chunk_md5"].iloc[0] == want
+    assert (
+        out[out["doc_id"] == 3]["chunk_md5"].iloc[0]
+        == hashlib.md5(b"").hexdigest()
+    )

@@ -415,3 +415,140 @@ def test_collect_ordered_deterministic_ties(ray_session):
     # tie at 2024-01-01 broken by id: id2 ('a') before id5 ('b')
     assert out["history"].tolist() == ["a,b,c", "x"]
     assert out["n_events"].tolist() == [3, 1]
+
+
+def test_lag_deltas_first_event_minus_one(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.windows import lag_deltas
+
+    rows = [
+        (TS, 1, "a", 0.0),
+        (TS + pd.Timedelta(seconds=3), 1, "b", 0.0),
+        (TS, 1, "tie", 0.0),           # same ts as event 0 -> id tiebreak
+        (TS + pd.Timedelta(minutes=1), 2, "x", 0.0),
+    ]
+    out = (
+        lag_deltas(_events_ds(rows), key="user_id", ts_col="ts", id_col="event_id")
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    # user 1 order: id0 (ts), id2 (ts, tie -> after id0), id1 (ts+3s)
+    by_id = out.set_index("event_id")["delta_us"]
+    assert by_id[0] == -1
+    assert by_id[2] == 0          # tie at same ts
+    assert by_id[1] == 3_000_000
+    assert by_id[3] == -1         # user 2's first
+
+
+def test_rolling_sums_window_and_brute_force(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.windows import rolling_sums
+
+    rng = np.random.default_rng(7)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 50, n), unit="m"),
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "event_type": "e",
+            "value": rng.uniform(0, 100, n),
+        }
+    )
+    out = (
+        rolling_sums(
+            rd.from_pandas(df).repartition(5),
+            key="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            val_col="value",
+            window_rows=3,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    df["v_cents"] = np.floor(df["value"] * 100).astype(np.int64)
+    exp = (
+        df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        .assign(
+            rolling_cents=lambda d: d.groupby("user_id")["v_cents"]
+            .rolling(3, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+            .astype(np.int64)
+        )
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert out["rolling_cents"].tolist() == exp["rolling_cents"].tolist()
+    assert out["v_cents"].tolist() == exp["v_cents"].tolist()
+
+
+def test_latest_per_key_two_level_reduction(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.windows import latest_per_key
+
+    rows = [
+        (TS, 1, "old", 0.0),
+        (TS + pd.Timedelta(hours=2), 1, "new", 0.0),
+        (TS + pd.Timedelta(hours=2), 1, "tie_low_id", 0.0),
+        (TS, 2, "only", 0.0),
+    ]
+    # event_ids are 0..3; the tie at +2h is between ids 1 and 2 -> id 2 wins
+    out = (
+        latest_per_key(
+            _events_ds(rows).repartition(4),
+            key="user_id",
+            order_cols=["ts", "event_id"],
+            payload_cols=["event_type"],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_type"].tolist() == ["tie_low_id", "only"]
+    assert out["event_id"].tolist() == [2, 3]
+
+
+def test_semi_join_bloom_equals_exact(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.joins import semi_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table({"k": pa.array(np.arange(500, dtype=np.int64)),
+                     "payload": pa.array([f"p{i}" for i in range(500)])})
+    right = pa.table({"rk": pa.array(rng.integers(0, 200, 300).astype(np.int64))})
+    lds, rds = rd.from_arrow(left).repartition(4), rd.from_arrow(right).repartition(3)
+
+    plain = semi_join(lds, rds, on="k", right_on="rk", num_partitions=4)
+    bloom = semi_join(lds, rds, on="k", right_on="rk", num_partitions=4,
+                      bloom_bits=1 << 12)
+    a = plain.to_pandas().sort_values("k").reset_index(drop=True)
+    b = bloom.to_pandas().sort_values("k").reset_index(drop=True)
+    expected = sorted(set(right["rk"].to_pylist()))
+    assert a["k"].tolist() == expected
+    assert b["k"].tolist() == expected          # bloom never changes the result
+    assert a["payload"].tolist() == b["payload"].tolist()
+    # no fan-out duplication from multi-match right keys
+    assert a["k"].is_unique
+
+
+def test_semi_join_tiny_bloom_still_exact(ray_session):
+    """A deliberately saturated bloom (64 bits for 300 keys) must only
+    cost pruning power, never correctness."""
+    import ray.data as rd
+
+    from brinkray.textproc.joins import semi_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array(np.arange(100, dtype=np.int64))}))
+    right = rd.from_arrow(pa.table({"k": pa.array(np.array([5, 7, 99], np.int64))}))
+    out = semi_join(left, right, on="k", num_partitions=2, bloom_bits=64,
+                    bloom_hashes=2).to_pandas()
+    assert sorted(out["k"].tolist()) == [5, 7, 99]

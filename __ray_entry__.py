@@ -1075,6 +1075,52 @@ def _q_crawl_host_stats(sf_dir: str):
 _EXTRACT_PAGES_PATH = "/tmp/brinkray_extract_pages.parquet"
 
 
+def _q_link_pagerank(sf_dir: str):
+    """PageRank over the crawl's reachable link graph (exact integer
+    fixed-point, 5 iterations). Nodes = the seen set; edges = distinct
+    admissible (parent -> child) discoveries from the crawl event log
+    (seed/warm rows are starts, not edges). The DuckDB twin re-derives
+    the same graph from the dumped pages table via the crawl CTE and
+    runs the identical integer recurrence unrolled."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from brinkray.textproc.joins import pagerank
+
+    res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
+
+    ev = res.events_table().select(["linked_from", "url"])
+    ev = ev.filter(
+        pc.invert(
+            pc.is_in(ev["linked_from"], value_set=pa.array(["start", "warm"]))
+        )
+    )
+    # linked_from is the page's RAW url; the graph is keyed by canon
+    # (the seen-set key), so re-key parents the way the engine does
+    from brinkray.fixtures.sitegen import site_config
+    from brinkray.ref.urls import normalize_url
+
+    ignored = site_config().ignored_get_params
+    parents = pa.array(
+        [normalize_url(u, ignored) for u in ev["linked_from"].to_pylist()],
+        pa.string(),
+    )
+    edges = (
+        rd.from_arrow(pa.table({"parent": parents, "child": ev["url"]}))
+        .groupby(["parent", "child"])
+        .count()
+        .select_columns(["parent", "child"])
+    )
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(sorted(res.seen.keys()), pa.string())})
+    )
+    out = pagerank(nodes, edges, iters=5, num_partitions=8).to_pandas()
+    out = out.rename(columns={"node": "url", "r": "rank"})
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _q_crawl_extract_links(sf_dir: str):
     """Phase-1 slice: pages -> normalize -> extract links (no loop)."""
     import ray.data as rd
@@ -1186,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_events": _q_crawl_events,
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_extract_links": _q_crawl_extract_links,
+        "link_pagerank": _q_link_pagerank,
     }
 
 
@@ -1259,8 +1306,43 @@ reach AS (
 _CRAWL_CTE = _CRAWL_CTE_TEMPLATE.format(path=_CRAWL_PAGES_PATH)
 
 
+def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled integer PageRank over the crawl CTE's reachable graph —
+    the same recurrence as joins.pagerank (floor divisions, 85/100
+    damping, evaporating dangling mass), one CTE per iteration."""
+    head = (
+        _CRAWL_CTE
+        + ", nodes AS (SELECT canon FROM reach), "
+        "er AS (SELECT DISTINCT e.parent, e.child FROM edges e "
+        "JOIN nodes n ON e.parent = n.canon), "
+        "odt AS (SELECT parent, CAST(COUNT(*) AS BIGINT) AS od "
+        "FROM er GROUP BY parent), "
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes), "
+        f"r0 AS (SELECT canon, {scale} // (SELECT c FROM nn) AS r FROM nodes)"
+    )
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f", r{i} AS (SELECT n.canon, "
+            f"(15 * ({scale} // (SELECT c FROM nn))) // 100 "
+            "+ (85 * COALESCE(s.s, 0)) // 100 AS r "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT er.child, CAST(SUM(p.r // odt.od) AS BIGINT) AS s "
+            f"FROM er JOIN r{i-1} p ON p.canon = er.parent "
+            "JOIN odt ON odt.parent = er.parent "
+            "GROUP BY er.child) s ON s.child = n.canon)"
+        )
+    return (
+        head
+        + "".join(steps)
+        + f" SELECT canon AS url, CAST(r AS BIGINT) AS rank FROM r{iters} "
+        "ORDER BY url"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
+    d["link_pagerank"] = _pagerank_sql(iters=5)
     # the shuffle-join novelty path computes the identical quantity —
     # it shares the broadcast path's twin verbatim
     d["ngram_novelty_shuffled"] = d["ngram_novelty"]

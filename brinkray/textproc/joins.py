@@ -26,6 +26,7 @@ __all__ = [
     "revenue_by_nation",
     "anti_join",
     "semi_join",
+    "pagerank",
     "cluster_pairs",
 ]
 
@@ -436,6 +437,85 @@ def anti_join(left_ds, right_ds, on: str, right_on: str | None = None,
         return t.filter(pc.is_null(t["_present"])).drop_columns(["_present"])
 
     return joined.map_batches(only_missing, batch_format="pyarrow")
+
+
+def pagerank(nodes_ds, edges_ds, iters: int = 5, scale: int = 10**12,
+             num_partitions: int = 16):
+    """Distributed PageRank over a web-link graph — ``nodes_ds`` has one
+    ``node`` (string url) per vertex, ``edges_ds`` DISTINCT
+    (``parent``, ``child``) rows. Exact integer fixed-point arithmetic
+    so a distributed run is bit-reproducible AND SQL-twinnable:
+
+        r0       = scale // N                       (for every node)
+        r_{t+1}(v) = (15 * r0) // 100
+                   + (85 * sum_{(u,v)} (r_t(u) // outdeg(u))) // 100
+
+    i.e. damping 0.85 as the rational 85/100, per-edge contributions
+    floor-divided, dangling mass evaporating (rank mass is NOT
+    conserved — the comparison-friendly variant; both sides of the
+    oracle do the same). Every step is the corpus-scale shape: the
+    out-degree table is hash-joined onto the edge list ONCE; each
+    iteration is one native ranks⋈edges hash join, a vectorized
+    per-edge floor-div, one groupby(child).Sum, and one left-outer
+    join back onto nodes (null -> base). Ranks are materialized per
+    iteration (the iterative-algorithm checkpoint pattern, as in
+    kmeans_labels) so the plan does not deepen with ``iters``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    n = nodes_ds.count()
+    r0 = scale // n
+    base = (15 * r0) // 100
+
+    od = edges_ds.groupby("parent").aggregate(Count(alias_name="od"))
+    edges_od = (
+        edges_ds.join(od, join_type="inner", num_partitions=num_partitions,
+                      on=("parent",))
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["parent"], "child": t["child"], "od": t["od"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"],
+             "r": pa.array(np.full(t.num_rows, r0, dtype=np.int64))}
+        )
+
+    ranks = nodes_ds.map_batches(init, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        d = t["od"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": t["child"], "c": pa.array(r // d, pa.int64())})
+
+    def new_rank(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t["s"], 0).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": t["node"],
+             "r": pa.array(base + (85 * s) // 100, pa.int64())}
+        )
+
+    for _ in range(iters):
+        sums = (
+            edges_od.join(ranks, join_type="inner",
+                          num_partitions=num_partitions, on=("node",))
+            .map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="s"))
+        )
+        ranks = (
+            nodes_ds.join(sums, join_type="left_outer",
+                          num_partitions=num_partitions, on=("node",))
+            .map_batches(new_rank, batch_format="pyarrow")
+            .materialize()
+        )
+    return ranks
 
 
 def cluster_pairs(pairs_ds, max_rounds: int = 30):

@@ -552,3 +552,44 @@ def test_semi_join_tiny_bloom_still_exact(ray_session):
     out = semi_join(left, right, on="k", num_partitions=2, bloom_bits=64,
                     bloom_hashes=2).to_pandas()
     assert sorted(out["k"].tolist()) == [5, 7, 99]
+
+
+def test_pagerank_integer_recurrence(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.joins import pagerank
+
+    # A -> B, A -> C, B -> C, C -> A, D dangling, E isolated
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+    nds = rd.from_arrow(pa.table({"node": pa.array(nodes)})).repartition(2)
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "parent": pa.array([p for p, _ in edges]),
+                "child": pa.array([c for _, c in edges]),
+            }
+        )
+    ).repartition(2)
+    out = (
+        pagerank(nds, eds, iters=5, scale=10**12, num_partitions=2)
+        .to_pandas()
+        .set_index("node")["r"]
+    )
+
+    scale = 10**12
+    r0 = scale // len(nodes)
+    base = (15 * r0) // 100
+    r = {n: r0 for n in nodes}
+    od = {}
+    for p, _ in edges:
+        od[p] = od.get(p, 0) + 1
+    for _ in range(5):
+        s = {n: 0 for n in nodes}
+        for p, c in edges:
+            s[c] += r[p] // od[p]
+        r = {n: base + (85 * s[n]) // 100 for n in nodes}
+    assert out.to_dict() == r
+    # structure sanity: c (two in-links incl. the hub) outranks b; the
+    # isolated node sits at base
+    assert r["c"] > r["b"] > r["e"] == base

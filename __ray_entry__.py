@@ -673,6 +673,45 @@ def _q_pack_shards(sf_dir: str):
     return pack_shards(_ds(sf_dir, "documents"), n_shards=16).to_pandas()
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental ingestion: docs from source 'src0' are the incoming
+    batch, every other source is the existing corpus; admit only
+    incoming docs whose 6-token boilerplate-prefix fingerprint is
+    unseen (full-text fingerprints are all-distinct in this corpus,
+    which would make the operator vacuous)."""
+    from brinkray.textproc.dedup import dedup_incremental
+
+    docs = _ds(sf_dir, "documents")
+    out = dedup_incremental(
+        docs.filter(expr="source == 'src0'"),
+        docs.filter(expr="source != 'src0'"),
+        prefix_tokens=6,
+        num_partitions=8,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source, certified end to end: write the corpus as
+    md5-bucket JSONL shards (resumable layout), read the files back
+    with ray.data.read_json, and reduce to a per-shard manifest whose
+    n_chars is recomputed from the ROUND-TRIPPED text — the oracle
+    derives the same manifest from the original table, so a match
+    proves byte fidelity of both directions."""
+    import shutil
+    import tempfile
+
+    from brinkray.textproc.curation import read_jsonl_manifest, write_jsonl_shards
+
+    out_dir = tempfile.mkdtemp(prefix="brinkray_jsonl_", dir="/tmp")
+    try:
+        write_jsonl_shards(_ds(sf_dir, "documents"), out_dir).materialize()
+        out = read_jsonl_manifest(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def _q_export_manifest(sf_dir: str):
     """The WRITE path: materialize the packed-shard layout as
     partitioned parquet under a fresh /tmp dir (resumability — skip
@@ -1192,6 +1231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "pack_shards": _q_pack_shards,
         "export_manifest": _q_export_manifest,
+        "dedup_incremental": _q_dedup_incremental,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "ngram_novelty": _q_ngram_novelty,
         "ngram_novelty_shuffled": _q_ngram_novelty_shuffled,
         # web-corpus cleaning (paragraph dedup / PII / exact percentiles)
@@ -1812,6 +1853,21 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT CAST(shard AS BIGINT) AS shard, "
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY shard"
+        ),
+        "dedup_incremental": (
+            "WITH f AS (SELECT doc_id, source, md5(array_to_string("
+            "regexp_split_to_array(trim(text), '\\s+')[1:6], ' ')) AS fp "
+            "FROM documents) "
+            "SELECT n.doc_id, n.fp FROM f n WHERE n.source = 'src0' "
+            "AND NOT EXISTS (SELECT 1 FROM f c WHERE c.source <> 'src0' "
+            "AND c.fp = n.fp) ORDER BY n.doc_id"
+        ),
+        "jsonl_roundtrip": (
+            "SELECT CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) "
+            "- 1) % 16 AS BIGINT) AS shard, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars "
+            "FROM documents GROUP BY shard ORDER BY shard"
         ),
         # exact distinct-token cardinality — the oracle-certified
         # sibling of the hll_distinct_tokens sketch.

@@ -35,6 +35,8 @@ __all__ = [
     "pack_shards",
     "doc_chunks",
     "write_packed_shards",
+    "write_jsonl_shards",
+    "read_jsonl_manifest",
     "ngram_novelty",
     "ngram_novelty_shuffled",
     "tf_df_scores",
@@ -469,6 +471,99 @@ def write_packed_shards(
         .map_batches(assign, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(write_group, batch_format="pandas")
+    )
+
+
+def write_jsonl_shards(docs, out_dir: str, n_shards: int = 16,
+                       text_col="text", id_col="doc_id"):
+    """JSONL training-export sink with the same deterministic,
+    RESUMABLE layout as :func:`write_packed_shards` — one
+    ``out_dir/shard-NN.jsonl`` per md5-bucket shard, docs in the
+    shard's canonical (md5, doc_id) order, skip-existing +
+    tmp+rename atomicity — JSONL being the lingua-franca format LLM
+    data pipelines exchange. Returns the per-shard manifest
+    (shard, n_docs, n_chars)."""
+    import json
+    import os
+
+    def assign(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: t[text_col],
+                "h": pa.array(hs, pa.string()),
+                "shard": pa.array(
+                    [int(h[0], 16) % n_shards for h in hs], pa.int64()
+                ),
+            }
+        )
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["shard"].iloc[0])
+        g = g.sort_values(["h", id_col])
+        path = os.path.join(out_dir, f"shard-{shard:02d}.jsonl")
+        if not os.path.exists(path):
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                for did, txt in zip(g[id_col], g[text_col]):
+                    f.write(json.dumps(
+                        {id_col: int(did), text_col: txt},
+                        ensure_ascii=False) + "\n")
+            os.rename(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_docs": [len(g)],
+                "n_chars": [int(sum(len(x) for x in g[text_col]))],
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_group, batch_format="pandas")
+    )
+
+
+def read_jsonl_manifest(in_dir: str, id_col="doc_id", text_col="text"):
+    """JSONL source: read a ``write_jsonl_shards`` directory back as a
+    Dataset (``ray.data.read_json`` — one task per shard file, the
+    streaming-source shape) and reduce to the same per-shard manifest
+    the writer returned, recomputing n_chars from the ROUND-TRIPPED
+    text. Comparing this against the writer's manifest (or an oracle
+    over the original table) certifies byte fidelity of the sink AND
+    the source."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_json(
+        in_dir, file_extensions=["jsonl"], include_paths=True
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        shards = [
+            int(_re.search(r"shard-(\d+)\.jsonl$", p).group(1))
+            for p in t["path"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "shard": pa.array(shards, pa.int64()),
+                "n_chars": pa.array(
+                    [len(x) for x in t[text_col].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
     )
 
 

@@ -226,6 +226,58 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def dedup_incremental(new_docs, corpus_docs, prefix_tokens: int | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_partitions: int = 16):
+    """Incremental ingestion dedup — the continuous-crawl shape: keep
+    only INCOMING docs whose fingerprint is absent from the existing
+    corpus. Fingerprint = md5 of the whitespace-normalized text, or of
+    just the first ``prefix_tokens`` tokens (boilerplate-prefix dedup).
+    Scale shape: both sides fingerprint in stateless map_batches; the
+    corpus side reduces to DISTINCT fingerprints (32-byte keys only —
+    corpus text never re-shuffles on re-ingest), incoming docs
+    anti-join on fp. Returns (doc_id, fp) of the docs to admit.
+    """
+    import re
+
+    from .hashing import fingerprint
+    from .joins import anti_join
+
+    ws = re.compile(r"\s+")
+
+    def fp_of(text: str) -> str:
+        if prefix_tokens is None:
+            return fingerprint(text)
+        toks = ws.split(text.strip())[:prefix_tokens]
+        return hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest()
+
+    def new_fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "fp": pa.array([fp_of(x) for x in t[text_col].to_pylist()],
+                               pa.string()),
+            }
+        )
+
+    def corpus_fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"fp": pa.array([fp_of(x) for x in t[text_col].to_pylist()],
+                            pa.string())}
+        )
+
+    return anti_join(
+        new_docs.select_columns([id_col, text_col]).map_batches(
+            new_fp, batch_format="pyarrow"
+        ),
+        corpus_docs.select_columns([text_col]).map_batches(
+            corpus_fp, batch_format="pyarrow"
+        ),
+        on="fp",
+        num_partitions=num_partitions,
+    )
+
+
 # ---------------------------------------------------------------- minhash
 def minhash_rows(ds, text_col: str = "text", id_col: str = "doc_id", bands: int = BANDS):
     """Stage 1: per-doc signature, exploded to (band, band_hash, doc_id,

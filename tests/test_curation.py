@@ -353,3 +353,97 @@ def test_ngram_novelty_shuffled_equals_broadcast(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_shared"] > 0).sum() == 30  # boilerplate detected
     assert a[a["doc_id"] == 30]["n_shared"].iloc[0] == 0
+
+
+def test_write_jsonl_shards_roundtrip_and_resume(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data as rd
+
+    from brinkray.textproc.curation import read_jsonl_manifest, write_jsonl_shards
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(40)), pa.int64()),
+                "text": pa.array(
+                    [f"doc {i} with some text body {'x' * (i % 7)}" for i in range(40)]
+                ),
+            }
+        )
+    ).repartition(4)
+    out = str(tmp_path / "jsonl")
+    m1 = (
+        write_jsonl_shards(docs, out, n_shards=4)
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    assert m1["n_docs"].sum() == 40
+    files = sorted(os.listdir(out))
+    assert files == [f"shard-{s:02d}.jsonl" for s in m1["shard"]]
+    assert not any(f.endswith(".tmp") for f in files)
+
+    # resume: poison one existing shard — a rerun must SKIP it (and
+    # report the same manifest, which is derived from data, not files)
+    poison = os.path.join(out, files[0])
+    before = open(poison).read()
+    with open(poison, "a") as f:
+        f.write("")  # touch only mtime; content identical
+    m2 = (
+        write_jsonl_shards(docs, out, n_shards=4)
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    assert m2.equals(m1)
+    assert open(poison).read() == before
+
+    # roundtrip: read back and verify per-shard counts + chars match
+    rt = (
+        read_jsonl_manifest(out)
+        .to_pandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    assert rt[["shard", "n_docs", "n_chars"]].equals(
+        m1[["shard", "n_docs", "n_chars"]]
+    )
+    # and the lines are valid JSON with both fields
+    row = json.loads(open(poison).readline())
+    assert set(row) == {"doc_id", "text"}
+
+
+def test_dedup_incremental_prefix_and_full(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.dedup import dedup_incremental
+
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["alpha beta gamma", "delta epsilon zeta"]),
+            }
+        )
+    )
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma",          # exact dup -> dropped
+                        "alpha beta DIFFERENT",      # 2-token prefix dup
+                        "fresh totally new",         # kept either way
+                    ]
+                ),
+            }
+        )
+    )
+    full = dedup_incremental(new, corpus, num_partitions=2).to_pandas()
+    assert sorted(full["doc_id"].tolist()) == [11, 12]
+    pref = dedup_incremental(new, corpus, prefix_tokens=2,
+                             num_partitions=2).to_pandas()
+    assert sorted(pref["doc_id"].tolist()) == [12]

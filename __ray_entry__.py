@@ -869,6 +869,62 @@ def _q_doc_chunks(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def _q_revenue_by_priority_nation(sf_dir: str):
+    """Three-table star-join chain (lineitem -> orders -> customer ->
+    nation) with line-level revenue pre-aggregated per order BEFORE the
+    first join."""
+    from brinkray.textproc.joins import revenue_chain
+
+    out = revenue_chain(
+        _ds(sf_dir, "lineitem"),
+        _ds(sf_dir, "orders"),
+        _ds(sf_dir, "customer"),
+        _ds(sf_dir, "nation"),
+        num_partitions=8,
+    ).to_pandas()
+    return out.sort_values(["o_orderpriority", "n_name"]).reset_index(drop=True)
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sufficient statistics (exact
+    fixed-point per-dimension sums + counts)."""
+    from brinkray.textproc.similarity import label_centroids
+
+    out = label_centroids(_ds(sf_dir, "embeddings")).to_pandas()
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def _q_doc_token_quartiles(sf_dir: str):
+    """Corpus-wide exact ranking by token count (row_number shape) plus
+    NTILE-style quartile assignment, via the broadcast-CDF global_rank
+    operator (no global sort barrier)."""
+    import re
+
+    import pyarrow as pa
+
+    from brinkray.textproc.relagg import global_rank
+
+    ws = re.compile(r"\S+")
+
+    def add_n(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    [len(ws.findall(x)) for x in t["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    docs = _ds(sf_dir, "documents").map_batches(add_n, batch_format="pyarrow")
+    out = global_rank(docs, key_col="n_tokens", id_col="doc_id", n_buckets=4)
+    out = out.to_pandas().rename(columns={"rank": "rnk", "bucket": "quartile"})
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_tokens", "rnk", "quartile"]
+    ]
+
+
 def _q_grouped_token_quantiles(sf_dir: str):
     from brinkray.textproc.webclean import grouped_token_quantiles
 
@@ -1233,6 +1289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_manifest": _q_export_manifest,
         "dedup_incremental": _q_dedup_incremental,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "revenue_by_priority_nation": _q_revenue_by_priority_nation,
+        "label_centroids": _q_label_centroids,
+        "doc_token_quartiles": _q_doc_token_quartiles,
         "ngram_novelty": _q_ngram_novelty,
         "ngram_novelty_shuffled": _q_ngram_novelty_shuffled,
         # web-corpus cleaning (paragraph dedup / PII / exact percentiles)
@@ -1868,6 +1927,37 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(length(text)) AS BIGINT) AS n_chars "
             "FROM documents GROUP BY shard ORDER BY shard"
+        ),
+        "revenue_by_priority_nation": (
+            "SELECT o.o_orderpriority, n.n_name, "
+            "CAST(SUM(CAST(floor(l.l_extendedprice*(1.0-l.l_discount)*100.0) "
+            "AS BIGINT)) AS BIGINT) AS rev_cents "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY o_orderpriority, n_name "
+            "ORDER BY o_orderpriority, n_name"
+        ),
+        "label_centroids": (
+            "WITH ex AS (SELECT label, "
+            "unnest(generate_series(0, len(embedding)-1)) AS dim, "
+            "unnest(embedding) AS v FROM embeddings) "
+            "SELECT label, CAST(dim AS BIGINT) AS dim, "
+            "CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1000000.0) AS BIGINT)) "
+            "AS BIGINT) AS s_micro, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM ex GROUP BY label, dim ORDER BY label, dim"
+        ),
+        "doc_token_quartiles": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "r AS (SELECT doc_id, n_tokens, "
+            "CAST(row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS BIGINT) "
+            "AS rnk FROM t) "
+            "SELECT doc_id, n_tokens, rnk, "
+            "CAST((rnk * 4) // (SELECT COUNT(*) FROM t) AS BIGINT) AS quartile "
+            "FROM r ORDER BY doc_id"
         ),
         # exact distinct-token cardinality — the oracle-certified
         # sibling of the hll_distinct_tokens sketch.

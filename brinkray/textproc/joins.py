@@ -637,3 +637,89 @@ def cluster_pairs(pairs_ds, max_rounds: int = 30):
     # distributed and the driver never gathers it — callers that want
     # pandas do their own to_pandas on the (typically small) result.
     return labels.sort("doc_id")
+
+
+def revenue_chain(lineitem_ds, orders_ds, customer_ds, nation_ds,
+                  num_partitions: int = 32):
+    """Three-table star-join chain with aggregation pushdown — revenue
+    per (order priority, nation): lineitem revenue is PRE-AGGREGATED to
+    one int64-cents row per orderkey BEFORE any join (the combiner
+    rule: the widest table never ships line-level rows), then two
+    native hash-shuffle joins walk the key chain
+    (orderkey -> custkey -> nationkey), one small groupby sums per
+    (priority, nationkey), and the 25-row nation dimension is a
+    broadcast dict. Returns (o_orderpriority, n_name, rev_cents).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table({"orderkey": t["l_orderkey"], "rev_cents": rev})
+
+    per_order = (
+        lineitem_ds.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_prep, batch_format="pyarrow")
+        .groupby("orderkey")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+    )
+
+    orders_k = orders_ds.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["o_orderkey"],
+                "custkey": t["o_custkey"],
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust_k = customer_ds.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"custkey": t["c_custkey"], "nationkey": t["c_nationkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = per_order.join(
+        orders_k, join_type="inner", num_partitions=num_partitions,
+        on=("orderkey",),
+    ).join(cust_k, join_type="inner", num_partitions=num_partitions,
+           on=("custkey",))
+    per_group = joined.groupby(["o_orderpriority", "nationkey"]).aggregate(
+        Sum("rev_cents", alias_name="rev_cents")
+    )
+
+    names = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nation_ds.select_columns(["n_nationkey", "n_name"]).take_all()
+    }
+
+    def add_name(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_name": pa.array(
+                    [names[int(k)] for k in t["nationkey"].to_pylist()],
+                    pa.string(),
+                ),
+                "rev_cents": t["rev_cents"],
+            }
+        )
+
+    return per_group.map_batches(add_name, batch_format="pyarrow")

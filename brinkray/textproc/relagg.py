@@ -133,3 +133,52 @@ def rollup_counts(ds, keys: list[str]):
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def global_rank(ds, key_col: str, id_col: str, n_buckets: int = 0):
+    """Corpus-wide EXACT row ranking by (key, id) — SQL's
+    ``row_number() OVER (ORDER BY key, id) - 1`` — without a global
+    sort barrier: the key histogram (one small groupby over DISTINCT
+    key values) is broadcast as a cumulative-count table, within-key
+    order comes from one groupby(key) with an id-mergesort body, and
+    rank = cum_below[key] + within_rank. With ``n_buckets > 0`` an
+    NTILE-style bucket column is added (``rank * n_buckets // total``).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    the ORDER KEY is low-cardinality (the distinct-key count table must
+    broadcast, and one key's rows must fit one task) — the
+    length-quantile / score-band shape. A high-cardinality float key
+    should go through the exact-quantile range-refinement operator
+    instead (webclean.token_length_percentiles) or a range-partitioned
+    prefix sum.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    hist = (
+        ds.select_columns([key_col])
+        .groupby(key_col)
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values(key_col)
+    )
+    keys = hist[key_col].to_numpy()
+    counts = hist["c"].to_numpy().astype(np.int64)
+    cum_below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    total = int(counts.sum())
+    bcast = ray.put((keys, cum_below))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ks, cb = ray.get(bcast)
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        base = int(cb[np.searchsorted(ks, g[key_col].iloc[0])])
+        g["rank"] = base + np.arange(len(g), dtype=np.int64)
+        if n_buckets > 0:
+            g["bucket"] = g["rank"].to_numpy() * n_buckets // total
+        return g
+
+    return (
+        ds.select_columns([key_col, id_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )

@@ -15,7 +15,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-__all__ = ["cosine_topk", "ivf_topk", "build_ivf_centroids", "kmeans_labels"]
+__all__ = ["cosine_topk", "ivf_topk", "build_ivf_centroids", "kmeans_labels",
+           "label_centroids"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -206,3 +207,44 @@ def kmeans_labels(ds, k: int = 8, iters: int = 10, vec_col="embedding",
         )
 
     return base.map_batches(assign, batch_format="pyarrow")
+
+
+def label_centroids(ds, vec_col="embedding", label_col="label",
+                    scale: int = 10**6):
+    """Per-label centroid SUFFICIENT STATISTICS — (label, dim, s_micro,
+    n) where s_micro is the exact fixed-point sum of that dimension
+    (floor(v * scale) as int64, float32 widened to float64 first so
+    the quantization matches SQL bit-for-bit) and n the vector count.
+    The class-prototype primitive: the caller divides s_micro/n for the
+    mean, keeping the distributed reduction associative and
+    bit-reproducible. Per-batch partials pre-aggregate to
+    |labels| x dims rows before the ONE small groupby — the vector
+    payload never re-shuffles.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t[label_col].to_numpy(zero_copy_only=False)
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
+        q = np.floor(vecs.astype(np.float64) * float(scale)).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dims = q.shape[1]
+        sums = np.zeros((len(uniq), dims), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(uniq, dims)),
+                "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64), len(uniq))),
+                "s_micro": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts, dims), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([label_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([label_col, "dim"])
+        .aggregate(Sum("s_micro", alias_name="s_micro"), Sum("n", alias_name="n"))
+    )

@@ -125,3 +125,124 @@ def test_doc_chunks_boundaries(ray_session):
         out[out["doc_id"] == 3]["chunk_md5"].iloc[0]
         == hashlib.md5(b"").hexdigest()
     )
+
+
+def test_global_rank_matches_row_number(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import global_rank
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(200, dtype=np.int64),
+            "k": rng.integers(0, 12, 200).astype(np.int64),
+        }
+    )
+    out = (
+        global_rank(rd.from_pandas(df).repartition(4), key_col="k",
+                    id_col="id", n_buckets=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "id"]).reset_index(drop=True)
+    exp["rank"] = np.arange(len(exp), dtype=np.int64)
+    exp["bucket"] = exp["rank"] * 4 // len(exp)
+    exp = exp.sort_values("id").reset_index(drop=True)
+    assert out["rank"].tolist() == exp["rank"].tolist()
+    assert out["bucket"].tolist() == exp["bucket"].tolist()
+    # ranks are a permutation of 0..n-1
+    assert sorted(out["rank"]) == list(range(200))
+
+
+def test_label_centroids_exact(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.similarity import label_centroids
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(50, 6)).astype(np.float32)
+    labels = rng.integers(0, 3, 50).astype(np.int32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(labels),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(4)
+    out = (
+        label_centroids(ds)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    q = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    for lab in range(3):
+        sel = q[labels == lab]
+        got = out[out["label"] == lab]
+        assert got["s_micro"].tolist() == sel.sum(axis=0).tolist()
+        assert got["n"].tolist() == [len(sel)] * 6
+        assert got["dim"].tolist() == list(range(6))
+
+
+def test_revenue_chain_brute_force(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.joins import revenue_chain
+
+    rng = np.random.default_rng(13)
+    n_li, n_o, n_c = 300, 60, 20
+    li = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_o, n_li).astype(np.int64),
+            "l_extendedprice": rng.uniform(100, 90000, n_li),
+            "l_discount": rng.integers(0, 11, n_li) / 100.0,
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_o, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_c, n_o).astype(np.int64),
+            "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n_o),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_c, dtype=np.int64),
+            "c_nationkey": rng.integers(0, 4, n_c).astype(np.int64),
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(4, dtype=np.int64),
+            "n_name": [f"NATION{i}" for i in range(4)],
+        }
+    )
+    out = (
+        revenue_chain(
+            rd.from_pandas(li).repartition(3),
+            rd.from_pandas(orders).repartition(2),
+            rd.from_pandas(cust),
+            rd.from_pandas(nation),
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["o_orderpriority", "n_name"])
+        .reset_index(drop=True)
+    )
+    li["rev"] = np.floor(
+        li["l_extendedprice"] * (1.0 - li["l_discount"]) * 100.0
+    ).astype(np.int64)
+    exp = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .groupby(["o_orderpriority", "n_name"])["rev"]
+        .sum()
+        .reset_index(name="rev_cents")
+        .sort_values(["o_orderpriority", "n_name"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)

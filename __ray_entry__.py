@@ -712,6 +712,23 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return out.sort_values("shard").reset_index(drop=True)
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV sibling of jsonl_roundtrip — same sink/source fidelity
+    certificate over ray.data.read_csv + the csv shard writer."""
+    import shutil
+    import tempfile
+
+    from brinkray.textproc.curation import read_csv_manifest, write_csv_shards
+
+    out_dir = tempfile.mkdtemp(prefix="brinkray_csv_", dir="/tmp")
+    try:
+        write_csv_shards(_ds(sf_dir, "documents"), out_dir).materialize()
+        out = read_csv_manifest(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def _q_export_manifest(sf_dir: str):
     """The WRITE path: materialize the packed-shard layout as
     partitioned parquet under a fresh /tmp dir (resumability — skip
@@ -923,6 +940,47 @@ def _q_doc_token_quartiles(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "n_tokens", "rnk", "quartile"]
     ]
+
+
+def _set_op_sides(sf_dir: str):
+    """(user_id, day) keys of click vs purchase events — the two sides
+    every set-op query below compares."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def day_keys(event_type: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"user_id": t["user_id"], "d": pc.floor_temporal(t["ts"], unit="day")}
+            )
+
+        return (
+            _ds(sf_dir, "events")
+            .filter(expr=f"event_type == '{event_type}'")
+            .map_batches(fn, batch_format="pyarrow")
+        )
+
+    return day_keys("click"), day_keys("purchase")
+
+
+def _q_click_purchase_same_day(sf_dir: str):
+    """INTERSECT: (user, day) pairs with BOTH a click and a purchase."""
+    from brinkray.textproc.relagg import set_op_distinct
+
+    clicks, purchases = _set_op_sides(sf_dir)
+    out = set_op_distinct(clicks, purchases, on=["user_id", "d"],
+                          op="intersect").to_pandas()
+    return out.sort_values(["user_id", "d"]).reset_index(drop=True)
+
+
+def _q_click_no_purchase_days(sf_dir: str):
+    """EXCEPT: (user, day) pairs with a click but NO purchase."""
+    from brinkray.textproc.relagg import set_op_distinct
+
+    clicks, purchases = _set_op_sides(sf_dir)
+    out = set_op_distinct(clicks, purchases, on=["user_id", "d"],
+                          op="except").to_pandas()
+    return out.sort_values(["user_id", "d"]).reset_index(drop=True)
 
 
 def _q_grouped_token_quantiles(sf_dir: str):
@@ -1289,9 +1347,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_manifest": _q_export_manifest,
         "dedup_incremental": _q_dedup_incremental,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "revenue_by_priority_nation": _q_revenue_by_priority_nation,
         "label_centroids": _q_label_centroids,
         "doc_token_quartiles": _q_doc_token_quartiles,
+        "click_purchase_same_day": _q_click_purchase_same_day,
+        "click_no_purchase_days": _q_click_no_purchase_days,
         "ngram_novelty": _q_ngram_novelty,
         "ngram_novelty_shuffled": _q_ngram_novelty_shuffled,
         # web-corpus cleaning (paragraph dedup / PII / exact percentiles)
@@ -1928,6 +1989,16 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(SUM(length(text)) AS BIGINT) AS n_chars "
             "FROM documents GROUP BY shard ORDER BY shard"
         ),
+        # the CSV pair certifies the identical invariant (manifest
+        # re-derived from the original table) through a different
+        # format + reader, so it shares the jsonl twin's SQL
+        "csv_roundtrip": (
+            "SELECT CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) "
+            "- 1) % 16 AS BIGINT) AS shard, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars "
+            "FROM documents GROUP BY shard ORDER BY shard"
+        ),
         "revenue_by_priority_nation": (
             "SELECT o.o_orderpriority, n.n_name, "
             "CAST(SUM(CAST(floor(l.l_extendedprice*(1.0-l.l_discount)*100.0) "
@@ -1947,6 +2018,20 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1000000.0) AS BIGINT)) "
             "AS BIGINT) AS s_micro, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM ex GROUP BY label, dim ORDER BY label, dim"
+        ),
+        "click_purchase_same_day": (
+            "SELECT user_id, date_trunc('day', ts) AS d FROM events "
+            "WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT user_id, date_trunc('day', ts) AS d FROM events "
+            "WHERE event_type = 'purchase' ORDER BY user_id, d"
+        ),
+        "click_no_purchase_days": (
+            "SELECT user_id, date_trunc('day', ts) AS d FROM events "
+            "WHERE event_type = 'click' "
+            "EXCEPT "
+            "SELECT user_id, date_trunc('day', ts) AS d FROM events "
+            "WHERE event_type = 'purchase' ORDER BY user_id, d"
         ),
         "doc_token_quartiles": (
             "WITH t AS (SELECT doc_id, "

@@ -37,6 +37,8 @@ __all__ = [
     "write_packed_shards",
     "write_jsonl_shards",
     "read_jsonl_manifest",
+    "write_csv_shards",
+    "read_csv_manifest",
     "ngram_novelty",
     "ngram_novelty_shuffled",
     "tf_df_scores",
@@ -549,6 +551,92 @@ def read_jsonl_manifest(in_dir: str, id_col="doc_id", text_col="text"):
 
         shards = [
             int(_re.search(r"shard-(\d+)\.jsonl$", p).group(1))
+            for p in t["path"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "shard": pa.array(shards, pa.int64()),
+                "n_chars": pa.array(
+                    [len(x) for x in t[text_col].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+    )
+
+
+def write_csv_shards(docs, out_dir: str, n_shards: int = 16,
+                     text_col="text", id_col="doc_id"):
+    """CSV sibling of :func:`write_jsonl_shards` — same deterministic
+    md5-bucket layout, canonical order, skip-existing + tmp+rename
+    resume; one ``shard-NN.csv`` per shard with a header row and
+    minimal quoting. Returns the same (shard, n_docs, n_chars)
+    manifest."""
+    import csv
+    import os
+
+    def assign(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: t[text_col],
+                "h": pa.array(hs, pa.string()),
+                "shard": pa.array(
+                    [int(h[0], 16) % n_shards for h in hs], pa.int64()
+                ),
+            }
+        )
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["shard"].iloc[0])
+        g = g.sort_values(["h", id_col])
+        path = os.path.join(out_dir, f"shard-{shard:02d}.csv")
+        if not os.path.exists(path):
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8", newline="") as f:
+                w = csv.writer(f)
+                w.writerow([id_col, text_col])
+                for did, txt in zip(g[id_col], g[text_col]):
+                    w.writerow([int(did), txt])
+            os.rename(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_docs": [len(g)],
+                "n_chars": [int(sum(len(x) for x in g[text_col]))],
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_group, batch_format="pandas")
+    )
+
+
+def read_csv_manifest(in_dir: str, id_col="doc_id", text_col="text"):
+    """CSV source: read a ``write_csv_shards`` directory back
+    (``ray.data.read_csv`` — one task per shard file) and reduce to
+    the writer's manifest, n_chars recomputed from the round-tripped
+    text (the same fidelity certificate as the JSONL pair)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_csv(in_dir, file_extensions=["csv"], include_paths=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        shards = [
+            int(_re.search(r"shard-(\d+)\.csv$", p).group(1))
             for p in t["path"].to_pylist()
         ]
         return pa.table(

@@ -182,3 +182,48 @@ def global_rank(ds, key_col: str, id_col: str, n_buckets: int = 0):
         .groupby(key_col)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def set_op_distinct(left_ds, right_ds, on: list[str], op: str = "intersect"):
+    """Distributed INTERSECT / EXCEPT (distinct set semantics) over the
+    key columns ``on``: each side first collapses to its DISTINCT keys
+    per batch (local pre-dedup — pyarrow group_by — so the exchange
+    carries at most one row per (key, block, side)), a side flag tags
+    the rows, ONE groupby over the tagged union aggregates per-side
+    presence, and a vectorized filter keeps keys present in both sides
+    (``intersect``) or in the left only (``except``). Payloads never
+    shuffle — only the key columns and two int8 flags.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown set op: {op!r}")
+
+    def tag(in_l: int, in_r: int):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t.select(on).group_by(on).aggregate([])
+            n = d.num_rows
+            return d.append_column(
+                "_l", pa.array(np.full(n, in_l, dtype=np.int8))
+            ).append_column("_r", pa.array(np.full(n, in_r, dtype=np.int8)))
+
+        return fn
+
+    both = left_ds.select_columns(on).map_batches(
+        tag(1, 0), batch_format="pyarrow"
+    ).union(
+        right_ds.select_columns(on).map_batches(tag(0, 1), batch_format="pyarrow")
+    )
+    agg = both.groupby(on).aggregate(
+        Max("_l", alias_name="_l"), Max("_r", alias_name="_r")
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        if op == "intersect":
+            mask = pc.and_(pc.equal(t["_l"], 1), pc.equal(t["_r"], 1))
+        else:
+            mask = pc.and_(pc.equal(t["_l"], 1), pc.equal(t["_r"], 0))
+        return t.filter(mask).drop_columns(["_l", "_r"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")

@@ -447,3 +447,34 @@ def test_dedup_incremental_prefix_and_full(ray_session):
     pref = dedup_incremental(new, corpus, prefix_tokens=2,
                              num_partitions=2).to_pandas()
     assert sorted(pref["doc_id"].tolist()) == [12]
+
+
+def test_write_csv_shards_roundtrip_quoting(ray_session, tmp_path):
+    import ray.data as rd
+
+    from brinkray.textproc.curation import read_csv_manifest, write_csv_shards
+
+    # texts with commas, quotes and unicode exercise CSV quoting
+    texts = ['plain words', 'has, a comma', 'has "quotes" inside',
+             'trailing space ', 'ünïcödé text']
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(2)
+    out = str(tmp_path / "csv")
+    m1 = (
+        write_csv_shards(docs, out, n_shards=2)
+        .to_pandas().sort_values("shard").reset_index(drop=True)
+    )
+    rt = (
+        read_csv_manifest(out)
+        .to_pandas().sort_values("shard").reset_index(drop=True)
+    )
+    assert rt[["shard", "n_docs", "n_chars"]].equals(
+        m1[["shard", "n_docs", "n_chars"]]
+    )
+    assert m1["n_chars"].sum() == sum(len(t) for t in texts)

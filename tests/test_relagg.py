@@ -246,3 +246,24 @@ def test_revenue_chain_brute_force(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_set_op_distinct_intersect_except(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import set_op_distinct
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2, 3, 5], pa.int64())})
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([2, 2, 3, 4], pa.int64())})
+    ).repartition(2)
+    inter = set_op_distinct(left, right, on=["k"], op="intersect").to_pandas()
+    exc = set_op_distinct(left, right, on=["k"], op="except").to_pandas()
+    assert sorted(inter["k"]) == [2, 3]           # distinct semantics
+    assert sorted(exc["k"]) == [1, 5]
+    import pytest
+
+    with pytest.raises(ValueError):
+        set_op_distinct(left, right, on=["k"], op="union")

@@ -142,6 +142,12 @@ def bench_queries() -> dict[str, float]:
         "suppliers_with_returns",
         "rolling_order_sums",
         "latest_event_per_user",
+        "label_centroids",
+        "doc_token_quartiles",
+        "click_purchase_same_day",
+        "jsonl_roundtrip",
+        "dedup_incremental",
+        "revenue_by_priority_nation",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

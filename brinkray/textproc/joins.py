@@ -94,15 +94,18 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
                 np.bitwise_or.at(bitmap, w_idx, mask)
             return bitmap
 
-        bloom = right_ds.select_columns([right_on]).aggregate(
+        agg = right_ds.select_columns([right_on]).aggregate(
             AggregateFn(
                 init=lambda k: np.zeros(n_words, dtype=np.uint64),
                 merge=np.bitwise_or,
                 accumulate_block=acc,
                 name="bloom",
             )
-        )["bloom"]
-        bloom_ref = ray.put(bloom)
+        )
+        # empty right side => no bitmap; the exact join below yields
+        # the (empty) result on its own
+        bloom = agg.get("bloom") if agg else None
+        bloom_ref = ray.put(bloom) if bloom is not None else None
 
         def prefilter(t: pa.Table) -> pa.Table:
             bm = ray.get(bloom_ref)
@@ -112,7 +115,8 @@ def semi_join(left_ds, right_ds, on: str, right_on: str | None = None,
                 keep &= (bm[w_idx] & mask) != 0
             return t.filter(pa.array(keep))
 
-        left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
+        if bloom_ref is not None:
+            left_ds = left_ds.map_batches(prefilter, batch_format="pyarrow")
 
     return left_ds.join(
         keys, join_type="inner", num_partitions=num_partitions, on=(on,)
@@ -465,6 +469,13 @@ def pagerank(nodes_ds, edges_ds, iters: int = 5, scale: int = 10**12,
     from ray.data.aggregate import Count, Sum
 
     n = nodes_ds.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "r": pa.array([], pa.int64())})
+        )
     r0 = scale // n
     base = (15 * r0) // 100
 

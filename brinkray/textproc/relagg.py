@@ -120,7 +120,8 @@ def rollup_counts(ds, keys: list[str]):
         )
         levels.append(lvl)
 
-    total = int(fine.aggregate(Sum("n", alias_name="n"))["n"])
+    agg = fine.aggregate(Sum("n", alias_name="n"))
+    total = int(agg["n"]) if agg and agg.get("n") is not None else 0
     grand = rd.from_arrow(
         pa.table(
             {**{k: pa.nulls(1, pa.string()) for k in keys},

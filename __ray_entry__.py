@@ -472,6 +472,24 @@ def _q_latest_event_per_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_funnel_attribution(sf_dir: str):
+    """Attribution join: each purchase attributed to the user's most
+    recent click within 24h (-1 when none)."""
+    from brinkray.textproc.windows import funnel_attribution
+
+    out = funnel_attribution(
+        _ds(sf_dir, "events"),
+        key="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        type_col="event_type",
+        first_type="click",
+        then_type="purchase",
+        within_minutes=24 * 60,
+    ).to_pandas()
+    return out.sort_values(["user_id", "dst_id"]).reset_index(drop=True)
+
+
 def _q_event_type_pivot(sf_dir: str):
     """user_id x event_type count matrix (long -> wide pivot)."""
     from brinkray.textproc.windows import pivot_counts
@@ -1353,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quartiles": _q_doc_token_quartiles,
         "click_purchase_same_day": _q_click_purchase_same_day,
         "click_no_purchase_days": _q_click_no_purchase_days,
+        "funnel_attribution": _q_funnel_attribution,
         "ngram_novelty": _q_ngram_novelty,
         "ngram_novelty_shuffled": _q_ngram_novelty_shuffled,
         # web-corpus cleaning (paragraph dedup / PII / exact percentiles)
@@ -2032,6 +2051,19 @@ def _oracle_sql_dict() -> dict[str, str]:
             "EXCEPT "
             "SELECT user_id, date_trunc('day', ts) AS d FROM events "
             "WHERE event_type = 'purchase' ORDER BY user_id, d"
+        ),
+        "funnel_attribution": (
+            "WITH c AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.user_id AS user_id, p.event_id AS dst_id, "
+            "CAST(COALESCE(c.event_id, -1) AS BIGINT) AS src_id "
+            "FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts "
+            "AND c.ts + INTERVAL 24 HOUR >= p.ts "
+            "QUALIFY row_number() OVER (PARTITION BY p.event_id "
+            "ORDER BY c.ts DESC, c.event_id DESC) = 1 "
+            "ORDER BY p.user_id, dst_id"
         ),
         "doc_token_quartiles": (
             "WITH t AS (SELECT doc_id, "

@@ -25,6 +25,7 @@ __all__ = [
     "lag_deltas",
     "rolling_sums",
     "latest_per_key",
+    "funnel_attribution",
     "pivot_counts",
 ]
 
@@ -352,4 +353,47 @@ def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str]):
         .map_batches(partial, batch_format="pyarrow")
         .groupby(row_key)
         .aggregate(*[Sum("n_" + c, alias_name="n_" + c) for c in cols])
+    )
+
+
+def funnel_attribution(ds, key: str, ts_col: str, id_col: str, type_col: str,
+                       first_type: str, then_type: str,
+                       within_minutes: float = 60.0):
+    """Funnel / attribution join — for every ``then_type`` event, the
+    most recent preceding ``first_type`` event by the same key within
+    the window (the click->purchase attribution primitive; a
+    stream-stream interval join with last-wins semantics). One
+    groupby(key) shuffle; per group both event streams are split and
+    the probe is ONE vectorized searchsorted over the (ts, id)-sorted
+    first-event stream — no per-row scanning. Unattributed events get
+    source id -1 (NULL-free stable int64 schema). Ties at the same
+    timestamp resolve to the highest id, deterministically.
+    """
+    window = np.timedelta64(int(within_minutes * 60 * 1_000_000), "us")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        srcs = g[g[type_col] == first_type]
+        dsts = g[g[type_col] == then_type]
+        out_src = np.full(len(dsts), -1, dtype=np.int64)
+        if len(srcs) and len(dsts):
+            s_ts = srcs[ts_col].to_numpy().astype("datetime64[us]")
+            d_ts = dsts[ts_col].to_numpy().astype("datetime64[us]")
+            idx = np.searchsorted(s_ts, d_ts, side="right") - 1
+            ok = idx >= 0
+            safe = np.maximum(idx, 0)
+            ok &= s_ts[safe] >= (d_ts - window)
+            out_src[ok] = srcs[id_col].to_numpy()[safe[ok]]
+        return pd.DataFrame(
+            {
+                key: dsts[key].to_numpy(),
+                "dst_id": dsts[id_col].to_numpy(),
+                "src_id": out_src,
+            }
+        )
+
+    return (
+        ds.select_columns([key, ts_col, id_col, type_col])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
     )

@@ -593,3 +593,27 @@ def test_pagerank_integer_recurrence(ray_session):
     # structure sanity: c (two in-links incl. the hub) outranks b; the
     # isolated node sits at base
     assert r["c"] > r["b"] > r["e"] == base
+
+
+def test_funnel_attribution_semantics(ray_session):
+    from brinkray.textproc.windows import funnel_attribution
+
+    rows = [
+        (TS, 1, "click", 0.0),                                   # id 0
+        (TS + pd.Timedelta(minutes=30), 1, "purchase", 0.0),     # id 1 -> 2 (click at same ts counts)
+        (TS + pd.Timedelta(minutes=30), 1, "click", 0.0),        # id 2 (same ts as purchase 1)
+        (TS + pd.Timedelta(minutes=31), 1, "purchase", 0.0),     # id 3 -> 2 (latest click)
+        (TS + pd.Timedelta(hours=5), 1, "purchase", 0.0),        # id 4 -> -1 (window 1h)
+        (TS, 2, "purchase", 0.0),                                # id 5 -> -1 (no click)
+    ]
+    out = (
+        funnel_attribution(
+            _events_ds(rows).repartition(3),
+            key="user_id", ts_col="ts", id_col="event_id",
+            type_col="event_type", first_type="click", then_type="purchase",
+            within_minutes=60,
+        )
+        .to_pandas()
+        .set_index("dst_id")["src_id"]
+    )
+    assert out.to_dict() == {1: 2, 3: 2, 4: -1, 5: -1}

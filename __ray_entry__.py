@@ -1001,6 +1001,56 @@ def _q_click_no_purchase_days(sf_dir: str):
     return out.sort_values(["user_id", "d"]).reset_index(drop=True)
 
 
+def _q_biggest_order_per_customer(sf_dir: str):
+    """Argmax-by-VALUE per key — latest_per_key reused with a price
+    ordering instead of a time ordering (operator genericity: the same
+    two-level reduction serves CDC keep-latest and keep-best)."""
+    from brinkray.textproc.windows import latest_per_key
+
+    out = latest_per_key(
+        _ds(sf_dir, "orders"),
+        key="o_custkey",
+        order_cols=["o_totalprice", "o_orderkey"],
+        payload_cols=["o_orderdate"],
+    ).to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def _q_top_tokens_per_lang(sf_dir: str):
+    """Group-wise heavy hitters by composition: per-batch (lang, token)
+    count partials -> one groupby sum -> top_k_per_group (per-batch
+    pre-prune bounds hot-group skew). Top 3 tokens per language."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from brinkray.textproc.curation import top_k_per_group
+    from brinkray.textproc.hashing import tokens_of
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        langs, toks = [], []
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for tok in tokens_of(text):
+                langs.append(lang)
+                toks.append(tok)
+        df = pd.DataFrame({"lang": langs, "tok": toks})
+        part = df.groupby(["lang", "tok"]).size().reset_index(name="c")
+        part["c"] = part["c"].astype("int64")
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    counts = (
+        _ds(sf_dir, "documents")
+        .select_columns(["lang", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    out = top_k_per_group(counts, by="lang", score_col="c", id_col="tok",
+                          k=3).to_pandas()
+    return out.sort_values(["lang", "c", "tok"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
 def _q_grouped_token_quantiles(sf_dir: str):
     from brinkray.textproc.webclean import grouped_token_quantiles
 
@@ -1372,6 +1422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_same_day": _q_click_purchase_same_day,
         "click_no_purchase_days": _q_click_no_purchase_days,
         "funnel_attribution": _q_funnel_attribution,
+        "biggest_order_per_customer": _q_biggest_order_per_customer,
+        "top_tokens_per_lang": _q_top_tokens_per_lang,
         "ngram_novelty": _q_ngram_novelty,
         "ngram_novelty_shuffled": _q_ngram_novelty_shuffled,
         # web-corpus cleaning (paragraph dedup / PII / exact percentiles)
@@ -2064,6 +2116,24 @@ def _oracle_sql_dict() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY p.event_id "
             "ORDER BY c.ts DESC, c.event_id DESC) = 1 "
             "ORDER BY p.user_id, dst_id"
+        ),
+        "biggest_order_per_customer": (
+            "SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate FROM ("
+            "SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders) "
+            "WHERE rn = 1 ORDER BY o_custkey"
+        ),
+        "top_tokens_per_lang": (
+            "WITH tok AS (SELECT lang, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+            "FROM documents), "
+            "cnt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM tok GROUP BY lang, tok) "
+            "SELECT lang, c, tok FROM ("
+            "SELECT lang, tok, c, row_number() OVER (PARTITION BY lang "
+            "ORDER BY c DESC, tok ASC) AS rn FROM cnt) "
+            "WHERE rn <= 3 ORDER BY lang, c DESC, tok"
         ),
         "doc_token_quartiles": (
             "WITH t AS (SELECT doc_id, "

@@ -1001,6 +1001,19 @@ def _q_click_no_purchase_days(sf_dir: str):
     return out.sort_values(["user_id", "d"]).reset_index(drop=True)
 
 
+def _q_props_k_stats(sf_dir: str):
+    """Schema-on-read: parse the JSON props column, extract int field
+    'k', aggregate per event_type in one streaming pass; malformed rows
+    are COUNTED (n_bad), never silently dropped."""
+    from brinkray.textproc.parse import json_field_stats
+
+    out = json_field_stats(
+        _ds(sf_dir, "events"), json_col="props", field="k",
+        group_col="event_type",
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_biggest_order_per_customer(sf_dir: str):
     """Argmax-by-VALUE per key — latest_per_key reused with a price
     ordering instead of a time ordering (operator genericity: the same
@@ -1424,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_attribution": _q_funnel_attribution,
         "biggest_order_per_customer": _q_biggest_order_per_customer,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
+        "props_k_stats": _q_props_k_stats,
         "ngram_novelty": _q_ngram_novelty,
         "ngram_novelty_shuffled": _q_ngram_novelty_shuffled,
         # web-corpus cleaning (paragraph dedup / PII / exact percentiles)
@@ -2116,6 +2130,17 @@ def _oracle_sql_dict() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY p.event_id "
             "ORDER BY c.ts DESC, c.event_id DESC) = 1 "
             "ORDER BY p.user_id, dst_id"
+        ),
+        "props_k_stats": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(0 AS BIGINT) AS n_bad, "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS k_sum, "
+            "CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS k_min, "
+            "CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS k_max "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "biggest_order_per_customer": (
             "SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate FROM ("

@@ -1001,6 +1001,20 @@ def _q_click_no_purchase_days(sf_dir: str):
     return out.sort_values(["user_id", "d"]).reset_index(drop=True)
 
 
+def _q_hll_users_per_event_type(sf_dir: str):
+    """Per-group approximate distinct users (grouped HLL sketch) —
+    rows-only by nature (the estimate is not SQL); its EXACT sibling
+    distinct_users_per_event_type is oracle-certified, and pytest ties
+    the two within the sketch's standard error."""
+    from brinkray.textproc.sketch import hll_grouped
+
+    out = hll_grouped(
+        _ds(sf_dir, "events"), key_col="event_type", value_col="user_id",
+        p=12,
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_props_k_stats(sf_dir: str):
     """Schema-on-read: parse the JSON props column, extract int field
     'k', aggregate per event_type in one streaming pass; malformed rows
@@ -1438,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "biggest_order_per_customer": _q_biggest_order_per_customer,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "props_k_stats": _q_props_k_stats,
+        "hll_users_per_event_type": _q_hll_users_per_event_type,
         "ngram_novelty": _q_ngram_novelty,
         "ngram_novelty_shuffled": _q_ngram_novelty_shuffled,
         # web-corpus cleaning (paragraph dedup / PII / exact percentiles)

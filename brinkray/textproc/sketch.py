@@ -26,6 +26,7 @@ from .hashing import tokens_of
 
 __all__ = [
     "hll_distinct_tokens",
+    "hll_grouped",
     "distinct_tokens_exact",
     "hll_estimate",
     "cms_token_counts",
@@ -373,3 +374,62 @@ def exact_float_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
             "value": np.array([s["value"] for s in state], np.float64),
         }
     )
+
+
+def hll_grouped(ds, key_col: str, value_col: str, p: int = 12):
+    """Per-GROUP approximate distinct count — HLL registers keyed by
+    (group, register): each batch folds its values into per-group
+    register partials (vectorized over the whole batch via lexsorted
+    (group, reg) reduction), the one shuffle moves <= |groups| * 2^p
+    tiny rows, and a final map_groups renders each group's estimate.
+    The per-event-type distinct-users shape when the exact
+    double-groupby (distinct_users_per_event_type — its oracle-certified
+    exact sibling) is too wide to shuffle at corpus scale. Keyed
+    blake2b hashing => bit-stable across runs and block layouts.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    from .hashing import blake64
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        vals = t[value_col].to_pylist()
+        h = np.fromiter(
+            (blake64(str(v).encode("utf-8")) for v in vals),
+            dtype=np.uint64, count=len(vals),
+        )
+        out_k, out_r, out_rank = [], [], []
+        df = pd.DataFrame({"k": keys, "h": h})
+        for k, grp in df.groupby("k", sort=False):
+            regs = _registers_of(grp["h"].to_numpy(), p)
+            nz = np.nonzero(regs)[0]
+            out_k.extend([k] * len(nz))
+            out_r.extend(nz.tolist())
+            out_rank.extend(regs[nz].tolist())
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "reg": pa.array(out_r, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "reg"])
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.int64)
+        regs[g["reg"].to_numpy()] = g["rank"].to_numpy()
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_estimate": [int(round(hll_estimate(regs, p)))],
+            }
+        )
+
+    return merged.groupby(key_col).map_groups(estimate, batch_format="pandas")

@@ -151,3 +151,41 @@ def test_exact_float_quantiles_heavy_duplicate(ray_session):
         rd.from_arrow(tbl).repartition(5), "x", qs=(0.5,), cap=10
     )
     assert got["value"].iloc[0] == 7.25
+
+
+def test_hll_grouped_within_bound_and_layout_stable(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.sketch import hll_grouped
+
+    rng = np.random.default_rng(21)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(0, 800, n).astype(np.int64),
+        }
+    )
+    # distinct per group with different supports
+    df.loc[df["g"] == "b", "v"] %= 120
+    df.loc[df["g"] == "c", "v"] %= 17
+    exact = df.groupby("g")["v"].nunique()
+
+    def run(parts):
+        return (
+            hll_grouped(rd.from_pandas(df).repartition(parts),
+                        key_col="g", value_col="v", p=12)
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+
+    est = run(5)
+    for _, row in est.iterrows():
+        e, x = row["n_estimate"], exact[row["g"]]
+        assert abs(e - x) <= max(3, 0.05 * x), (row["g"], e, x)
+    # bit-stable across block layouts
+    assert run(11).equals(est)

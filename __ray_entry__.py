@@ -895,6 +895,41 @@ def _q_lang_source_rollup(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_lang_source_cube(sf_dir: str):
+    """Document counts at every CUBE(lang, source) grouping set (all
+    four levels from ONE fine-level shuffle)."""
+    from brinkray.textproc.relagg import cube_counts
+
+    out = cube_counts(_ds(sf_dir, "documents"), ["lang", "source"]).to_pandas()
+    return out.sort_values(
+        ["lang", "source", "n"], na_position="first"
+    ).reset_index(drop=True)
+
+
+def _q_totalprice_histogram(sf_dir: str):
+    """Fixed-width histogram of order totals (bucket = floor(price /
+    25000) as int64); per-block partial counts keep the exchange
+    metadata-sized."""
+    from brinkray.textproc.relagg import fixed_width_histogram
+
+    out = fixed_width_histogram(
+        _ds(sf_dir, "orders"), "o_totalprice", 25000.0
+    ).to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _q_user_activity_histogram(sf_dir: str):
+    """Aggregation of aggregation: events per user, then users per
+    event count — the activity-distribution shape."""
+    from brinkray.textproc.relagg import count_of_counts
+
+    out = count_of_counts(
+        _ds(sf_dir, "events"), "user_id",
+        out_key="n_events", out_count="n_users",
+    ).to_pandas()
+    return out.sort_values("n_events").reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     """Fixed-64-token document chunking (context-packing prep): one row
     per (doc, chunk) with token count + md5 of the chunk text."""
@@ -1483,6 +1518,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_with_returns": _q_suppliers_with_returns,
         "pricing_summary": _q_pricing_summary,
         "lang_source_rollup": _q_lang_source_rollup,
+        "lang_source_cube": _q_lang_source_cube,
+        "totalprice_histogram": _q_totalprice_histogram,
+        "user_activity_histogram": _q_user_activity_histogram,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
         "interval_join_events_orders": _q_interval_join,
@@ -2001,6 +2039,22 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
             "GROUP BY ROLLUP(lang, source) "
             "ORDER BY lang NULLS FIRST, source NULLS FIRST, n"
+        ),
+        "lang_source_cube": (
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+            "GROUP BY CUBE(lang, source) "
+            "ORDER BY lang NULLS FIRST, source NULLS FIRST, n"
+        ),
+        "totalprice_histogram": (
+            "SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            "GROUP BY 1 ORDER BY bucket"
+        ),
+        "user_activity_histogram": (
+            "WITH per_user AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) "
+            "AS n_events FROM events GROUP BY user_id) "
+            "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM per_user GROUP BY n_events ORDER BY n_events"
         ),
         "doc_chunks": (
             "WITH toks AS (SELECT doc_id, "

@@ -20,6 +20,9 @@ import pyarrow.compute as pc
 __all__ = [
     "pricing_summary",
     "rollup_counts",
+    "fixed_width_histogram",
+    "count_of_counts",
+    "cube_counts",
 ]
 
 
@@ -228,3 +231,120 @@ def set_op_distinct(left_ds, right_ds, on: list[str], op: str = "intersect"):
         return t.filter(mask).drop_columns(["_l", "_r"])
 
     return agg.map_batches(keep, batch_format="pyarrow")
+
+def fixed_width_histogram(ds, col: str, width: float):
+    """Fixed-width histogram of a numeric column: bucket =
+    ``floor(col / width)`` as int64. The bucketing is one vectorized
+    pyarrow stage; per-block partial counts mean the ONE exchange moves
+    <= |buckets| rows per block (a histogram's bucket count is tiny by
+    construction, so the shuffle is metadata-sized no matter the corpus).
+    Exact integer buckets + int64 counts => hash-stable vs the SQL twin.
+    """
+    from ray.data.aggregate import Sum
+
+    w = float(width)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t[col], pa.scalar(w))), pa.int64())
+        g = pa.table({"bucket": b}).group_by(["bucket"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "bucket": g["bucket"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def count_of_counts(ds, key_col: str, out_key: str = "n_events",
+                    out_count: str = "n_keys"):
+    """Aggregation-of-aggregation (the activity-histogram shape):
+    per-key row counts, then how many keys share each count. The first
+    groupby is the only corpus-scale exchange (per-block combiners make
+    it |keys|-bounded); the second operates on one small row per key and
+    is itself pre-reduced per block before its (tiny) exchange.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    per_key = (
+        ds.select_columns([key_col])
+        .groupby(key_col)
+        .aggregate(Count(alias_name=out_key))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([out_key])
+            .group_by([out_key])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                out_key: pc.cast(g[out_key], pa.int64()),
+                out_count: pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        per_key.map_batches(partial, batch_format="pyarrow")
+        .groupby(out_key)
+        .aggregate(Sum(out_count, alias_name=out_count))
+    )
+
+
+def cube_counts(ds, keys: list[str]):
+    """Counts at every CUBE level of ``keys`` (SQL ``GROUP BY
+    CUBE(k1, ...)``): all 2^len(keys) grouping sets, rolled-up slots
+    NULL. Same one-exchange shape as rollup_counts (relagg.py:88): the
+    corpus moves once in the fine-level groupby; every other grouping
+    set re-aggregates that already tiny result, and the grand total is
+    a driver-side scalar fold. Key columns must be strings.
+    """
+    from itertools import combinations
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    fine = ds.select_columns(keys).groupby(keys).aggregate(Count(alias_name="n"))
+
+    def with_nulls(kept: tuple[str, ...]):
+        def pad(t: pa.Table) -> pa.Table:
+            cols = {
+                k: (t[k] if k in kept else pa.nulls(t.num_rows, pa.string()))
+                for k in keys
+            }
+            cols["n"] = t["n"]
+            return pa.table(cols)
+
+        return pad
+
+    levels = [fine.map_batches(with_nulls(tuple(keys)), batch_format="pyarrow")]
+    for r in range(len(keys) - 1, 0, -1):
+        for kept in combinations(keys, r):
+            lvl = (
+                fine.groupby(list(kept))
+                .aggregate(Sum("n", alias_name="n"))
+                .map_batches(with_nulls(kept), batch_format="pyarrow")
+            )
+            levels.append(lvl)
+
+    agg = fine.aggregate(Sum("n", alias_name="n"))
+    total = int(agg["n"]) if agg and agg.get("n") is not None else 0
+    grand = rd.from_arrow(
+        pa.table(
+            {**{k: pa.nulls(1, pa.string()) for k in keys},
+             "n": pa.array([total], pa.int64())}
+        )
+    )
+    levels.append(grand)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -267,3 +267,88 @@ def test_set_op_distinct_intersect_except(ray_session):
 
     with pytest.raises(ValueError):
         set_op_distinct(left, right, on=["k"], op="union")
+
+
+def test_fixed_width_histogram_brute_force(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import fixed_width_histogram
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-50, 450, 1000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(x)})).repartition(7)
+    out = (
+        fixed_width_histogram(ds, "v", 100.0)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.Series(np.floor(x / 100.0).astype(np.int64))
+        .value_counts()
+        .sort_index()
+        .rename_axis("bucket")
+        .reset_index(name="n")
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_count_of_counts_brute_force(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import count_of_counts
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 60, 500)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})).repartition(6)
+    out = (
+        count_of_counts(ds, "k", out_key="c", out_count="nk")
+        .to_pandas()
+        .sort_values("c")
+        .reset_index(drop=True)
+    )
+    per_key = pd.Series(keys).value_counts()
+    exp = (
+        per_key.value_counts()
+        .sort_index()
+        .rename_axis("c")
+        .reset_index(name="nk")
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_cube_counts_all_grouping_sets(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import cube_counts
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], 300),
+            "b": rng.choice(["p", "q", "r"], 300),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    out = (
+        cube_counts(ds, ["a", "b"])
+        .to_pandas()
+        .sort_values(["a", "b"], na_position="first")
+        .reset_index(drop=True)
+    )
+    # 2x3 fine + 2 a-level + 3 b-level + 1 grand = 12 rows
+    assert len(out) == len(df.groupby(["a", "b"])) + 2 + 3 + 1
+    fine = df.groupby(["a", "b"]).size()
+    assert out[out["a"].isna() & out["b"].isna()]["n"].iloc[0] == 300
+    for a in ["x", "y"]:
+        assert (
+            out[(out["a"] == a) & out["b"].isna()]["n"].iloc[0]
+            == (df["a"] == a).sum()
+        )
+    for b in ["p", "q", "r"]:
+        assert (
+            out[out["a"].isna() & (out["b"] == b)]["n"].iloc[0]
+            == (df["b"] == b).sum()
+        )
+    for (a, b), n in fine.items():
+        assert out[(out["a"] == a) & (out["b"] == b)]["n"].iloc[0] == n

@@ -930,6 +930,25 @@ def _q_user_activity_histogram(sf_dir: str):
     return out.sort_values("n_events").reset_index(drop=True)
 
 
+def _q_qty_price_corr_stats(sf_dir: str):
+    """Per-returnflag covariance/correlation sufficient statistics over
+    (quantity, extendedprice) in exact fixed-point int64."""
+    from brinkray.textproc.relagg import grouped_corr_stats
+
+    out = grouped_corr_stats(
+        _ds(sf_dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice"
+    ).to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_daily_counts_gapfill(sf_dir: str):
+    """Daily event counts with missing days zero-filled (time-series
+    densification; fill size bounded by the date range, not the corpus)."""
+    from brinkray.textproc.windows import daily_counts_gapfill
+
+    return daily_counts_gapfill(_ds(sf_dir, "events"))
+
+
 def _q_doc_chunks(sf_dir: str):
     """Fixed-64-token document chunking (context-packing prep): one row
     per (doc, chunk) with token count + md5 of the chunk text."""
@@ -1521,6 +1540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_cube": _q_lang_source_cube,
         "totalprice_histogram": _q_totalprice_histogram,
         "user_activity_histogram": _q_user_activity_histogram,
+        "qty_price_corr_stats": _q_qty_price_corr_stats,
+        "daily_counts_gapfill": _q_daily_counts_gapfill,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
         "interval_join_events_orders": _q_interval_join,
@@ -2055,6 +2076,26 @@ def _oracle_sql_dict() -> dict[str, str]:
             "AS n_events FROM events GROUP BY user_id) "
             "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_users "
             "FROM per_user GROUP BY n_events ORDER BY n_events"
+        ),
+        "qty_price_corr_stats": (
+            "WITH t AS (SELECT l_returnflag, "
+            "CAST(floor(l_quantity) AS BIGINT) AS x, "
+            "CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem) "
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y, "
+            "CAST(SUM(x*x) AS BIGINT) AS sum_xx, "
+            "CAST(SUM(y*y) AS BIGINT) AS sum_yy, "
+            "CAST(SUM(x*y) AS BIGINT) AS sum_xy "
+            "FROM t GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "daily_counts_gapfill": (
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+            "b AS (SELECT unnest(generate_series("
+            "(SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d), "
+            "INTERVAL 1 DAY)) AS day) "
+            "SELECT b.day AS day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n "
+            "FROM b LEFT JOIN d ON b.day = d.day ORDER BY day"
         ),
         "doc_chunks": (
             "WITH toks AS (SELECT doc_id, "

@@ -23,6 +23,7 @@ __all__ = [
     "fixed_width_histogram",
     "count_of_counts",
     "cube_counts",
+    "grouped_corr_stats",
 ]
 
 
@@ -348,3 +349,46 @@ def cube_counts(ds, keys: list[str]):
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def grouped_corr_stats(ds, key: str, xcol: str, ycol: str):
+    """Per-group sufficient statistics for covariance/correlation —
+    n, sum(x), sum(y), sum(x*x), sum(y*y), sum(x*y) — with x and y
+    floored to int64 at the row level so every distributed Sum is
+    associative and bit-reproducible (the engine-wide fixed-point
+    policy; the caller derives corr from the stats). One vectorized
+    prep stage + ONE groupby; per-block combiners bound the exchange at
+    |groups| rows per block. Overflow headroom: with |x|,|y| <= ~1e5
+    the squared sums hold ~9e8 rows per group in int64 — at larger
+    scale split each sum into (hi, lo) int64 pairs or widen the floor
+    unit.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(t[xcol]), pa.int64())
+        y = pc.cast(pc.floor(t[ycol]), pa.int64())
+        return pa.table(
+            {
+                key: t[key],
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xx": pc.multiply(x, x),
+                "sum_yy": pc.multiply(y, y),
+                "sum_xy": pc.multiply(x, y),
+            }
+        )
+
+    return (
+        ds.select_columns([key, xcol, ycol])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("sum_x", alias_name="sum_x"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_xx", alias_name="sum_xx"),
+            Sum("sum_yy", alias_name="sum_yy"),
+            Sum("sum_xy", alias_name="sum_xy"),
+        )
+    )

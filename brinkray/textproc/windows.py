@@ -27,6 +27,7 @@ __all__ = [
     "latest_per_key",
     "funnel_attribution",
     "pivot_counts",
+    "daily_counts_gapfill",
 ]
 
 
@@ -397,3 +398,36 @@ def funnel_attribution(ds, key: str, ts_col: str, id_col: str, type_col: str,
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def daily_counts_gapfill(events_ds, ts_col: str = "ts"):
+    """Daily event counts with empty days zero-filled over the [min, max]
+    day range. The corpus-scale work is one vectorized day-truncate +
+    per-block partial counts; the exchange carries <= |days| rows per
+    block, and the gap fill runs on the driver over the result, whose
+    size is bounded by the DATE RANGE (not the corpus) by construction.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t[ts_col], unit="day")
+        g = pa.table({"day": d}).group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    got = (
+        events_ds.select_columns([ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    got["day"] = pd.to_datetime(got["day"])
+    full = pd.DataFrame(
+        {"day": pd.date_range(got["day"].min(), got["day"].max(), freq="D")}
+    )
+    out = full.merge(got, on="day", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out.sort_values("day").reset_index(drop=True)

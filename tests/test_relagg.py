@@ -352,3 +352,42 @@ def test_cube_counts_all_grouping_sets(ray_session):
         )
     for (a, b), n in fine.items():
         assert out[(out["a"] == a) & (out["b"] == b)]["n"].iloc[0] == n
+
+
+def test_grouped_corr_stats_brute_force(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import grouped_corr_stats
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["A", "B"], 500),
+            "x": rng.uniform(0, 50, 500),
+            "y": rng.uniform(0, 1e5, 500),
+        }
+    )
+    out = (
+        grouped_corr_stats(rd.from_pandas(df).repartition(6), "g", "x", "y")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    df["xi"] = np.floor(df["x"]).astype(np.int64)
+    df["yi"] = np.floor(df["y"]).astype(np.int64)
+    for _, row in out.iterrows():
+        sub = df[df["g"] == row["g"]]
+        assert row["n"] == len(sub)
+        assert row["sum_x"] == sub["xi"].sum()
+        assert row["sum_y"] == sub["yi"].sum()
+        assert row["sum_xx"] == (sub["xi"] ** 2).sum()
+        assert row["sum_yy"] == (sub["yi"] ** 2).sum()
+        assert row["sum_xy"] == (sub["xi"] * sub["yi"]).sum()
+        # the stats reconstruct the pandas corr to float precision
+        n = row["n"]
+        cov = row["sum_xy"] / n - (row["sum_x"] / n) * (row["sum_y"] / n)
+        vx = row["sum_xx"] / n - (row["sum_x"] / n) ** 2
+        vy = row["sum_yy"] / n - (row["sum_y"] / n) ** 2
+        got_corr = cov / np.sqrt(vx * vy)
+        exp_corr = sub["xi"].corr(sub["yi"])
+        assert abs(got_corr - exp_corr) < 1e-9

@@ -617,3 +617,28 @@ def test_funnel_attribution_semantics(ray_session):
         .set_index("dst_id")["src_id"]
     )
     assert out.to_dict() == {1: 2, 3: 2, 4: -1, 5: -1}
+
+
+def test_daily_counts_gapfill(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import daily_counts_gapfill
+
+    # days 0, 1, 5 present; 2-4 must appear as zeros
+    ts = pd.to_datetime(
+        ["2024-01-01 03:00", "2024-01-01 09:30", "2024-01-02 00:00",
+         "2024-01-06 23:59", "2024-01-06 01:00"]
+    )
+    ds = rd.from_arrow(
+        pa.table({"ts": pa.array(ts).cast(pa.timestamp("us"))})
+    ).repartition(3)
+    out = daily_counts_gapfill(ds)
+    assert len(out) == 6
+    assert out["n"].tolist() == [2, 1, 0, 0, 0, 2]
+    assert out["day"].iloc[2] == pd.Timestamp("2024-01-03")
+    assert out["n"].sum() == 5
+    assert (np.diff(out["day"].to_numpy()).astype("timedelta64[D]")
+            == np.timedelta64(1, "D")).all()

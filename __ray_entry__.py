@@ -949,6 +949,25 @@ def _q_daily_counts_gapfill(sf_dir: str):
     return daily_counts_gapfill(_ds(sf_dir, "events"))
 
 
+def _q_inverted_index(sf_dir: str):
+    """Token -> sorted doc-id posting list for tokens with df in
+    [2, 1000] (df band bounds posting length; distinct pairs emitted
+    per batch, one groupby shuffle)."""
+    from brinkray.textproc.curation import inverted_index
+
+    out = inverted_index(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def _q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 token bigrams (LM n-gram statistics pass)."""
+    from brinkray.textproc.curation import top_bigrams
+
+    out = top_bigrams(_ds(sf_dir, "documents"), k=20).to_pandas()
+    return out.sort_values(["n", "bigram"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     """Fixed-64-token document chunking (context-packing prep): one row
     per (doc, chunk) with token count + md5 of the chunk text."""
@@ -1542,6 +1561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_histogram": _q_user_activity_histogram,
         "qty_price_corr_stats": _q_qty_price_corr_stats,
         "daily_counts_gapfill": _q_daily_counts_gapfill,
+        "inverted_index": _q_inverted_index,
+        "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
         "interval_join_events_orders": _q_interval_join,
@@ -2087,6 +2108,24 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(SUM(y*y) AS BIGINT) AS sum_yy, "
             "CAST(SUM(x*y) AS BIGINT) AS sum_xy "
             "FROM t GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "inverted_index": (
+            "WITH tok AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents) "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings FROM tok GROUP BY token "
+            "HAVING COUNT(*) BETWEEN 2 AND 1000 ORDER BY token"
+        ),
+        "top_bigrams": (
+            "WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "
+            "AS tk FROM documents), "
+            "z AS (SELECT unnest(generate_series(1, len(tk) - 1)) AS i, tk "
+            "FROM t WHERE len(tk) > 1) "
+            "SELECT tk[i] || ' ' || tk[i + 1] AS bigram, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM z GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"
         ),
         "daily_counts_gapfill": (
             "WITH d AS (SELECT date_trunc('day', ts) AS day, "

@@ -42,6 +42,8 @@ __all__ = [
     "ngram_novelty",
     "ngram_novelty_shuffled",
     "tf_df_scores",
+    "inverted_index",
+    "top_bigrams",
 ]
 
 
@@ -974,6 +976,110 @@ def heavy_hitters(docs, k: int = 20, text_col="text"):
     return (
         agg.map_batches(neg, batch_format="pyarrow")
         .sort(["_neg_n", "token"])
+        .limit(k)
+        .drop_columns(["_neg_n"])
+    )
+
+
+def inverted_index(docs, df_min: int = 2, df_max: int = 1000,
+                   text_col="text", id_col="doc_id"):
+    """Token -> posting-list index build over the corpus: for every
+    token whose document frequency lies in [df_min, df_max], the sorted
+    doc-id posting list (comma-joined) plus df. The df band is how a
+    real index bounds posting length (stopwords explode above df_max;
+    hapaxes below df_min are retrieval noise).
+
+    Scale shape: each batch emits its DISTINCT (token, doc_id) pairs
+    via one np.unique over (token-code, doc-id) pairs — no per-row
+    Python beyond the tokenizer regex — then ONE groupby(token) with a
+    vectorized map_groups renders each posting. The df filter runs
+    inside the group body, so oversized postings never leave their
+    task. Partitioning assumption: one token's posting list fits one
+    task (guaranteed by df_max).
+    """
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks, ids = [], []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for tok in set(tokens_of(x)):
+                toks.append(tok)
+                ids.append(did)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+            }
+        )
+
+    def posting(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if not (df_min <= len(ids) <= df_max):
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=str),
+                    "df": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype=str),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": np.array([len(ids)], np.int64),
+                "postings": [",".join(str(i) for i in ids)],
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(posting, batch_format="pandas")
+    )
+
+
+def top_bigrams(docs, k: int = 20, text_col="text"):
+    """Corpus-wide top-k most frequent token BIGRAMS (the LM n-gram
+    statistics pass), ties broken by bigram asc. Same shape as
+    heavy_hitters (curation.py:933): consecutive-pair extraction and
+    partial counts are vectorized per batch (np.unique over joined
+    pair strings), the exchange carries per-batch vocabulary partials,
+    and only k rows reach the caller after the aggregated sort.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams = []
+        for x in t[text_col].to_pylist():
+            toks = tokens_of(x)
+            grams.extend(
+                f"{a} {b}" for a, b in zip(toks[:-1], toks[1:])
+            )
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pa.table(
+            {"bigram": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())}
+        )
+
+    agg = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("_neg_n", pc.multiply(t["n"], -1))
+
+    return (
+        agg.map_batches(neg, batch_format="pyarrow")
+        .sort(["_neg_n", "bigram"])
         .limit(k)
         .drop_columns(["_neg_n"])
     )

@@ -478,3 +478,31 @@ def test_write_csv_shards_roundtrip_quoting(ray_session, tmp_path):
         m1[["shard", "n_docs", "n_chars"]]
     )
     assert m1["n_chars"].sum() == sum(len(t) for t in texts)
+
+
+def test_inverted_index_postings_and_band(ray_session):
+    from brinkray.textproc.curation import inverted_index
+
+    # df: a=4, b=3, c=2, d=1, rep=1 (distinct per doc)
+    ds = _docs_ds(["a b c", "a b c rep rep", "a b", "a d"]).repartition(3)
+    out = (
+        inverted_index(ds, df_min=2, df_max=3)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert list(out["token"]) == ["b", "c"]       # a=4 > max, d/rep=1 < min
+    assert list(out["df"]) == [3, 2]
+    assert list(out["postings"]) == ["0,1,2", "0,1"]
+
+
+def test_top_bigrams_counts_and_ties(ray_session):
+    from brinkray.textproc.curation import top_bigrams
+
+    ds = _docs_ds(["x y x y z", "x y. w", "solo"]).repartition(2)
+    out = top_bigrams(ds, k=3).to_pandas()
+    # bigrams: 'x y':3, 'y x':1, 'y z':1, 'y w':1 (punct is a token
+    # boundary, not a barrier: 'y. w' -> y,w adjacency); single-token
+    # and empty docs contribute nothing
+    assert list(out["bigram"]) == ["x y", "y w", "y x"]
+    assert list(out["n"]) == [3, 1, 1]

@@ -968,6 +968,27 @@ def _q_top_bigrams(sf_dir: str):
                            ascending=[False, True]).reset_index(drop=True)
 
 
+def _q_customer_order_totals(sf_dir: str):
+    """LEFT OUTER join: every customer with order count + spend in
+    cents; customers without orders kept with zeros (pre-aggregated
+    right side, native hash-shuffle left_outer join)."""
+    from brinkray.textproc.joins import left_outer_totals
+
+    out = left_outer_totals(
+        _ds(sf_dir, "customer"), _ds(sf_dir, "orders"), num_partitions=8
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_lang_share(sf_dir: str):
+    """Percent-of-total per language (exact int counts, one IEEE
+    division per group)."""
+    from brinkray.textproc.relagg import group_shares
+
+    out = group_shares(_ds(sf_dir, "documents"), "lang").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     """Fixed-64-token document chunking (context-packing prep): one row
     per (doc, chunk) with token count + md5 of the chunk text."""
@@ -1562,6 +1583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr_stats": _q_qty_price_corr_stats,
         "daily_counts_gapfill": _q_daily_counts_gapfill,
         "inverted_index": _q_inverted_index,
+        "customer_order_totals": _q_customer_order_totals,
+        "lang_share": _q_lang_share,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2108,6 +2131,22 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(SUM(y*y) AS BIGINT) AS sum_yy, "
             "CAST(SUM(x*y) AS BIGINT) AS sum_xy "
             "FROM t GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "customer_order_totals": (
+            "SELECT c.c_custkey, c.c_name, "
+            "CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders, "
+            "CAST(COALESCE(o.s, 0) AS BIGINT) AS spend_cents "
+            "FROM customer c LEFT JOIN ("
+            "SELECT o_custkey, COUNT(*) AS n, "
+            "SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS s "
+            "FROM orders GROUP BY o_custkey) o "
+            "ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey"
+        ),
+        "lang_share": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS DOUBLE) / "
+            "(SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS share "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "inverted_index": (
             "WITH tok AS (SELECT DISTINCT doc_id, "

@@ -28,6 +28,7 @@ __all__ = [
     "semi_join",
     "pagerank",
     "cluster_pairs",
+    "left_outer_totals",
 ]
 
 
@@ -734,3 +735,55 @@ def revenue_chain(lineitem_ds, orders_ds, customer_ds, nation_ds,
         )
 
     return per_group.map_batches(add_name, batch_format="pyarrow")
+
+
+def left_outer_totals(customer_ds, orders_ds, num_partitions: int = 32):
+    """LEFT OUTER enrichment: every customer with their order count and
+    fixed-point total spend; customers with no orders keep a row with
+    zeros (the join type anti_join/semi_join can't express — the
+    preserved-side null-fill).
+
+    Scale shape: orders are pre-aggregated per custkey FIRST (the
+    corpus moves once in that groupby, and the join's right side
+    shrinks to |customers-with-orders| rows), then ONE native
+    hash-shuffle ``Dataset.join(join_type='left_outer')``; null-fill is
+    a vectorized pyarrow stage. Spend is int64 cents at the row level
+    (associative Sum, the engine-wide fixed-point rule).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+
+    per_cust = (
+        orders_ds.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(orders_prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="spend_cents"))
+    )
+
+    joined = customer_ds.select_columns(["c_custkey", "c_name"]).join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "n_orders": pc.cast(
+                    pc.fill_null(t["n_orders"], 0), pa.int64()
+                ),
+                "spend_cents": pc.cast(
+                    pc.fill_null(t["spend_cents"], 0), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -24,6 +24,7 @@ __all__ = [
     "count_of_counts",
     "cube_counts",
     "grouped_corr_stats",
+    "group_shares",
 ]
 
 
@@ -392,3 +393,28 @@ def grouped_corr_stats(ds, key: str, xcol: str, ycol: str):
             Sum("sum_xy", alias_name="sum_xy"),
         )
     )
+
+
+def group_shares(ds, key: str):
+    """Per-group row counts plus each group's share of the corpus
+    (percent-of-total). The share is ONE IEEE division of two exact
+    int64s per group — deterministic across runs and block layouts.
+    One |groups|-bounded exchange; the total is a metadata-cheap
+    driver-side fold of the already tiny result.
+    """
+    from ray.data.aggregate import Count
+
+    counts = ds.select_columns([key]).groupby(key).aggregate(Count(alias_name="n"))
+
+    def add_share(total: int):
+        def fn(t: pa.Table) -> pa.Table:
+            share = pc.divide(
+                pc.cast(t["n"], pa.float64()), pa.scalar(float(total))
+            )
+            return pa.table({key: t[key], "n": t["n"], "share": share})
+
+        return fn
+
+    counts = counts.materialize()  # |groups| rows — tiny by definition
+    total = sum(r["n"] for r in counts.take_all())
+    return counts.map_batches(add_share(total), batch_format="pyarrow")

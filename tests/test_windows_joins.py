@@ -642,3 +642,52 @@ def test_daily_counts_gapfill(ray_session):
     assert out["n"].sum() == 5
     assert (np.diff(out["day"].to_numpy()).astype("timedelta64[D]")
             == np.timedelta64(1, "D")).all()
+
+
+def test_left_outer_totals_zero_fill(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.joins import left_outer_totals
+
+    cust = rd.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_name": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    ).repartition(2)
+    orders = rd.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                "o_totalprice": pa.array([10.5, 20.25, 7.999]),
+            }
+        )
+    ).repartition(2)
+    out = (
+        left_outer_totals(cust, orders, num_partitions=2)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert out["n_orders"].tolist() == [2, 0, 1, 0]
+    assert out["spend_cents"].tolist() == [1050 + 2025, 0, 799, 0]
+    assert out["n_orders"].dtype == np.int64
+
+
+def test_group_shares_sums_to_one(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import group_shares
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(["x"] * 6 + ["y"] * 3 + ["z"], pa.string())})
+    ).repartition(3)
+    out = group_shares(ds, "k").to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["n"].tolist() == [6, 3, 1]
+    assert out["share"].tolist() == [0.6, 0.3, 0.1]

@@ -148,6 +148,17 @@ def bench_queries() -> dict[str, float]:
         "jsonl_roundtrip",
         "dedup_incremental",
         "revenue_by_priority_nation",
+        # round-3 continuation operators
+        "hll_users_per_event_type",
+        "lang_source_cube",
+        "totalprice_histogram",
+        "user_activity_histogram",
+        "qty_price_corr_stats",
+        "daily_counts_gapfill",
+        "inverted_index",
+        "top_bigrams",
+        "customer_order_totals",
+        "lang_share",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

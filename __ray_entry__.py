@@ -989,6 +989,37 @@ def _q_lang_share(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _q_orders_by_dow(sf_dir: str):
+    """Order counts + exact spend per ISO day-of-week (date-scalar
+    aggregation; 7-row-bounded exchange)."""
+    from brinkray.textproc.windows import dow_aggregate
+
+    out = dow_aggregate(_ds(sf_dir, "orders"), "o_orderdate",
+                        "o_totalprice").to_pandas()
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts over each user's (ts, id)-ordered
+    event-type stream (LAG + pair GROUP BY)."""
+    from brinkray.textproc.windows import transition_counts
+
+    out = transition_counts(
+        _ds(sf_dir, "events"), key="user_id", ts_col="ts",
+        id_col="event_id", state_col="event_type",
+    ).to_pandas()
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def _q_user_days_active(sf_dir: str):
+    """Distinct active days per user (computed-key COUNT DISTINCT,
+    both exchanges pre-deduped per block)."""
+    from brinkray.textproc.windows import active_days_per_key
+
+    out = active_days_per_key(_ds(sf_dir, "events"), "user_id", "ts").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     """Fixed-64-token document chunking (context-packing prep): one row
     per (doc, chunk) with token count + md5 of the chunk text."""
@@ -1585,6 +1616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "customer_order_totals": _q_customer_order_totals,
         "lang_share": _q_lang_share,
+        "orders_by_dow": _q_orders_by_dow,
+        "event_transitions": _q_event_transitions,
+        "user_days_active": _q_user_days_active,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2147,6 +2181,26 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(COUNT(*) AS DOUBLE) / "
             "(SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS share "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "orders_by_dow": (
+            "SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS total_cents FROM orders GROUP BY 1 ORDER BY dow"
+        ),
+        "event_transitions": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_type FROM events) "
+            "SELECT prev_type, event_type AS next_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE prev_type IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "user_days_active": (
+            "SELECT user_id, "
+            "CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days "
+            "FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "inverted_index": (
             "WITH tok AS (SELECT DISTINCT doc_id, "

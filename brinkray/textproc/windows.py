@@ -28,6 +28,9 @@ __all__ = [
     "funnel_attribution",
     "pivot_counts",
     "daily_counts_gapfill",
+    "dow_aggregate",
+    "transition_counts",
+    "active_days_per_key",
 ]
 
 
@@ -431,3 +434,95 @@ def daily_counts_gapfill(events_ds, ts_col: str = "ts"):
     out = full.merge(got, on="day", how="left")
     out["n"] = out["n"].fillna(0).astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def dow_aggregate(ds, ts_col: str, val_col: str):
+    """Counts + exact fixed-point value sums per ISO day-of-week
+    (1=Monday..7) — the date-scalar aggregation shape. pyarrow's
+    day_of_week (0=Monday) + 1 matches SQL isodow exactly; one
+    vectorized prep stage, ONE 7-row-bounded exchange.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t[ts_col]), pa.scalar(1))
+        cents = pc.cast(
+            pc.floor(pc.multiply(t[val_col], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {"dow": pc.cast(dow, pa.int64()), "cents": cents}
+        )
+
+    return (
+        ds.select_columns([ts_col, val_col])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("dow")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total_cents"))
+    )
+
+
+def transition_counts(ds, key: str, ts_col: str, id_col: str, state_col: str):
+    """Markov transition counts: how often state A is immediately
+    followed by state B within a key's (ts, id)-ordered stream — SQL's
+    LAG + pair GROUP BY, as the user-behavior transition-matrix
+    operator. One groupby(key) shuffle; each group emits its PARTIAL
+    pair counts (vectorized zip + value_counts), so the second exchange
+    moves <= |states|^2 rows per key, and the final groupby sums them.
+    Same partitioning note as lag_deltas: one key's rows fit one task.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        s = g[state_col].to_numpy()
+        if len(s) < 2:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=str),
+                    "next_type": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        part = (
+            pd.DataFrame({"prev_type": s[:-1], "next_type": s[1:]})
+            .value_counts()
+            .reset_index(name="n")
+        )
+        part["n"] = part["n"].astype("int64")
+        return part
+
+    return (
+        ds.select_columns([key, ts_col, id_col, state_col])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def active_days_per_key(ds, key: str, ts_col: str):
+    """Distinct active DAYS per key (computed-key COUNT DISTINCT):
+    day-truncate is vectorized, each batch pre-dedups its (key, day)
+    pairs, one groupby(key, day) collapses global duplicates, and a
+    second |keys|-bounded groupby counts. Neither exchange carries
+    more than one row per (key, day, block).
+    """
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t[ts_col], unit="day")
+        return (
+            pa.table({key: t[key], "day": d})
+            .group_by([key, "day"])
+            .aggregate([])
+        )
+
+    return (
+        ds.select_columns([key, ts_col])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby([key, "day"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .groupby(key)
+        .aggregate(Count(alias_name="n_days"))
+    )

@@ -691,3 +691,94 @@ def test_group_shares_sums_to_one(ray_session):
     out = group_shares(ds, "k").to_pandas().sort_values("k").reset_index(drop=True)
     assert out["n"].tolist() == [6, 3, 1]
     assert out["share"].tolist() == [0.6, 0.3, 0.1]
+
+
+def test_dow_aggregate_isodow(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import dow_aggregate
+
+    # 2024-01-01 is a Monday
+    ts = pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-07", "2024-01-03"])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "v": pa.array([1.015, 2.0, 3.5, 4.999]),
+            }
+        )
+    ).repartition(2)
+    out = (
+        dow_aggregate(ds, "ts", "v")
+        .to_pandas()
+        .sort_values("dow")
+        .reset_index(drop=True)
+    )
+    assert out["dow"].tolist() == [1, 3, 7]      # Mon, Wed, Sun
+    assert out["n"].tolist() == [2, 1, 1]
+    assert out["total_cents"].tolist() == [101 + 200, 499, 350]
+
+
+def test_transition_counts_per_key_order(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import transition_counts
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02",
+         "2024-01-01 00:00", "2024-01-01 00:01",
+         "2024-01-01 00:05"]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                "event_id": pa.array([10, 11, 12, 20, 21, 30], pa.int64()),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "event_type": pa.array(["a", "b", "a", "a", "b", "x"]),
+            }
+        )
+    ).repartition(3)
+    out = (
+        transition_counts(ds, "user_id", "ts", "event_id", "event_type")
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    # user 1: a->b, b->a; user 2: a->b; user 3 has one event (none)
+    assert list(zip(out["prev_type"], out["next_type"], out["n"])) == [
+        ("a", "b", 2),
+        ("b", "a", 1),
+    ]
+
+
+def test_active_days_per_key(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import active_days_per_key
+
+    ts = pd.to_datetime(
+        ["2024-01-01 05:00", "2024-01-01 23:00", "2024-01-02 00:00",
+         "2024-03-07 12:00"]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+            }
+        )
+    ).repartition(2)
+    out = (
+        active_days_per_key(ds, "user_id", "ts")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_days"].tolist() == [2, 1]

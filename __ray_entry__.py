@@ -1020,6 +1020,30 @@ def _q_user_days_active(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_user_click_purchase_counts(sf_dir: str):
+    """FULL OUTER of per-user click vs purchase counts (either-side
+    keys survive, missing side zero-fills). Native full_outer join is
+    broken on empty partitions in Ray 2.49 (see joins.py), so the
+    operator is the union-tagged one-exchange equivalent."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.joins import full_outer_counts
+
+    ev = _ds(sf_dir, "events").select_columns(["user_id", "event_type"])
+
+    def keep(val):
+        def fn(t):
+            return t.filter(pc.equal(t["event_type"], pa.scalar(val)))
+
+        return fn
+
+    clicks = ev.map_batches(keep("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(keep("purchase"), batch_format="pyarrow")
+    out = full_outer_counts(clicks, purchases, "user_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     """Fixed-64-token document chunking (context-packing prep): one row
     per (doc, chunk) with token count + md5 of the chunk text."""
@@ -1619,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_dow": _q_orders_by_dow,
         "event_transitions": _q_event_transitions,
         "user_days_active": _q_user_days_active,
+        "user_click_purchase_counts": _q_user_click_purchase_counts,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2201,6 +2226,16 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT user_id, "
             "CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days "
             "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "user_click_purchase_counts": (
+            "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_left "
+            "FROM events WHERE event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_right "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+            "CAST(COALESCE(c.n_left, 0) AS BIGINT) AS n_left, "
+            "CAST(COALESCE(p.n_right, 0) AS BIGINT) AS n_right "
+            "FROM c FULL JOIN p ON c.user_id = p.user_id ORDER BY user_id"
         ),
         "inverted_index": (
             "WITH tok AS (SELECT DISTINCT doc_id, "

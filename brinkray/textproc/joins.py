@@ -29,6 +29,7 @@ __all__ = [
     "pagerank",
     "cluster_pairs",
     "left_outer_totals",
+    "full_outer_counts",
 ]
 
 
@@ -787,3 +788,52 @@ def left_outer_totals(customer_ds, orders_ds, num_partitions: int = 32):
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def full_outer_counts(left_ds, right_ds, key: str):
+    """FULL OUTER join of two per-key COUNT aggregates: keys present on
+    either side survive, the missing side zero-fills — completing the
+    engine's join-type coverage next to inner / left_outer / semi /
+    anti / asof / interval.
+
+    Implementation note: Ray 2.49's native
+    ``Dataset.join(join_type='full_outer')`` raises ``ArrowInvalid``
+    ("No match ... for key field reference") whenever a hash partition
+    receives an EMPTY left side (reproduced on a 3-row table), so this
+    operator expresses the same semantics the union-tagged way — each
+    side emits per-batch (key, n_left, n_right) count partials with the
+    other side's column zeroed, and ONE groupby(key) sums both. That is
+    also the cheaper plan: one combiner-bounded exchange, no join
+    barrier, and the zero-fill falls out of the Sum identity instead of
+    a COALESCE pass.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            g = (
+                t.select([key])
+                .group_by([key])
+                .aggregate([([], "count_all")])
+            )
+            n = pc.cast(g["count_all"], pa.int64())
+            zero = pa.array(np.zeros(g.num_rows, dtype=np.int64))
+            return pa.table(
+                {
+                    key: g[key],
+                    "n_left": n if side == 0 else zero,
+                    "n_right": zero if side == 0 else n,
+                }
+            )
+
+        return fn
+
+    tagged = left_ds.select_columns([key]).map_batches(
+        partials(0), batch_format="pyarrow"
+    ).union(
+        right_ds.select_columns([key]).map_batches(partials(1), batch_format="pyarrow")
+    )
+    return tagged.groupby(key).aggregate(
+        Sum("n_left", alias_name="n_left"), Sum("n_right", alias_name="n_right")
+    )

@@ -782,3 +782,26 @@ def test_active_days_per_key(ray_session):
         .reset_index(drop=True)
     )
     assert out["n_days"].tolist() == [2, 1]
+
+
+def test_full_outer_counts_zero_fill_both_sides(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.joins import full_outer_counts
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2], pa.int64())})
+    ).repartition(2)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([2, 3, 3, 3], pa.int64())})
+    ).repartition(2)
+    out = (
+        full_outer_counts(left, right, "k")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["n_left"].tolist() == [2, 1, 0]
+    assert out["n_right"].tolist() == [0, 1, 3]

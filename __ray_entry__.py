@@ -1044,6 +1044,49 @@ def _q_user_click_purchase_counts(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_daily_active_users(sf_dir: str):
+    """Distinct users per day (bucketed COUNT DISTINCT, per-block
+    pre-dedup on both exchanges)."""
+    from brinkray.textproc.windows import distinct_per_bucket
+
+    out = distinct_per_bucket(_ds(sf_dir, "events"), "ts", "user_id").to_pandas()
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def _q_region_nation_cross(sf_dir: str):
+    """Cartesian product against a broadcast-small right side (the
+    dimension-scaffold shape; no shuffle)."""
+    from brinkray.textproc.joins import cross_join_small
+
+    out = cross_join_small(
+        _ds(sf_dir, "nation"), _ds(sf_dir, "region"),
+        columns_left=["n_name"], columns_right=["r_name"],
+    ).to_pandas()
+    return out.sort_values(["n_name", "r_name"]).reset_index(drop=True)
+
+
+def _q_long_doc_outliers(sf_dir: str):
+    """Composition: exact distributed quantile (q99 of n_chars) ->
+    broadcast threshold -> vectorized filter. The outlier-band shape a
+    quality-filtering pass uses."""
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.webclean import int_quantile_disc
+
+    docs = _ds(sf_dir, "documents")
+    thr = int_quantile_disc(docs, "n_chars", qs=(0.99,))[0.99]
+
+    def keep(t):
+        return t.filter(pc.greater_equal(t["n_chars"], thr))
+
+    out = (
+        docs.select_columns(["doc_id", "n_chars"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     """Fixed-64-token document chunking (context-packing prep): one row
     per (doc, chunk) with token count + md5 of the chunk text."""
@@ -1644,6 +1687,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "user_days_active": _q_user_days_active,
         "user_click_purchase_counts": _q_user_click_purchase_counts,
+        "daily_active_users": _q_daily_active_users,
+        "region_nation_cross": _q_region_nation_cross,
+        "long_doc_outliers": _q_long_doc_outliers,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2226,6 +2272,20 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT user_id, "
             "CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days "
             "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "daily_active_users": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events GROUP BY 1 ORDER BY day"
+        ),
+        "region_nation_cross": (
+            "SELECT n_name, r_name FROM nation CROSS JOIN region "
+            "ORDER BY n_name, r_name"
+        ),
+        "long_doc_outliers": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.99) "
+            "FROM documents) ORDER BY doc_id"
         ),
         "user_click_purchase_counts": (
             "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_left "

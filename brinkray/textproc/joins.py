@@ -30,6 +30,7 @@ __all__ = [
     "cluster_pairs",
     "left_outer_totals",
     "full_outer_counts",
+    "cross_join_small",
 ]
 
 
@@ -836,4 +837,34 @@ def full_outer_counts(left_ds, right_ds, key: str):
     )
     return tagged.groupby(key).aggregate(
         Sum("n_left", alias_name="n_left"), Sum("n_right", alias_name="n_right")
+    )
+
+
+def cross_join_small(left_ds, right_ds, columns_left: list[str],
+                     columns_right: list[str]):
+    """Cartesian product against a SMALL right side: the right table is
+    gathered once, ``ray.put`` once, and every left batch emits the
+    vectorized product (np.repeat x np.tile) — the dimension-expansion
+    shape (calendar x entity scaffolds, grid builds). No shuffle at
+    all; output size is |left| x |right| by definition, so the right
+    side must be broadcast-small (asserted at 10^5 rows).
+    """
+    import ray
+
+    right = right_ds.select_columns(columns_right).to_pandas()
+    assert len(right) <= 100_000, "cross_join_small: right side too large"
+    right_ref = ray.put(right)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        r = ray.get(right_ref)
+        n, m = t.num_rows, len(r)
+        cols = {}
+        for c in columns_left:
+            cols[c] = t[c].take(pa.array(np.repeat(np.arange(n), m)))
+        for c in columns_right:
+            cols[c] = pa.array(np.tile(r[c].to_numpy(), n))
+        return pa.table(cols)
+
+    return left_ds.select_columns(columns_left).map_batches(
+        per_batch, batch_format="pyarrow"
     )

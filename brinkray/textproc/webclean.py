@@ -46,6 +46,7 @@ __all__ = [
     "pii_scrub",
     "token_length_percentiles",
     "grouped_token_quantiles",
+    "int_quantile_disc",
     "EMAIL_RE",
     "IPV4_RE",
 ]
@@ -291,3 +292,43 @@ def grouped_token_quantiles(docs, by="lang", qs=(0.5, 0.9), text_col="text"):
             "n_tokens": np.array(out_v, np.int64),
         }
     )
+
+
+def int_quantile_disc(ds, col: str, qs=(0.99,)):
+    """EXACT quantile_disc over an INT column via the distributed
+    (value, count) histogram: per-batch np.unique partials, ONE
+    groupby sum, driver-side rank walk (1-based ``max(1, ceil(q*n))``
+    — DuckDB semantics). Driver state is bounded by |distinct values|,
+    never the corpus; for ~all-distinct float columns use
+    sketch.exact_float_quantiles instead. Returns {q: value}.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u, pa.int64()),
+             "cnt": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    hist_rows = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    vals = np.array([r["v"] for r in hist_rows], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist_rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for q in qs:
+        rank = max(1, math.ceil(q * n))
+        out[float(q)] = int(vals[int(np.searchsorted(cum, rank))])
+    return out

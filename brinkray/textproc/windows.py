@@ -31,6 +31,7 @@ __all__ = [
     "dow_aggregate",
     "transition_counts",
     "active_days_per_key",
+    "distinct_per_bucket",
 ]
 
 
@@ -525,4 +526,32 @@ def active_days_per_key(ds, key: str, ts_col: str):
         .drop_columns(["_c"])
         .groupby(key)
         .aggregate(Count(alias_name="n_days"))
+    )
+
+
+def distinct_per_bucket(ds, ts_col: str, val_col: str):
+    """Distinct values per DAY (e.g. daily active users) — the bucketed
+    COUNT DISTINCT dual of active_days_per_key: vectorized
+    day-truncate, per-block (day, value) pre-dedup, one global (day,
+    value) collapse, then a |days|-bounded count. Neither exchange
+    carries more than one row per (day, value, block).
+    """
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t[ts_col], unit="day")
+        return (
+            pa.table({"day": d, val_col: t[val_col]})
+            .group_by(["day", val_col])
+            .aggregate([])
+        )
+
+    return (
+        ds.select_columns([ts_col, val_col])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", val_col])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .groupby("day")
+        .aggregate(Count(alias_name="n_distinct"))
     )

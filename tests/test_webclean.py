@@ -188,3 +188,26 @@ def test_grouped_token_quantiles_matches_duckdb(ray_session):
             [row["q"], row["lang"]],
         ).fetchone()[0]
         assert row["n_tokens"] == want, (row["lang"], row["q"])
+
+
+def test_int_quantile_disc_duckdb_semantics(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.webclean import int_quantile_disc
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 500, 321).astype(np.int64)
+    got = int_quantile_disc(
+        rd.from_arrow(pa.table({"x": pa.array(v)})).repartition(4),
+        "x", qs=(0.25, 0.5, 0.99),
+    )
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": pa.array(v)}))
+    for q, val in got.items():
+        want = con.execute(
+            f"SELECT quantile_disc(x, {q}) FROM t"
+        ).fetchone()[0]
+        assert val == want, (q, val, want)

@@ -805,3 +805,53 @@ def test_full_outer_counts_zero_fill_both_sides(ray_session):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["n_left"].tolist() == [2, 1, 0]
     assert out["n_right"].tolist() == [0, 1, 3]
+
+
+def test_distinct_per_bucket_daily_users(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import distinct_per_bucket
+
+    ts = pd.to_datetime(
+        ["2024-01-01 01:00", "2024-01-01 02:00", "2024-01-01 03:00",
+         "2024-01-02 01:00", "2024-01-02 02:00"]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 2, 3, 3], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    out = (
+        distinct_per_bucket(ds, "ts", "user_id")
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert out["n_distinct"].tolist() == [2, 1]
+
+
+def test_cross_join_small_product(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.joins import cross_join_small
+
+    left = rd.from_arrow(
+        pa.table({"a": pa.array(["x", "y", "z"])})
+    ).repartition(2)
+    right = rd.from_arrow(pa.table({"b": pa.array([1, 2], pa.int64())}))
+    out = (
+        cross_join_small(left, right, ["a"], ["b"])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    assert list(zip(out["a"], out["b"])) == [
+        ("x", 1), ("x", 2), ("y", 1), ("y", 2), ("z", 1), ("z", 2)
+    ]

@@ -1087,6 +1087,51 @@ def _q_long_doc_outliers(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_orders_above_customer_avg(sf_dir: str):
+    """Correlated subquery decorrelated to aggregate + join; the
+    above-average comparison cross-multiplies exact integers (no float
+    average ever materializes)."""
+    from brinkray.textproc.relagg import above_group_avg
+
+    out = above_group_avg(
+        _ds(sf_dir, "orders"), key="o_custkey", id_col="o_orderkey",
+        val_col="o_totalprice", num_partitions=8,
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _q_top_orders_global(sf_dir: str):
+    """Global ORDER BY (price DESC, key ASC) + LIMIT 100 via Ray's
+    native distributed sort — only 100 rows reach the driver."""
+    import pyarrow.compute as pc
+
+    def neg(t):
+        import pyarrow as pa
+
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": cents,
+                "_neg": pc.multiply(cents, pa.scalar(-1)),
+            }
+        )
+
+    out = (
+        _ds(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_totalprice"])
+        .map_batches(neg, batch_format="pyarrow")
+        .sort(["_neg", "o_orderkey"])
+        .limit(100)
+        .drop_columns(["_neg"])
+        .to_pandas()
+    )
+    return out.reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     """Fixed-64-token document chunking (context-packing prep): one row
     per (doc, chunk) with token count + md5 of the chunk text."""
@@ -1690,6 +1735,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _q_daily_active_users,
         "region_nation_cross": _q_region_nation_cross,
         "long_doc_outliers": _q_long_doc_outliers,
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
+        "top_orders_global": _q_top_orders_global,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2272,6 +2319,21 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT user_id, "
             "CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days "
             "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "orders_above_customer_avg": (
+            "WITH t AS (SELECT o_custkey, o_orderkey, "
+            "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v_cents "
+            "FROM orders), "
+            "a AS (SELECT o_custkey, CAST(SUM(v_cents) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1) "
+            "SELECT t.o_orderkey, t.o_custkey, t.v_cents FROM t "
+            "JOIN a ON t.o_custkey = a.o_custkey "
+            "WHERE t.v_cents * a.n > a.s ORDER BY t.o_orderkey"
+        ),
+        "top_orders_global": (
+            "SELECT o_orderkey, "
+            "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents "
+            "FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 100"
         ),
         "daily_active_users": (
             "SELECT date_trunc('day', ts) AS day, "

@@ -25,6 +25,10 @@ import ray
 
 from .hashing import SHINGLE_K, shingle_hashes, tokens_of
 
+from ..engine.rayfix import apply as _apply_rayfix
+
+_apply_rayfix()  # schema-broadcast fix for native hash-shuffle joins
+
 __all__ = [
     "embedding_cosine_pairs_exact",
     "decontaminate",

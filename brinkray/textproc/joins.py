@@ -20,6 +20,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..engine.rayfix import apply as _apply_rayfix
+
+_apply_rayfix()  # schema-broadcast fix for native hash-shuffle joins
+
 __all__ = [
     "asof_join",
     "interval_join",

@@ -17,6 +17,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..engine.rayfix import apply as _apply_rayfix
+
+_apply_rayfix()  # schema-broadcast fix for native hash-shuffle joins
+
 __all__ = [
     "pricing_summary",
     "rollup_counts",
@@ -25,6 +29,7 @@ __all__ = [
     "cube_counts",
     "grouped_corr_stats",
     "group_shares",
+    "above_group_avg",
 ]
 
 
@@ -418,3 +423,52 @@ def group_shares(ds, key: str):
     counts = counts.materialize()  # |groups| rows — tiny by definition
     total = sum(r["n"] for r in counts.take_all())
     return counts.map_batches(add_share(total), batch_format="pyarrow")
+
+
+def above_group_avg(ds, key: str, id_col: str, val_col: str,
+                    num_partitions: int = 32):
+    """Rows whose value exceeds their GROUP's average — the correlated
+    subquery (``WHERE v > (SELECT AVG(v) ... WHERE key = outer.key)``)
+    decorrelated into aggregate + join, with the comparison kept EXACT:
+    the average is never materialized as a float; the filter
+    cross-multiplies integers (``v_cents * n > sum_cents``), so there
+    is no rounding boundary to disagree with the SQL twin.
+
+    Scale shape: one combiner-bounded groupby builds the per-key
+    (sum, n), then ONE native hash-shuffle join against the small
+    aggregate and a vectorized filter. Returns (id_col, key, v_cents).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t[val_col], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table({key: t[key], id_col: t[id_col], "v_cents": cents})
+
+    rows = ds.select_columns([key, id_col, val_col]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    agg = rows.groupby(key).aggregate(
+        Sum("v_cents", alias_name="_sum"), Count(alias_name="_n")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([f"{key}__a", "_sum", "_n"])
+
+    joined = rows.join(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=(f"{key}__a",),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.greater(
+            pc.multiply(t["v_cents"], t["_n"]), t["_sum"]
+        )
+        return t.filter(mask).select([id_col, key, "v_cents"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")

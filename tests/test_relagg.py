@@ -391,3 +391,28 @@ def test_grouped_corr_stats_brute_force(ray_session):
         got_corr = cov / np.sqrt(vx * vy)
         exp_corr = sub["xi"].corr(sub["yi"])
         assert abs(got_corr - exp_corr) < 1e-9
+
+
+def test_above_group_avg_exact_boundary(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import above_group_avg
+
+    # group 1: values 10.00, 20.00, 30.00 (avg 20.00) -> only 30 strictly above
+    # group 2: values 5.00, 5.00 (avg 5.00) -> none (strict >)
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "id": [10, 11, 12, 20, 21],
+            "v": [10.0, 20.0, 30.0, 5.0, 5.0],
+        }
+    )
+    out = (
+        above_group_avg(rd.from_pandas(df).repartition(3), "k", "id", "v",
+                        num_partitions=2)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [12]
+    assert out["v_cents"].tolist() == [3000]

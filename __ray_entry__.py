@@ -764,6 +764,21 @@ def _q_export_manifest(sf_dir: str):
     ).to_pandas()
 
 
+def _q_partition_pruned_read(sf_dir: str):
+    """Hive-partitioned sink + partition-pruned read-back: write docs
+    partitioned by lang, read ONLY lang=en / lang=de directories, and
+    re-derive the manifest entirely from the round-tripped files."""
+    import tempfile
+
+    from brinkray.textproc.curation import partitioned_write_pruned_read
+
+    out_dir = tempfile.mkdtemp(prefix="brinkray_part_", dir="/tmp")
+    out = partitioned_write_pruned_read(
+        _ds(sf_dir, "documents"), out_dir, langs=["en", "de"]
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _q_ngram_novelty(sf_dir: str):
     from brinkray.textproc.curation import ngram_novelty
 
@@ -1737,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "long_doc_outliers": _q_long_doc_outliers,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "top_orders_global": _q_top_orders_global,
+        "partition_pruned_read": _q_partition_pruned_read,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2465,6 +2481,13 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT n.doc_id, n.fp FROM f n WHERE n.source = 'src0' "
             "AND NOT EXISTS (SELECT 1 FROM f c WHERE c.source <> 'src0' "
             "AND c.fp = n.fp) ORDER BY n.doc_id"
+        ),
+        "partition_pruned_read": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id "
+            "FROM documents WHERE lang IN ('en', 'de') "
+            "GROUP BY lang ORDER BY lang"
         ),
         "jsonl_roundtrip": (
             "SELECT CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) "

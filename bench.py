@@ -159,6 +159,16 @@ def bench_queries() -> dict[str, float]:
         "top_bigrams",
         "customer_order_totals",
         "lang_share",
+        "orders_by_dow",
+        "event_transitions",
+        "user_days_active",
+        "user_click_purchase_counts",
+        "daily_active_users",
+        "region_nation_cross",
+        "long_doc_outliers",
+        "orders_above_customer_avg",
+        "top_orders_global",
+        "partition_pruned_read",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

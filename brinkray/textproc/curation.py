@@ -48,6 +48,7 @@ __all__ = [
     "tf_df_scores",
     "inverted_index",
     "top_bigrams",
+    "partitioned_write_pruned_read",
 ]
 
 
@@ -1087,3 +1088,54 @@ def top_bigrams(docs, k: int = 20, text_col="text"):
         .limit(k)
         .drop_columns(["_neg_n"])
     )
+
+
+def partitioned_write_pruned_read(docs, out_dir: str, langs: list[str],
+                                  text_col="text", id_col="doc_id"):
+    """Hive-partitioned parquet sink + PARTITION-PRUNED read-back: the
+    corpus is written once via Ray's native ``write_parquet(...,
+    partition_cols=['lang'])``, then ONLY the requested partitions'
+    directories are read (path-level pruning — the other partitions'
+    bytes never leave storage, the at-scale read discipline). Returns
+    one manifest row per requested lang re-derived ENTIRELY from the
+    round-tripped files — (lang, n_docs, n_chars, sum_doc_id), with
+    n_chars recomputed from the read-back text — so a match against
+    the original table certifies both the partitioned sink and the
+    pruned read.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    docs.select_columns([id_col, text_col, "lang"]).write_parquet(
+        out_dir, partition_cols=["lang"]
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_chars": pc.cast(pc.utf8_length(t[text_col]), pa.int64()),
+                id_col: t[id_col],
+            }
+        )
+
+    rows = []
+    for lang in langs:
+        agg = (
+            rd.read_parquet(f"{out_dir}/lang={lang}")
+            .map_batches(stats, batch_format="pyarrow")
+            .aggregate(
+                Count(alias_name="n_docs"),
+                Sum("n_chars", alias_name="n_chars"),
+                Sum(id_col, alias_name="sum_doc_id"),
+            )
+        )
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": int(agg["n_docs"]),
+                "n_chars": int(agg["n_chars"]),
+                "sum_doc_id": int(agg["sum_doc_id"]),
+            }
+        )
+    return pd.DataFrame(rows)

@@ -506,3 +506,25 @@ def test_top_bigrams_counts_and_ties(ray_session):
     # and empty docs contribute nothing
     assert list(out["bigram"]) == ["x y", "y w", "y x"]
     assert list(out["n"]) == [3, 1, 1]
+
+
+def test_partitioned_write_pruned_read(ray_session, tmp_path):
+    import os
+
+    from brinkray.textproc.curation import partitioned_write_pruned_read
+
+    ds = _docs_ds(
+        ["aa", "bbbb", "cc", "ddd", "e"],
+        langs=["en", "de", "en", "fr", "de"],
+    ).repartition(2)
+    out = partitioned_write_pruned_read(
+        ds, str(tmp_path / "part"), langs=["en", "de"]
+    )
+    out = out.sort_values("lang").reset_index(drop=True)
+    # de: docs 1 ('bbbb') + 4 ('e'); en: docs 0 ('aa') + 2 ('cc')
+    assert out["lang"].tolist() == ["de", "en"]
+    assert out["n_docs"].tolist() == [2, 2]
+    assert out["n_chars"].tolist() == [5, 4]
+    assert out["sum_doc_id"].tolist() == [5, 2]
+    # the fr partition exists on disk but was never read (pruned)
+    assert os.path.isdir(tmp_path / "part" / "lang=fr")

@@ -108,7 +108,15 @@ def rollup_counts(ds, keys: list[str]):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    fine = ds.select_columns(keys).groupby(keys).aggregate(Count(alias_name="n"))
+    # materialize: the fine result is |distinct combos| rows (tiny by
+    # construction), and every coarser level re-reads it — without this
+    # Ray re-executes the corpus-scale groupby once per level
+    fine = (
+        ds.select_columns(keys)
+        .groupby(keys)
+        .aggregate(Count(alias_name="n"))
+        .materialize()
+    )
 
     def with_nulls(level: int):
         # pad keys[level:] with NULL so every level shares one schema
@@ -318,7 +326,14 @@ def cube_counts(ds, keys: list[str]):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    fine = ds.select_columns(keys).groupby(keys).aggregate(Count(alias_name="n"))
+    # materialized for the same reason as rollup_counts: 2^k grouping
+    # sets each re-read the tiny fine table; the corpus shuffles ONCE
+    fine = (
+        ds.select_columns(keys)
+        .groupby(keys)
+        .aggregate(Count(alias_name="n"))
+        .materialize()
+    )
 
     def with_nulls(kept: tuple[str, ...]):
         def pad(t: pa.Table) -> pa.Table:

@@ -779,6 +779,18 @@ def _q_partition_pruned_read(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _q_event_value_pivot(sf_dir: str):
+    """Long -> wide SUM pivot (SUM(v) FILTER per event type) in exact
+    fixed-point cents."""
+    from brinkray.textproc.windows import pivot_sums
+
+    out = pivot_sums(
+        _ds(sf_dir, "events"), row_key="user_id", col_key="event_type",
+        val_col="value", col_values=["click", "purchase", "view"],
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_ngram_novelty(sf_dir: str):
     from brinkray.textproc.curation import ngram_novelty
 
@@ -1753,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "top_orders_global": _q_top_orders_global,
         "partition_pruned_read": _q_partition_pruned_read,
+        "event_value_pivot": _q_event_value_pivot,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -1939,6 +1952,15 @@ def _oracle_sql_dict() -> dict[str, str]:
                 f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) "
                 f"AS n_{t}"
                 for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "event_value_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(COALESCE(SUM(CAST(floor(value * 100.0) AS BIGINT)) "
+                f"FILTER (WHERE event_type = '{t}'), 0) AS BIGINT) AS sum_{t}"
+                for t in ("click", "purchase", "view")
             )
             + " FROM events GROUP BY user_id ORDER BY user_id"
         ),

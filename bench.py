@@ -169,6 +169,7 @@ def bench_queries() -> dict[str, float]:
         "orders_above_customer_avg",
         "top_orders_global",
         "partition_pruned_read",
+        "event_value_pivot",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

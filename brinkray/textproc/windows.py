@@ -32,6 +32,7 @@ __all__ = [
     "transition_counts",
     "active_days_per_key",
     "distinct_per_bucket",
+    "pivot_sums",
 ]
 
 
@@ -554,4 +555,48 @@ def distinct_per_bucket(ds, ts_col: str, val_col: str):
         .drop_columns(["_c"])
         .groupby("day")
         .aggregate(Count(alias_name="n_distinct"))
+    )
+
+
+def pivot_sums(ds, row_key: str, col_key: str, val_col: str,
+               col_values: list[str], scale: int = 100):
+    """Long -> wide SUM pivot (the value-aggregating sibling of
+    pivot_counts): one row per ``row_key``, one int64 fixed-point sum
+    column per declared ``col_values`` entry — SQL's ``SUM(v) FILTER
+    (WHERE ...)``. Values floor to int64 units at the row level
+    (associative => bit-reproducible); per-batch vectorized pivot_table
+    partials feed ONE groupby(row_key) sum.
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(col_values)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t[val_col], pa.scalar(float(scale)))),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                row_key: t[row_key].to_pandas(),
+                "_c": t[col_key].to_pandas(),
+                "_v": cents.to_pandas(),
+            }
+        )
+        pt = df.pivot_table(index=row_key, columns="_c", values="_v",
+                            aggfunc="sum", fill_value=0)
+        out = {row_key: pt.index.to_numpy()}
+        for c in cols:
+            out["sum_" + c] = (
+                pt[c].to_numpy().astype(np.int64)
+                if c in pt.columns
+                else np.zeros(len(pt), dtype=np.int64)
+            )
+        return pa.Table.from_pydict(out)
+
+    return (
+        ds.select_columns([row_key, col_key, val_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(row_key)
+        .aggregate(*[Sum("sum_" + c, alias_name="sum_" + c) for c in cols])
     )

@@ -855,3 +855,31 @@ def test_cross_join_small_product(ray_session):
     assert list(zip(out["a"], out["b"])) == [
         ("x", 1), ("x", 2), ("y", 1), ("y", 2), ("z", 1), ("z", 2)
     ]
+
+
+def test_pivot_sums_fixed_point(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import pivot_sums
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "t": pa.array(["a", "a", "b", "b", "c"]),
+                "v": pa.array([1.015, 2.0, 3.5, 0.999, 7.0]),
+            }
+        )
+    ).repartition(3)
+    out = (
+        pivot_sums(ds, "u", "t", "v", ["a", "b"])
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    # floor(v*100): 101+200, 350 | 99 ; 'c' column not declared -> absent
+    assert list(out.columns) == ["u", "sum_a", "sum_b"]
+    assert out["sum_a"].tolist() == [301, 0]
+    assert out["sum_b"].tolist() == [350, 99]

@@ -1633,6 +1633,46 @@ def _q_link_pagerank(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q_link_degree_histogram(sf_dir: str):
+    """Out-degree distribution of the crawl's reachable link graph —
+    graph analytics by composition: the same distinct-edge derivation
+    as link_pagerank, then count_of_counts (degree per parent -> pages
+    per degree). Twin re-derives the graph via the crawl CTE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import count_of_counts
+
+    res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
+
+    ev = res.events_table().select(["linked_from", "url"])
+    ev = ev.filter(
+        pc.invert(
+            pc.is_in(ev["linked_from"], value_set=pa.array(["start", "warm"]))
+        )
+    )
+    from brinkray.fixtures.sitegen import site_config
+    from brinkray.ref.urls import normalize_url
+
+    ignored = site_config().ignored_get_params
+    parents = pa.array(
+        [normalize_url(u, ignored) for u in ev["linked_from"].to_pylist()],
+        pa.string(),
+    )
+    edges = (
+        rd.from_arrow(pa.table({"parent": parents, "child": ev["url"]}))
+        .groupby(["parent", "child"])
+        .count()
+        .select_columns(["parent", "child"])
+    )
+    out = count_of_counts(
+        edges, "parent", out_key="out_degree", out_count="n_pages"
+    ).to_pandas()
+    return out.sort_values("out_degree").reset_index(drop=True)
+
+
 def _q_crawl_extract_links(sf_dir: str):
     """Phase-1 slice: pages -> normalize -> extract links (no loop)."""
     import ray.data as rd
@@ -1778,6 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_extract_links": _q_crawl_extract_links,
         "link_pagerank": _q_link_pagerank,
+        "link_degree_histogram": _q_link_degree_histogram,
     }
 
 
@@ -1888,6 +1929,16 @@ def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
     d["link_pagerank"] = _pagerank_sql(iters=5)
+    d["link_degree_histogram"] = (
+        _CRAWL_CTE
+        + ", nodes AS (SELECT canon FROM reach), "
+        "er AS (SELECT DISTINCT e.parent, e.child FROM edges e "
+        "JOIN nodes n ON e.parent = n.canon), "
+        "od AS (SELECT parent, CAST(COUNT(*) AS BIGINT) AS out_degree "
+        "FROM er GROUP BY parent) "
+        "SELECT out_degree, CAST(COUNT(*) AS BIGINT) AS n_pages "
+        "FROM od GROUP BY out_degree ORDER BY out_degree"
+    )
     # the shuffle-join novelty path computes the identical quantity —
     # it shares the broadcast path's twin verbatim
     d["ngram_novelty_shuffled"] = d["ngram_novelty"]

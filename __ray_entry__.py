@@ -791,6 +791,18 @@ def _q_event_value_pivot(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_trailing_hour_sums(sf_dir: str):
+    """Per-user trailing 1-hour value sum (RANGE window frame, peers
+    included) in exact fixed-point cents."""
+    from brinkray.textproc.windows import trailing_window_sums
+
+    out = trailing_window_sums(
+        _ds(sf_dir, "events"), key="user_id", ts_col="ts",
+        id_col="event_id", val_col="value", window_minutes=60.0,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_ngram_novelty(sf_dir: str):
     from brinkray.textproc.curation import ngram_novelty
 
@@ -1806,6 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_global": _q_top_orders_global,
         "partition_pruned_read": _q_partition_pruned_read,
         "event_value_pivot": _q_event_value_pivot,
+        "trailing_hour_sums": _q_trailing_hour_sums,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2005,6 +2018,15 @@ def _oracle_sql_dict() -> dict[str, str]:
                 for t in ("click", "error", "purchase", "signup", "view")
             )
             + " FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "trailing_hour_sums": (
+            "SELECT user_id, ts, event_id, "
+            "CAST(floor(value * 100.0) AS BIGINT) AS v_cents, "
+            "CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS trailing_cents "
+            "FROM events ORDER BY event_id"
         ),
         "event_value_pivot": (
             "SELECT user_id, "

@@ -170,6 +170,7 @@ def bench_queries() -> dict[str, float]:
         "top_orders_global",
         "partition_pruned_read",
         "event_value_pivot",
+        "trailing_hour_sums",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

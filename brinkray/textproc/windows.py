@@ -33,6 +33,7 @@ __all__ = [
     "active_days_per_key",
     "distinct_per_bucket",
     "pivot_sums",
+    "trailing_window_sums",
 ]
 
 
@@ -599,4 +600,51 @@ def pivot_sums(ds, row_key: str, col_key: str, val_col: str,
         .map_batches(partial, batch_format="pyarrow")
         .groupby(row_key)
         .aggregate(*[Sum("sum_" + c, alias_name="sum_" + c) for c in cols])
+    )
+
+
+def trailing_window_sums(ds, key: str, ts_col: str, id_col: str,
+                         val_col: str, window_minutes: float = 60.0,
+                         scale: int = 100):
+    """Per-key trailing TIME-window sum — SQL's ``SUM(v) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL w PRECEDING
+    AND CURRENT ROW)`` — the RANGE-frame sibling of rolling_sums'
+    ROWS frame. One groupby(key) shuffle; per group the window sum is
+    cumsum[i] - cumsum[lo-1] with lo found by ONE vectorized
+    searchsorted of (ts - w) over the sorted ts array — O(n log n) per
+    group, no per-row scanning. RANGE semantics: ALL rows sharing the
+    current timestamp are inside the frame (peers included), which the
+    implementation gets by bucketing the cumsum at timestamp
+    boundaries. Values fixed-point int64 => bit-reproducible.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t[val_col], pa.scalar(float(scale)))), pa.int64()
+        )
+        return pa.table(
+            {key: t[key], ts_col: t[ts_col], id_col: t[id_col],
+             "v_cents": cents}
+        )
+
+    win = np.timedelta64(int(window_minutes * 60 * 1_000_000), "us")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        v = g["v_cents"].to_numpy()
+        cum = np.cumsum(v)
+        # frame start: first index with ts >= current - window
+        lo = np.searchsorted(ts, ts - win, side="left")
+        # frame end: RANGE includes ALL peers of the current ts
+        hi = np.searchsorted(ts, ts, side="right")  # exclusive
+        sums = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+        g["trailing_cents"] = sums.astype(np.int64)
+        return g[[key, ts_col, id_col, "v_cents", "trailing_cents"]]
+
+    return (
+        ds.select_columns([key, ts_col, id_col, val_col])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
     )

@@ -883,3 +883,38 @@ def test_pivot_sums_fixed_point(ray_session):
     assert list(out.columns) == ["u", "sum_a", "sum_b"]
     assert out["sum_a"].tolist() == [301, 0]
     assert out["sum_b"].tolist() == [350, 99]
+
+
+def test_trailing_window_sums_range_peers(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import trailing_window_sums
+
+    # user 1: events at t0, t0+30m, t0+30m (peer), t0+90m
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 00:30",
+         "2024-01-01 01:30"]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "value": pa.array([1.0, 2.0, 4.0, 8.0]),
+            }
+        )
+    ).repartition(2)
+    out = (
+        trailing_window_sums(ds, "user_id", "ts", "event_id", "value",
+                             window_minutes=60.0)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # RANGE frame: peers at the same ts are both included (events 2,3);
+    # at t0+90m the frame [t0+30m, t0+90m] includes events 2,3,4 but
+    # not event 1 (inclusive lower bound: ts >= current - 60m)
+    assert out["trailing_cents"].tolist() == [100, 700, 700, 1400]

@@ -803,6 +803,18 @@ def _q_trailing_hour_sums(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_sampled_price_quantiles(sf_dir: str):
+    """One-pass approximate quantiles from a hash-deterministic
+    bottom-k sample — even the approximation is oracle-twinned because
+    the sample is reproducible in SQL."""
+    from brinkray.textproc.sketch import sampled_quantile_disc
+
+    return sampled_quantile_disc(
+        _ds(sf_dir, "orders"), col="o_totalprice", id_col="o_orderkey",
+        k=2000,
+    )
+
+
 def _q_ngram_novelty(sf_dir: str):
     from brinkray.textproc.curation import ngram_novelty
 
@@ -1819,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_pruned_read": _q_partition_pruned_read,
         "event_value_pivot": _q_event_value_pivot,
         "trailing_hour_sums": _q_trailing_hour_sums,
+        "sampled_price_quantiles": _q_sampled_price_quantiles,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2018,6 +2031,17 @@ def _oracle_sql_dict() -> dict[str, str]:
                 for t in ("click", "error", "purchase", "signup", "view")
             )
             + " FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "sampled_price_quantiles": (
+            "WITH s AS (SELECT o_totalprice FROM orders "
+            "QUALIFY row_number() OVER ("
+            "ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) <= 2000) "
+            + " UNION ALL ".join(
+                f"SELECT {q} AS q, quantile_disc(o_totalprice, {q}) "
+                f"AS value FROM s"
+                for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+            )
+            + " ORDER BY q"
         ),
         "trailing_hour_sums": (
             "SELECT user_id, ts, event_id, "

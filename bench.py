@@ -171,6 +171,7 @@ def bench_queries() -> dict[str, float]:
         "partition_pruned_read",
         "event_value_pivot",
         "trailing_hour_sums",
+        "sampled_price_quantiles",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

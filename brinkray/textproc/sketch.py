@@ -30,6 +30,7 @@ __all__ = [
     "distinct_tokens_exact",
     "hll_estimate",
     "cms_token_counts",
+    "sampled_quantile_disc",
     "exact_float_quantiles",
 ]
 
@@ -433,3 +434,49 @@ def hll_grouped(ds, key_col: str, value_col: str, p: int = 12):
         )
 
     return merged.groupby(key_col).map_groups(estimate, batch_format="pandas")
+
+
+def sampled_quantile_disc(ds, col: str, id_col: str, k: int = 2000,
+                          qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """ONE-PASS approximate quantiles from a deterministic uniform
+    sample: the k rows with the smallest (md5(id), id) — a mergeable
+    bottom-k sketch (each batch pre-prunes to its local bottom-k, the
+    global merge is a tiny sort+limit), then quantile_disc ranks over
+    the sample on the driver. Error ~O(1/sqrt(k)) in rank space.
+
+    The at-scale sibling of exact_float_quantiles (which needs
+    log_4096(n) passes): one streaming pass, k rows to the driver, and
+    — because the sample is HASH-deterministic, not random — the
+    result is bit-stable across runs/layouts AND exactly reproducible
+    in SQL (row_number() OVER (ORDER BY md5(id), id) <= k), so even
+    the approximation carries a full oracle twin.
+    """
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        df = pd.DataFrame({"h": h, id_col: ids, col: t[col].to_pylist()})
+        df = df.sort_values(["h", id_col], kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sample = (
+        ds.select_columns([id_col, col])
+        .map_batches(local_bottomk, batch_format="pyarrow")
+        .sort(["h", id_col])
+        .limit(k)
+        .to_pandas()
+    )
+    vals = np.sort(sample[col].to_numpy())
+    n = len(vals)
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))  # quantile_disc 1-based rank
+        out_q.append(float(q))
+        out_v.append(float(vals[rank - 1]))
+    return pd.DataFrame(
+        {"q": np.array(out_q, np.float64), "value": np.array(out_v, np.float64)}
+    )

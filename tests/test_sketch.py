@@ -189,3 +189,31 @@ def test_hll_grouped_within_bound_and_layout_stable(ray_session):
         assert abs(e - x) <= max(3, 0.05 * x), (row["g"], e, x)
     # bit-stable across block layouts
     assert run(11).equals(est)
+
+
+def test_sampled_quantile_disc_accuracy_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.sketch import sampled_quantile_disc
+
+    rng = np.random.default_rng(31)
+    n = 20_000
+    v = rng.uniform(0, 1000, n)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"id": pa.array(ids), "x": pa.array(v)})
+
+    def run(parts):
+        return sampled_quantile_disc(
+            rd.from_arrow(tbl).repartition(parts), "x", "id", k=2000
+        )
+
+    got = run(7)
+    for _, row in got.iterrows():
+        exact = np.quantile(v, row["q"])
+        # rank error ~O(1/sqrt(k)); uniform values => value error ~1000x that
+        assert abs(row["value"] - exact) < 1000 * 3 / np.sqrt(2000), (
+            row["q"], row["value"], exact)
+    # hash-deterministic: identical across block layouts
+    assert run(13).equals(got)

@@ -803,6 +803,17 @@ def _q_trailing_hour_sums(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_adjacent_edit_distance(sf_dir: str):
+    """Levenshtein distance between id-adjacent doc prefixes (the
+    fuzzy-match verify scalar over a deterministic pair set)."""
+    from brinkray.textproc.curation import adjacent_edit_distances
+
+    out = adjacent_edit_distances(
+        _ds(sf_dir, "documents"), prefix_len=200
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_sampled_price_quantiles(sf_dir: str):
     """One-pass approximate quantiles from a hash-deterministic
     bottom-k sample — even the approximation is oracle-twinned because
@@ -1832,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_pivot": _q_event_value_pivot,
         "trailing_hour_sums": _q_trailing_hour_sums,
         "sampled_price_quantiles": _q_sampled_price_quantiles,
+        "adjacent_edit_distance": _q_adjacent_edit_distance,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2031,6 +2043,12 @@ def _oracle_sql_dict() -> dict[str, str]:
                 for t in ("click", "error", "purchase", "signup", "view")
             )
             + " FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "adjacent_edit_distance": (
+            "SELECT a.doc_id, CAST(levenshtein(substr(a.text, 1, 200), "
+            "substr(b.text, 1, 200)) AS BIGINT) AS edit_distance "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+            "ORDER BY a.doc_id"
         ),
         "sampled_price_quantiles": (
             "WITH s AS (SELECT o_totalprice FROM orders "

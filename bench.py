@@ -172,6 +172,7 @@ def bench_queries() -> dict[str, float]:
         "event_value_pivot",
         "trailing_hour_sums",
         "sampled_price_quantiles",
+        "adjacent_edit_distance",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

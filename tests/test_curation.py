@@ -528,3 +528,27 @@ def test_partitioned_write_pruned_read(ray_session, tmp_path):
     assert out["sum_doc_id"].tolist() == [5, 2]
     # the fr partition exists on disk but was never read (pruned)
     assert os.path.isdir(tmp_path / "part" / "lang=fr")
+
+
+def test_adjacent_edit_distances_kernel(ray_session):
+    import duckdb
+
+    from brinkray.textproc.curation import adjacent_edit_distances
+
+    texts = ["kitten", "sitting", "sunday", "saturday", "abc"]
+    ds = _docs_ds(texts).repartition(2)
+    out = (
+        adjacent_edit_distances(ds, prefix_len=200)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # classic values: kitten->sitting 3, sunday->saturday 3 (via duckdb)
+    con = duckdb.connect()
+    for _, row in out.iterrows():
+        want = con.execute(
+            "SELECT levenshtein(?, ?)",
+            [texts[int(row["doc_id"])], texts[int(row["doc_id"]) + 1]],
+        ).fetchone()[0]
+        assert row["edit_distance"] == want, (row["doc_id"], want)
+    assert out[out["doc_id"] == 0]["edit_distance"].iloc[0] == 3

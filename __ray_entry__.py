@@ -814,6 +814,18 @@ def _q_adjacent_edit_distance(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_debounced_events(sf_dir: str):
+    """Event debouncing: keep events whose same-(user, type)
+    predecessor is > 30 min older (LAG-chain semantics)."""
+    from brinkray.textproc.windows import debounce_events
+
+    out = debounce_events(
+        _ds(sf_dir, "events"), keys=["user_id", "event_type"],
+        ts_col="ts", id_col="event_id", window_minutes=30.0,
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_sampled_price_quantiles(sf_dir: str):
     """One-pass approximate quantiles from a hash-deterministic
     bottom-k sample — even the approximation is oracle-twinned because
@@ -1844,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_hour_sums": _q_trailing_hour_sums,
         "sampled_price_quantiles": _q_sampled_price_quantiles,
         "adjacent_edit_distance": _q_adjacent_edit_distance,
+        "debounced_events": _q_debounced_events,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2043,6 +2056,14 @@ def _oracle_sql_dict() -> dict[str, str]:
                 for t in ("click", "error", "purchase", "signup", "view")
             )
             + " FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "debounced_events": (
+            "SELECT user_id, event_type, ts, event_id FROM events "
+            "QUALIFY lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) IS NULL "
+            "OR ts - lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "ORDER BY event_id"
         ),
         "adjacent_edit_distance": (
             "SELECT a.doc_id, CAST(levenshtein(substr(a.text, 1, 200), "

@@ -173,6 +173,7 @@ def bench_queries() -> dict[str, float]:
         "trailing_hour_sums",
         "sampled_price_quantiles",
         "adjacent_edit_distance",
+        "debounced_events",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

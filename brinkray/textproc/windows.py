@@ -34,6 +34,7 @@ __all__ = [
     "distinct_per_bucket",
     "pivot_sums",
     "trailing_window_sums",
+    "debounce_events",
 ]
 
 
@@ -646,5 +647,35 @@ def trailing_window_sums(ds, key: str, ts_col: str, id_col: str,
         ds.select_columns([key, ts_col, id_col, val_col])
         .map_batches(prep, batch_format="pyarrow")
         .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def debounce_events(ds, keys: list[str], ts_col: str, id_col: str,
+                    window_minutes: float = 60.0):
+    """Event debouncing: keep an event only if the PREVIOUS event with
+    the same key tuple is more than ``window_minutes`` older (or there
+    is none) — the stream-dedup primitive that collapses bursts
+    (retry storms, double-clicks) to their leading edge. SQL: QUALIFY
+    lag(ts) IS NULL OR ts - lag(ts) > INTERVAL w. One groupby(keys)
+    shuffle; the per-group body is a vectorized diff over the
+    (ts, id)-sorted stream. Note the lag chain compares each event to
+    its immediate predecessor (kept or not) — this is LAG semantics,
+    not a tumbling suppression window.
+    """
+    win = np.timedelta64(int(window_minutes * 60 * 1_000_000), "us")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        keep = np.empty(len(ts), dtype=bool)
+        keep[0] = True
+        if len(ts) > 1:
+            keep[1:] = np.diff(ts) > win
+        return g.loc[keep, [*keys, ts_col, id_col]]
+
+    return (
+        ds.select_columns([*keys, ts_col, id_col])
+        .groupby(keys)
         .map_groups(per_key, batch_format="pandas")
     )

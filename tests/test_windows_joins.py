@@ -918,3 +918,38 @@ def test_trailing_window_sums_range_peers(ray_session):
     # at t0+90m the frame [t0+30m, t0+90m] includes events 2,3,4 but
     # not event 1 (inclusive lower bound: ts >= current - 60m)
     assert out["trailing_cents"].tolist() == [100, 700, 700, 1400]
+
+
+def test_debounce_events_lag_semantics(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import debounce_events
+
+    # bursts: events at 0, 10m, 45m — LAG semantics keeps 0 and NOT 10m
+    # (10m gap) and NOT 45m (35m gap from the DROPPED 10m event? no:
+    # LAG compares to the immediate predecessor regardless of keep, so
+    # 45m - 10m = 35m > 30m -> kept)
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:45",
+         "2024-01-01 00:00"]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "event_type": pa.array(["a", "a", "a", "a"]),
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+            }
+        )
+    ).repartition(2)
+    out = (
+        debounce_events(ds, ["user_id", "event_type"], "ts", "event_id",
+                        window_minutes=30.0)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [1, 3, 4]

@@ -814,6 +814,18 @@ def _q_adjacent_edit_distance(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_lang_sampled_chars_quantiles(sf_dir: str):
+    """Per-language sampled quantiles of n_chars (hash-deterministic
+    per-group bottom-k sample, SQL-reproducible)."""
+    from brinkray.textproc.sketch import grouped_sampled_quantile_disc
+
+    out = grouped_sampled_quantile_disc(
+        _ds(sf_dir, "documents"), by="lang", col="n_chars",
+        id_col="doc_id", k=200, qs=(0.5, 0.9),
+    ).to_pandas()
+    return out.sort_values(["lang", "q"]).reset_index(drop=True)
+
+
 def _q_debounced_events(sf_dir: str):
     """Event debouncing: keep events whose same-(user, type)
     predecessor is > 30 min older (LAG-chain semantics)."""
@@ -1857,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_price_quantiles": _q_sampled_price_quantiles,
         "adjacent_edit_distance": _q_adjacent_edit_distance,
         "debounced_events": _q_debounced_events,
+        "lang_sampled_chars_quantiles": _q_lang_sampled_chars_quantiles,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2056,6 +2069,18 @@ def _oracle_sql_dict() -> dict[str, str]:
                 for t in ("click", "error", "purchase", "signup", "view")
             )
             + " FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "lang_sampled_chars_quantiles": (
+            "WITH s AS (SELECT lang, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 200) "
+            + " UNION ALL ".join(
+                f"SELECT lang, {q} AS q, "
+                f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+                f"FROM s GROUP BY lang"
+                for q in (0.5, 0.9)
+            )
+            + " ORDER BY lang, q"
         ),
         "debounced_events": (
             "SELECT user_id, event_type, ts, event_id FROM events "

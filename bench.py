@@ -174,6 +174,7 @@ def bench_queries() -> dict[str, float]:
         "sampled_price_quantiles",
         "adjacent_edit_distance",
         "debounced_events",
+        "lang_sampled_chars_quantiles",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

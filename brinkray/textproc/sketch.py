@@ -31,6 +31,7 @@ __all__ = [
     "hll_estimate",
     "cms_token_counts",
     "sampled_quantile_disc",
+    "grouped_sampled_quantile_disc",
     "exact_float_quantiles",
 ]
 
@@ -479,4 +480,55 @@ def sampled_quantile_disc(ds, col: str, id_col: str, k: int = 2000,
         out_v.append(float(vals[rank - 1]))
     return pd.DataFrame(
         {"q": np.array(out_q, np.float64), "value": np.array(out_v, np.float64)}
+    )
+
+
+def grouped_sampled_quantile_disc(ds, by: str, col: str, id_col: str,
+                                  k: int = 200, qs=(0.5, 0.9)):
+    """Per-GROUP one-pass sampled quantiles: each group's
+    hash-deterministic bottom-k sample (smallest (md5(id), id)), then
+    quantile_disc ranks inside the group. Same mergeable-sample idea
+    as sampled_quantile_disc, partitioned: per-batch LOCAL bottom-k
+    per group bounds the exchange at k rows per (group, block), one
+    groupby(by) finishes the sample and walks the ranks — the grouped
+    approximate sibling of grouped_token_quantiles' exact histogram.
+    SQL-reproducible (PARTITION BY + row_number over md5).
+    """
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        df = pd.DataFrame(
+            {
+                by: t[by].to_pylist(),
+                "h": [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                id_col: ids,
+                col: t[col].to_pylist(),
+            }
+        )
+        df = (
+            df.sort_values(["h", id_col], kind="mergesort")
+            .groupby(by, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col], kind="mergesort").head(k)
+        vals = np.sort(g[col].to_numpy())
+        n = len(vals)
+        rows = []
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            rows.append((g[by].iloc[0], float(q), int(vals[rank - 1])))
+        return pd.DataFrame(rows, columns=[by, "q", "value"])
+
+    return (
+        ds.select_columns([by, col, id_col])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(final, batch_format="pandas")
     )

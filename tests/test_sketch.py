@@ -217,3 +217,40 @@ def test_sampled_quantile_disc_accuracy_and_determinism(ray_session):
             row["q"], row["value"], exact)
     # hash-deterministic: identical across block layouts
     assert run(13).equals(got)
+
+
+def test_grouped_sampled_quantile_disc_layout_stable(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.sketch import grouped_sampled_quantile_disc
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], n),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 10_000, n).astype(np.int64),
+        }
+    )
+
+    def run(parts):
+        return (
+            grouped_sampled_quantile_disc(
+                rd.from_pandas(df).repartition(parts), "g", "v", "id",
+                k=300, qs=(0.5, 0.9),
+            )
+            .to_pandas()
+            .sort_values(["g", "q"])
+            .reset_index(drop=True)
+        )
+
+    got = run(5)
+    for _, row in got.iterrows():
+        exact = df[df["g"] == row["g"]]["v"].quantile(row["q"])
+        # rank error ~3/sqrt(300) of the 10k value range
+        assert abs(row["value"] - exact) < 10_000 * 3 / np.sqrt(300)
+    assert run(9).equals(got)   # hash-deterministic across layouts

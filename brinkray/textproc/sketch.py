@@ -386,21 +386,28 @@ def hll_grouped(ds, key_col: str, value_col: str, p: int = 12):
     tiny rows, and a final map_groups renders each group's estimate.
     The per-event-type distinct-users shape when the exact
     double-groupby (distinct_users_per_event_type — its oracle-certified
-    exact sibling) is too wide to shuffle at corpus scale. Keyed
-    blake2b hashing => bit-stable across runs and block layouts.
+    exact sibling) is too wide to shuffle at corpus scale. Hashing is
+    bit-stable across runs and block layouts: INTEGER value columns go
+    through a vectorized splitmix64 finalizer (no per-row Python in the
+    hot path); other types fall back to per-row keyed blake2b.
     """
     import pandas as pd
     from ray.data.aggregate import Max
 
     from .hashing import blake64
+    from .joins import _mix64
 
     def partial(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_pylist()
-        vals = t[value_col].to_pylist()
-        h = np.fromiter(
-            (blake64(str(v).encode("utf-8")) for v in vals),
-            dtype=np.uint64, count=len(vals),
-        )
+        col = t[value_col]
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _mix64(v.view(np.uint64))
+        else:
+            h = np.fromiter(
+                (blake64(str(x).encode("utf-8")) for x in col.to_pylist()),
+                dtype=np.uint64, count=len(col),
+            )
         out_k, out_r, out_rank = [], [], []
         df = pd.DataFrame({"k": keys, "h": h})
         for k, grp in df.groupby("k", sort=False):

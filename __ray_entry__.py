@@ -826,6 +826,26 @@ def _q_lang_sampled_chars_quantiles(sf_dir: str):
     return out.sort_values(["lang", "q"]).reset_index(drop=True)
 
 
+def _q_session_size_histogram(sf_dir: str):
+    """Composition: sessionize (30-min gap) -> sessions per event
+    count — the session-length distribution a pipeline health check
+    reads. Two operators chained; the histogram input is one small row
+    per session."""
+    from ray.data.aggregate import Count
+
+    from brinkray.textproc.windows import sessionize
+
+    sessions = sessionize(_ds(sf_dir, "events"), gap_minutes=30.0)
+    out = (
+        sessions.select_columns(["n_events"])
+        .groupby("n_events")
+        .aggregate(Count(alias_name="n_sessions"))
+        .to_pandas()
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values("n_events").reset_index(drop=True)
+
+
 def _q_debounced_events(sf_dir: str):
     """Event debouncing: keep events whose same-(user, type)
     predecessor is > 30 min older (LAG-chain semantics)."""
@@ -1870,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacent_edit_distance": _q_adjacent_edit_distance,
         "debounced_events": _q_debounced_events,
         "lang_sampled_chars_quantiles": _q_lang_sampled_chars_quantiles,
+        "session_size_histogram": _q_session_size_histogram,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2234,6 +2255,19 @@ def _oracle_sql_dict() -> dict[str, str]:
         "deterministic_sample": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')"
+        ),
+        "session_size_histogram": (
+            "WITH lagged AS (SELECT user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), "
+            "flagged AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL "
+            "OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s "
+            "FROM lagged), sess AS (SELECT user_id, ts, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS sid FROM flagged), "
+            "per_sess AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) "
+            "AS n_events FROM sess GROUP BY user_id, sid) "
+            "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions "
+            "FROM per_sess GROUP BY n_events ORDER BY n_events"
         ),
         # end-to-end curation: md5-winner dedup, then the exact
         # quality/lang expressions from the twins above, then the filter.

@@ -175,6 +175,7 @@ def bench_queries() -> dict[str, float]:
         "adjacent_edit_distance",
         "debounced_events",
         "lang_sampled_chars_quantiles",
+        "session_size_histogram",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -826,6 +826,53 @@ def _q_lang_sampled_chars_quantiles(sf_dir: str):
     return out.sort_values(["lang", "q"]).reset_index(drop=True)
 
 
+def _q_event_pivot_roundtrip(sf_dir: str):
+    """Wide -> long UNPIVOT certification by roundtrip: pivot the
+    event counts wide, melt them back, drop the zero-fill rows — the
+    result must equal the plain long GROUP BY (the twin)."""
+    from brinkray.textproc.windows import pivot_counts, unpivot
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_counts(_ds(sf_dir, "events"), "user_id", "event_type", types)
+    long = unpivot(
+        wide, "user_id", [f"n_{t}" for t in types],
+        name_col="event_type", value_name="n", strip_prefix="n_",
+    ).to_pandas()
+    long = long[long["n"] > 0]  # pivot zero-fills absent combos
+    return long.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+def _q_monthly_order_growth(sf_dir: str):
+    """Month-over-month order-count deltas: the corpus reduces to one
+    row per month (combiner-bounded groupby); the LAG diff runs on
+    that |months|-bounded table."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    def prep(t):
+        import pyarrow as pa
+
+        return pa.table({"month": pc.floor_temporal(t["o_orderdate"],
+                                                    unit="month")})
+
+    monthly = (
+        _ds(sf_dir, "orders")
+        .select_columns(["o_orderdate"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    monthly["n"] = monthly["n"].astype("int64")
+    prev = monthly["n"].shift(1)
+    monthly["delta"] = (
+        monthly["n"] - prev.fillna(monthly["n"])
+    ).astype("int64")  # first month: delta 0 (matches COALESCE(lag, n))
+    return monthly
+
+
 def _q_session_size_histogram(sf_dir: str):
     """Composition: sessionize (30-min gap) -> sessions per event
     count — the session-length distribution a pipeline health check
@@ -1891,6 +1938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounced_events": _q_debounced_events,
         "lang_sampled_chars_quantiles": _q_lang_sampled_chars_quantiles,
         "session_size_histogram": _q_session_size_histogram,
+        "event_pivot_roundtrip": _q_event_pivot_roundtrip,
+        "monthly_order_growth": _q_monthly_order_growth,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2255,6 +2304,17 @@ def _oracle_sql_dict() -> dict[str, str]:
         "deterministic_sample": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')"
+        ),
+        "event_pivot_roundtrip": (
+            "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY user_id, event_type "
+            "ORDER BY user_id, event_type"
+        ),
+        "monthly_order_growth": (
+            "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) "
+            "SELECT month, n, CAST(n - COALESCE(lag(n) OVER (ORDER BY month), n) "
+            "AS BIGINT) AS delta FROM m ORDER BY month"
         ),
         "session_size_histogram": (
             "WITH lagged AS (SELECT user_id, ts, "

@@ -176,6 +176,8 @@ def bench_queries() -> dict[str, float]:
         "debounced_events",
         "lang_sampled_chars_quantiles",
         "session_size_histogram",
+        "event_pivot_roundtrip",
+        "monthly_order_growth",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

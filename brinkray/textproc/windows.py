@@ -35,6 +35,7 @@ __all__ = [
     "pivot_sums",
     "trailing_window_sums",
     "debounce_events",
+    "unpivot",
 ]
 
 
@@ -679,3 +680,38 @@ def debounce_events(ds, keys: list[str], ts_col: str, id_col: str,
         .groupby(keys)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def unpivot(ds, row_key: str, value_cols: list[str], name_col: str = "name",
+            value_name: str = "n", strip_prefix: str = ""):
+    """Wide -> long UNPIVOT: one output row per (row, value column),
+    melting the declared ``value_cols`` into (name, value) pairs — the
+    inverse of pivot_counts/pivot_sums. Pure vectorized map_batches
+    (numpy repeat + concatenate), no shuffle; row count multiplies by
+    len(value_cols) by definition.
+    """
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = t[row_key].to_numpy(zero_copy_only=False)
+        out_keys = np.repeat(keys, len(value_cols))
+        names = np.tile(
+            np.array(
+                [c[len(strip_prefix):] if c.startswith(strip_prefix) else c
+                 for c in value_cols],
+                dtype=object,
+            ),
+            n,
+        )
+        vals = np.empty(n * len(value_cols), dtype=np.int64)
+        for j, c in enumerate(value_cols):
+            vals[j::len(value_cols)] = t[c].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                row_key: pa.array(out_keys),
+                name_col: pa.array(names, pa.string()),
+                value_name: pa.array(vals, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -953,3 +953,30 @@ def test_debounce_events_lag_semantics(ray_session):
         .reset_index(drop=True)
     )
     assert out["event_id"].tolist() == [1, 3, 4]
+
+
+def test_unpivot_inverse_of_pivot(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import pivot_counts, unpivot
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([1, 1, 2], pa.int64()),
+                "t": pa.array(["a", "b", "a"]),
+            }
+        )
+    ).repartition(2)
+    wide = pivot_counts(ds, "u", "t", ["a", "b"])
+    long = (
+        unpivot(wide, "u", ["n_a", "n_b"], name_col="t", value_name="n",
+                strip_prefix="n_")
+        .to_pandas()
+        .sort_values(["u", "t"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(long["u"], long["t"], long["n"])) == [
+        (1, "a", 1), (1, "b", 1), (2, "a", 1), (2, "b", 0)
+    ]

@@ -873,6 +873,45 @@ def _q_monthly_order_growth(sf_dir: str):
     return monthly
 
 
+def _q_embedding_norm_histogram(sf_dir: str):
+    """List-column math with an exact twin: per-vector squared norm in
+    fixed-point (floor(x*1000) per element, THEN square and sum — all
+    integer, order-independent), bucketed into a histogram. One
+    vectorized map over the list column + a |buckets|-bounded groupby."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(E * 1000.0).astype(np.int64)
+        norm2 = (q * q).sum(axis=1)
+        bucket = norm2 // 1_000_000
+        import pandas as pd
+
+        part = (
+            pd.Series(bucket).value_counts().sort_index()
+            .rename_axis("bucket").reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(part["bucket"].to_numpy(), pa.int64()),
+                "n": pa.array(part["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        _ds(sf_dir, "embeddings")
+        .select_columns(["embedding"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def _q_session_size_histogram(sf_dir: str):
     """Composition: sessionize (30-min gap) -> sessions per event
     count — the session-length distribution a pipeline health check
@@ -1940,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_size_histogram": _q_session_size_histogram,
         "event_pivot_roundtrip": _q_event_pivot_roundtrip,
         "monthly_order_growth": _q_monthly_order_growth,
+        "embedding_norm_histogram": _q_embedding_norm_histogram,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2309,6 +2349,16 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM events GROUP BY user_id, event_type "
             "ORDER BY user_id, event_type"
+        ),
+        "embedding_norm_histogram": (
+            "WITH q AS (SELECT list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS e "
+            "FROM embeddings), "
+            "n2 AS (SELECT list_sum(list_transform(e, x -> x * x)) AS norm2 "
+            "FROM q) "
+            "SELECT CAST(norm2 // 1000000 AS BIGINT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM n2 "
+            "GROUP BY 1 ORDER BY bucket"
         ),
         "monthly_order_growth": (
             "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "

@@ -178,6 +178,7 @@ def bench_queries() -> dict[str, float]:
         "session_size_histogram",
         "event_pivot_roundtrip",
         "monthly_order_growth",
+        "embedding_norm_histogram",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

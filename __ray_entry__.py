@@ -912,6 +912,58 @@ def _q_embedding_norm_histogram(sf_dir: str):
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def _q_last_events_per_user(sf_dir: str):
+    """Recent-history retrieval: the 3 most recent events per user
+    (top-k per group by recency — the feature-store primitive);
+    per-batch pre-prune bounds the exchange at k rows per (user,
+    block)."""
+    from brinkray.textproc.curation import top_k_per_group
+
+    out = top_k_per_group(
+        _ds(sf_dir, "events"), by="user_id", score_col="ts",
+        id_col="event_id", k=3, descending=True,
+    ).to_pandas()
+    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+def _q_buyer_counts(sf_dir: str):
+    """Two DISTINCT aggregates in one pass (buyers vs all users):
+    per-batch distinct (user, is_buyer) partials -> groupby(user) OR
+    -> two scalar counts; the exchange carries <= one row per (user,
+    block)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        buyer = pc.cast(
+            pc.equal(t["event_type"], pa.scalar("purchase")), pa.int64()
+        )
+        return (
+            pa.table({"user_id": t["user_id"], "is_buyer": buyer})
+            .group_by(["user_id"])
+            .aggregate([("is_buyer", "max")])
+            .rename_columns(["user_id", "is_buyer"])
+        )
+
+    per_user = (
+        _ds(sf_dir, "events")
+        .select_columns(["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("is_buyer", alias_name="is_buyer"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "buyers": [int(per_user["is_buyer"].sum())],
+            "users": [int(len(per_user))],
+        }
+    )
+
+
 def _q_session_size_histogram(sf_dir: str):
     """Composition: sessionize (30-min gap) -> sessions per event
     count — the session-length distribution a pipeline health check
@@ -1980,6 +2032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pivot_roundtrip": _q_event_pivot_roundtrip,
         "monthly_order_growth": _q_monthly_order_growth,
         "embedding_norm_histogram": _q_embedding_norm_histogram,
+        "last_events_per_user": _q_last_events_per_user,
+        "buyer_counts": _q_buyer_counts,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2349,6 +2403,17 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM events GROUP BY user_id, event_type "
             "ORDER BY user_id, event_type"
+        ),
+        "last_events_per_user": (
+            "SELECT user_id, ts, event_id FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id ASC) <= 3 "
+            "ORDER BY user_id, ts, event_id"
+        ),
+        "buyer_counts": (
+            "SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' "
+            "THEN user_id END) AS BIGINT) AS buyers, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM events"
         ),
         "embedding_norm_histogram": (
             "WITH q AS (SELECT list_transform(embedding, "

@@ -179,6 +179,8 @@ def bench_queries() -> dict[str, float]:
         "event_pivot_roundtrip",
         "monthly_order_growth",
         "embedding_norm_histogram",
+        "last_events_per_user",
+        "buyer_counts",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

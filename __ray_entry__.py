@@ -964,6 +964,45 @@ def _q_buyer_counts(sf_dir: str):
     )
 
 
+def _q_price_equidepth_bins(sf_dir: str):
+    """Equi-depth histogram: bin edges from the deterministic sample
+    quantiles (q25/q50/q75 of the hash-bottom-k sample), then one
+    vectorized binning pass + |bins|-bounded groupby — the two-stage
+    sketch -> broadcast -> bin composition."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from brinkray.textproc.sketch import sampled_quantile_disc
+
+    orders = _ds(sf_dir, "orders")
+    qd = sampled_quantile_disc(
+        orders, col="o_totalprice", id_col="o_orderkey", k=2000,
+        qs=(0.25, 0.5, 0.75),
+    )
+    edges = qd["value"].tolist()
+
+    def binify(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"]
+        b = pc.cast(pc.greater_equal(p, pa.scalar(edges[0])), pa.int64())
+        for e in edges[1:]:
+            b = pc.add(b, pc.cast(pc.greater_equal(p, pa.scalar(e)), pa.int64()))
+        g = pa.table({"bin": b}).group_by(["bin"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"bin": g["bin"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    out = (
+        orders.select_columns(["o_totalprice"])
+        .map_batches(binify, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def _q_session_size_histogram(sf_dir: str):
     """Composition: sessionize (30-min gap) -> sessions per event
     count — the session-length distribution a pipeline health check
@@ -2034,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_histogram": _q_embedding_norm_histogram,
         "last_events_per_user": _q_last_events_per_user,
         "buyer_counts": _q_buyer_counts,
+        "price_equidepth_bins": _q_price_equidepth_bins,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2414,6 +2454,19 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' "
             "THEN user_id END) AS BIGINT) AS buyers, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM events"
+        ),
+        "price_equidepth_bins": (
+            "WITH s AS (SELECT o_totalprice FROM orders "
+            "QUALIFY row_number() OVER ("
+            "ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) <= 2000), "
+            "e AS (SELECT quantile_disc(o_totalprice, 0.25) AS q1, "
+            "quantile_disc(o_totalprice, 0.5) AS q2, "
+            "quantile_disc(o_totalprice, 0.75) AS q3 FROM s) "
+            "SELECT CAST(CAST(o.o_totalprice >= e.q1 AS BIGINT) "
+            "+ CAST(o.o_totalprice >= e.q2 AS BIGINT) "
+            "+ CAST(o.o_totalprice >= e.q3 AS BIGINT) AS BIGINT) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM orders o, e GROUP BY 1 ORDER BY bin"
         ),
         "embedding_norm_histogram": (
             "WITH q AS (SELECT list_transform(embedding, "

@@ -181,6 +181,7 @@ def bench_queries() -> dict[str, float]:
         "embedding_norm_histogram",
         "last_events_per_user",
         "buyer_counts",
+        "price_equidepth_bins",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -964,6 +964,18 @@ def _q_buyer_counts(sf_dir: str):
     )
 
 
+def _q_trailing_wau(sf_dir: str):
+    """Trailing 7-day distinct active users per window end (sliding
+    COUNT DISTINCT via bounded explode)."""
+    from brinkray.textproc.windows import sliding_distinct_counts
+
+    out = sliding_distinct_counts(
+        _ds(sf_dir, "events"), "ts", "user_id", window_days=7
+    ).to_pandas()
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("window_end").reset_index(drop=True)
+
+
 def _q_price_equidepth_bins(sf_dir: str):
     """Equi-depth histogram: bin edges from the deterministic sample
     quantiles (q25/q50/q75 of the hash-bottom-k sample), then one
@@ -2074,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_events_per_user": _q_last_events_per_user,
         "buyer_counts": _q_buyer_counts,
         "price_equidepth_bins": _q_price_equidepth_bins,
+        "trailing_wau": _q_trailing_wau,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2454,6 +2467,16 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' "
             "THEN user_id END) AS BIGINT) AS buyers, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM events"
+        ),
+        "trailing_wau": (
+            "WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, "
+            "user_id FROM events), "
+            "offs AS (SELECT unnest(generate_series(0, 6)) AS off) "
+            "SELECT w.window_end, "
+            "CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_distinct FROM "
+            "(SELECT du.day + to_days(CAST(offs.off AS INT)) AS window_end, "
+            "du.user_id FROM du, offs) w "
+            "GROUP BY w.window_end ORDER BY w.window_end"
         ),
         "price_equidepth_bins": (
             "WITH s AS (SELECT o_totalprice FROM orders "

@@ -182,6 +182,7 @@ def bench_queries() -> dict[str, float]:
         "last_events_per_user",
         "buyer_counts",
         "price_equidepth_bins",
+        "trailing_wau",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -36,6 +36,7 @@ __all__ = [
     "trailing_window_sums",
     "debounce_events",
     "unpivot",
+    "sliding_distinct_counts",
 ]
 
 
@@ -715,3 +716,50 @@ def unpivot(ds, row_key: str, value_cols: list[str], name_col: str = "name",
         )
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def sliding_distinct_counts(ds, ts_col: str, val_col: str,
+                            window_days: int = 7):
+    """Sliding-window COUNT DISTINCT — distinct values per trailing
+    ``window_days`` ending on each day (the WAU curve): per-block
+    (day, value) pre-dedup, a bounded explode of each pair into the
+    window_days window-ends it belongs to (numpy repeat — fan-out is
+    the window length, a constant), one global (window_end, value)
+    collapse, then a |days|-bounded count. Window-ends run over
+    day + 0..window_days-1 for every observed day (mirrors the SQL
+    twin exactly; trailing ends beyond the data range carry partial
+    windows by construction).
+    """
+    from ray.data.aggregate import Count
+
+    day_us = np.int64(86_400_000_000)
+
+    def explode(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t[ts_col], unit="day")
+        pairs = (
+            pa.table({"day": d, val_col: t[val_col]})
+            .group_by(["day", val_col])
+            .aggregate([])
+        )
+        days = pairs["day"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = pairs[val_col].to_numpy(zero_copy_only=False)
+        k = window_days
+        wend = np.repeat(days, k) + np.tile(
+            np.arange(k, dtype=np.int64) * day_us, len(days)
+        )
+        return pa.table(
+            {
+                "window_end": pa.array(wend, pa.int64()).cast(pa.timestamp("us")),
+                val_col: pa.array(np.repeat(vals, k)),
+            }
+        )
+
+    return (
+        ds.select_columns([ts_col, val_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["window_end", val_col])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .groupby("window_end")
+        .aggregate(Count(alias_name="n_distinct"))
+    )

@@ -980,3 +980,40 @@ def test_unpivot_inverse_of_pivot(ray_session):
     assert list(zip(long["u"], long["t"], long["n"])) == [
         (1, "a", 1), (1, "b", 1), (2, "a", 1), (2, "b", 0)
     ]
+
+
+def test_sliding_distinct_counts(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import sliding_distinct_counts
+
+    # users: day0 {1,2}, day1 {2}, day3 {3}
+    ts = pd.to_datetime(
+        ["2024-01-01 01:00", "2024-01-01 02:00", "2024-01-02 01:00",
+         "2024-01-04 01:00"]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "user_id": pa.array([1, 2, 2, 3], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    out = (
+        sliding_distinct_counts(ds, "ts", "user_id", window_days=3)
+        .to_pandas()
+        .sort_values("window_end")
+        .reset_index(drop=True)
+    )
+    got = {
+        str(r["window_end"].date()): r["n_distinct"] for _, r in out.iterrows()
+    }
+    # window ending day d covers days d-2..d
+    assert got["2024-01-01"] == 2          # {1,2}
+    assert got["2024-01-02"] == 2          # {1,2}
+    assert got["2024-01-03"] == 2          # {1,2} (day0 still in range)
+    assert got["2024-01-04"] == 2          # {2 (day1), 3 (day3)}
+    assert got["2024-01-06"] == 1          # {3}

@@ -964,6 +964,66 @@ def _q_buyer_counts(sf_dir: str):
     )
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix: users grouped by first-activity day
+    (cohort), counted per day offset. Distinct (user, day) pairs are
+    pre-deduped per block; the cohort table (one row per user) comes
+    from a Min groupby and joins back via ONE native hash join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    ev = _ds(sf_dir, "events").select_columns(["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t["ts"], unit="day")
+        return (
+            pa.table({"user_id": t["user_id"],
+                      "day": d.cast(pa.int64())})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    du = (
+        ev.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    first = du.groupby("user_id").aggregate(Min("day", alias_name="cohort_us"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["uid_r", "cohort_us"])
+
+    joined = du.join(
+        first.map_batches(rename, batch_format="pyarrow"),
+        join_type="inner", num_partitions=8,
+        on=("user_id",), right_on=("uid_r",),
+    )
+
+    day_us = 86_400_000_000
+
+    def offset(t: pa.Table) -> pa.Table:
+        off = pc.divide(
+            pc.subtract(t["day"], t["cohort_us"]), pa.scalar(day_us)
+        )
+        return pa.table(
+            {
+                "cohort": t["cohort_us"].cast(pa.timestamp("us")),
+                "day_offset": pc.cast(off, pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(offset, batch_format="pyarrow")
+        .groupby(["cohort", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort", "day_offset"]).reset_index(drop=True)
+
+
 def _q_trailing_wau(sf_dir: str):
     """Trailing 7-day distinct active users per window end (sliding
     COUNT DISTINCT via bounded explode)."""
@@ -2087,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "buyer_counts": _q_buyer_counts,
         "price_equidepth_bins": _q_price_equidepth_bins,
         "trailing_wau": _q_trailing_wau,
+        "retention_cohorts": _q_retention_cohorts,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2467,6 +2528,15 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' "
             "THEN user_id END) AS BIGINT) AS buyers, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM events"
+        ),
+        "retention_cohorts": (
+            "WITH du AS (SELECT DISTINCT user_id, date_trunc('day', ts) "
+            "AS day FROM events), "
+            "f AS (SELECT user_id, MIN(day) AS cohort FROM du GROUP BY 1) "
+            "SELECT f.cohort, CAST(date_diff('day', f.cohort, du.day) "
+            "AS BIGINT) AS day_offset, CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM du JOIN f ON du.user_id = f.user_id "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "trailing_wau": (
             "WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, "

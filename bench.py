@@ -183,6 +183,7 @@ def bench_queries() -> dict[str, float]:
         "buyer_counts",
         "price_equidepth_bins",
         "trailing_wau",
+        "retention_cohorts",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

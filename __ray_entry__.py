@@ -964,6 +964,41 @@ def _q_buyer_counts(sf_dir: str):
     )
 
 
+def _q_anomalous_days(sf_dir: str):
+    """Days whose event count exceeds the median daily count (the
+    scalar-threshold anomaly/outlier shape) — integer compare, median
+    from the |days|-bounded count table, no float boundary."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t):
+        import pyarrow as pa
+
+        d = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.table({"day": d}).group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    daily = (
+        _ds(sf_dir, "events")
+        .select_columns(["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    daily["n"] = daily["n"].astype("int64")
+    counts = daily["n"].sort_values().to_numpy()
+    med = int(counts[max(1, math.ceil(0.5 * len(counts))) - 1])  # quantile_disc
+    out = daily[daily["n"] > med]
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Retention cohort matrix: users grouped by first-activity day
     (cohort), counted per day offset. Distinct (user, day) pairs are
@@ -2148,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_equidepth_bins": _q_price_equidepth_bins,
         "trailing_wau": _q_trailing_wau,
         "retention_cohorts": _q_retention_cohorts,
+        "anomalous_days": _q_anomalous_days,
         "top_bigrams": _q_top_bigrams,
         "doc_chunks": _q_doc_chunks,
         "asof_join_events_orders": _q_asof_join,
@@ -2528,6 +2564,13 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' "
             "THEN user_id END) AS BIGINT) AS buyers, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM events"
+        ),
+        "anomalous_days": (
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1) "
+            "SELECT day, n FROM d "
+            "WHERE n > (SELECT quantile_disc(n, 0.5) FROM d) "
+            "ORDER BY day"
         ),
         "retention_cohorts": (
             "WITH du AS (SELECT DISTINCT user_id, date_trunc('day', ts) "

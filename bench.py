@@ -184,6 +184,7 @@ def bench_queries() -> dict[str, float]:
         "price_equidepth_bins",
         "trailing_wau",
         "retention_cohorts",
+        "anomalous_days",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

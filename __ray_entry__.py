@@ -1587,6 +1587,62 @@ def _q_doc_token_quartiles(sf_dir: str):
     ]
 
 
+def _q_order_global_ranks(sf_dir: str):
+    """Exact global row_number over a HIGH-CARDINALITY float key
+    (o_totalprice) via range_rank — range partitioning + driver prefix
+    sum, no global sort barrier. Ranks are computed over the WHOLE
+    table; only a deterministic key-sample of rows is returned."""
+    from brinkray.textproc.relagg import range_rank
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    orders = _ds(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    ranked = range_rank(orders, key_col="o_totalprice", id_col="o_orderkey")
+    import numpy as np
+
+    def sample(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % 97 == 1))
+
+    sampled = ranked.map_batches(sample, batch_format="pyarrow")
+    out = sampled.to_pandas()
+    out["rnk"] = out["rank"].astype("int64") + 1
+    return (
+        out.sort_values("o_orderkey")
+        .reset_index(drop=True)[["o_orderkey", "rnk"]]
+    )
+
+
+def _q_order_price_ntile(sf_dir: str):
+    """Exact SQL NTILE(8) over orders by (totalprice, orderkey) via
+    range_rank, then per-bucket count + fixed-point price sum — the
+    window-function bucket semantics (first N%k buckets get the extra
+    row), certified against DuckDB's ntile()."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from brinkray.textproc.relagg import range_rank
+
+    orders = _ds(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+    ranked = range_rank(
+        orders, key_col="o_totalprice", id_col="o_orderkey", n_buckets=8
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({"bucket": t["bucket"], "c": c})
+
+    out = (
+        ranked.map_batches(cents, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"), Sum("c", alias_name="sum_cents"))
+        .to_pandas()
+    )
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def _set_op_sides(sf_dir: str):
     """(user_id, day) keys of click vs purchase events — the two sides
     every set-op query below compares."""
@@ -2113,6 +2169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority_nation": _q_revenue_by_priority_nation,
         "label_centroids": _q_label_centroids,
         "doc_token_quartiles": _q_doc_token_quartiles,
+        "order_global_ranks": _q_order_global_ranks,
+        "order_price_ntile": _q_order_price_ntile,
         "click_purchase_same_day": _q_click_purchase_same_day,
         "click_no_purchase_days": _q_click_no_purchase_days,
         "funnel_attribution": _q_funnel_attribution,
@@ -3173,6 +3231,21 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT doc_id, n_tokens, rnk, "
             "CAST((rnk * 4) // (SELECT COUNT(*) FROM t) AS BIGINT) AS quartile "
             "FROM r ORDER BY doc_id"
+        ),
+        "order_global_ranks": (
+            "WITH r AS (SELECT o_orderkey, "
+            "row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk "
+            "FROM orders) "
+            "SELECT o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM r "
+            "WHERE o_orderkey % 97 = 1 ORDER BY o_orderkey"
+        ),
+        "order_price_ntile": (
+            "WITH r AS (SELECT o_totalprice, "
+            "ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket "
+            "FROM orders) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents FROM r GROUP BY bucket ORDER BY bucket"
         ),
         # exact distinct-token cardinality — the oracle-certified
         # sibling of the hll_distinct_tokens sketch.

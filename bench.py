@@ -185,6 +185,8 @@ def bench_queries() -> dict[str, float]:
         "trailing_wau",
         "retention_cohorts",
         "anomalous_days",
+        "order_global_ranks",
+        "order_price_ntile",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -22,6 +22,7 @@ from ..engine.rayfix import apply as _apply_rayfix
 _apply_rayfix()  # schema-broadcast fix for native hash-shuffle joins
 
 __all__ = [
+    "range_rank",
     "pricing_summary",
     "rollup_counts",
     "fixed_width_histogram",
@@ -201,6 +202,112 @@ def global_rank(ds, key_col: str, id_col: str, n_buckets: int = 0):
         .groupby(key_col)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def range_rank(ds, key_col: str, id_col: str, n_buckets: int = 0,
+               npartitions: int = 0):
+    """Corpus-wide EXACT row ranking by ``(key, id)`` over a
+    HIGH-CARDINALITY key — SQL's ``row_number() OVER (ORDER BY key, id)
+    - 1`` — via range partitioning plus a driver-side prefix sum over
+    per-range counts (the classic distributed sort-rank; this is the
+    high-cardinality path that ``global_rank``'s low-cardinality
+    broadcast-CDF contract explicitly excludes).
+
+    1. boundary candidates: each block contributes its local evenly
+       spaced key quantiles (33 values, one tiny column scan) — the
+       driver merges them into ``npartitions - 1`` range boundaries.
+       Boundary quality affects only BALANCE, never correctness;
+    2. every row gets ``pid = searchsorted(boundaries, key,
+       side='right')`` — ties on a boundary value all land in one
+       range, so ranges respect the total order by construction;
+    3. per-range counts: ONE tiny groupby (``npartitions`` rows) →
+       prefix sum on the driver, broadcast once via ``ray.put``;
+    4. ``groupby(pid).map_groups``: mergesort by ``(key, id)``, local
+       ``arange`` + the range's offset.
+
+    With ``n_buckets > 0`` an SQL ``NTILE(n_buckets)`` column is added
+    (the first ``N % k`` buckets get ``ceil(N / k)`` rows, 1-based —
+    exact window-function semantics, unlike ``global_rank``'s
+    proportional ``rank * k // N`` bucketing).
+
+    Partitioning assumption: one key RANGE (~N / npartitions rows)
+    fits a task; ``npartitions`` defaults to 4 × cluster CPUs so the
+    range size shrinks as the cluster grows.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    if npartitions <= 0:
+        npartitions = 4 * int(ray.cluster_resources().get("CPU", 8))
+
+    def block_candidates(t: pa.Table) -> pa.Table:
+        k = np.sort(t[key_col].to_numpy(zero_copy_only=False))
+        if len(k) == 0:
+            return pa.table({"cand": pa.array([], type=pa.float64())})
+        idx = np.linspace(0, len(k) - 1, num=min(33, len(k))).astype(np.int64)
+        return pa.table({"cand": pa.array(k[idx].astype(np.float64))})
+
+    cands = np.sort(
+        ds.select_columns([key_col])
+        .map_batches(block_candidates, batch_format="pyarrow")
+        .to_pandas()["cand"]
+        .to_numpy()
+    )
+    if len(cands) == 0:
+        return ds.select_columns([key_col, id_col]).map_batches(
+            lambda t: t.append_column("rank", pa.array([], type=pa.int64())),
+            batch_format="pyarrow",
+        )
+    bidx = np.linspace(0, len(cands) - 1, num=npartitions + 1)[1:-1]
+    boundaries = np.unique(cands[bidx.astype(np.int64)])
+
+    def assign_pid(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pid = np.searchsorted(boundaries, k, side="right").astype(np.int64)
+        return pa.table(
+            {key_col: t[key_col], id_col: t[id_col], "pid": pa.array(pid)}
+        )
+
+    keyed = ds.select_columns([key_col, id_col]).map_batches(
+        assign_pid, batch_format="pyarrow"
+    )
+    counts = (
+        keyed.groupby("pid").aggregate(Count(alias_name="c")).to_pandas()
+        .sort_values("pid")
+    )
+    pids = counts["pid"].to_numpy()
+    cs = counts["c"].to_numpy().astype(np.int64)
+    offsets = np.zeros(int(boundaries.size) + 1, dtype=np.int64)
+    np.add.at(offsets, pids, cs)
+    total = int(offsets.sum())
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+    bcast = ray.put(offsets)
+
+    if n_buckets > 0:
+        q, rem = divmod(total, n_buckets)
+        cut = rem * (q + 1)
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(bcast)
+        g = g.sort_values([key_col, id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        base = int(off[int(g["pid"].iloc[0])])
+        rank = base + np.arange(len(g), dtype=np.int64)
+        g["rank"] = rank
+        if n_buckets > 0:
+            r1 = rank + 1  # 1-based row_number for NTILE arithmetic
+            if q == 0:
+                g["bucket"] = r1
+            else:
+                g["bucket"] = np.where(
+                    r1 <= cut,
+                    rank // (q + 1) + 1,
+                    rem + (rank - cut) // q + 1,
+                ).astype(np.int64)
+        return g.drop(columns=["pid"])
+
+    return keyed.groupby("pid").map_groups(per_range, batch_format="pandas")
 
 
 def set_op_distinct(left_ds, right_ds, on: list[str], op: str = "intersect"):

@@ -156,6 +156,67 @@ def test_global_rank_matches_row_number(ray_session):
     assert sorted(out["rank"]) == list(range(200))
 
 
+def test_range_rank_matches_row_number(ray_session):
+    """High-cardinality float key: exact global row_number via range
+    partitioning + driver prefix sum, with duplicate key values (ties
+    broken by id) straddling block boundaries."""
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import range_rank
+
+    rng = np.random.default_rng(7)
+    keys = rng.normal(0.0, 100.0, 500)
+    keys[100:120] = keys[0]  # a repeated key value (boundary-tie case)
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64), "k": keys})
+    out = (
+        range_rank(rd.from_pandas(df).repartition(7), key_col="k",
+                   id_col="id", npartitions=5)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "id"]).reset_index(drop=True)
+    exp["rank"] = np.arange(len(exp), dtype=np.int64)
+    exp = exp.sort_values("id").reset_index(drop=True)
+    assert out["rank"].tolist() == exp["rank"].tolist()
+
+
+def test_range_rank_ntile_sql_semantics(ray_session):
+    """NTILE(k) when N % k != 0: the FIRST N%k buckets get the extra
+    row (window-function semantics), 1-based."""
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import range_rank
+
+    # N=10, k=4 -> bucket sizes 3,3,2,2 (NOT global_rank's 3,2,3,2)
+    df = pd.DataFrame(
+        {"id": np.arange(10, dtype=np.int64),
+         "k": np.arange(10, dtype=np.float64)}
+    )
+    out = (
+        range_rank(rd.from_pandas(df).repartition(3), key_col="k",
+                   id_col="id", n_buckets=4, npartitions=3)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out["bucket"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+    # N < k: each row its own bucket
+    small = pd.DataFrame(
+        {"id": np.arange(3, dtype=np.int64), "k": [5.0, 1.0, 3.0]}
+    )
+    out2 = (
+        range_rank(rd.from_pandas(small), key_col="k", id_col="id",
+                   n_buckets=8, npartitions=2)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out2["bucket"].tolist() == [1, 2, 3]
+    assert out2["id"].tolist() == [1, 2, 0]
+
+
 def test_label_centroids_exact(ray_session):
     import ray.data as rd
 

@@ -196,6 +196,27 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_ds(sf_dir, "documents")).to_pandas()
 
 
+def _q_quality_model_scores(sf_dir: str):
+    """Model-inference stage shape: an actor pool scores each doc with
+    a linear quality model (weights loaded once per actor __init__,
+    one integer matmul per batch). Integer features/weights => exact,
+    DuckDB-certifiable."""
+    from brinkray.textproc.quality import score_documents_linear
+
+    out = score_documents_linear(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_dup_ngram_spans(sf_dir: str):
+    """Exact duplicated 12-token-span detection (the exact-substring
+    dedup shape): per doc, how many of its distinct 12-token windows
+    also occur in another doc. Fully md5-keyed, so DuckDB-certifiable."""
+    from brinkray.textproc.dedup import dup_span_counts
+
+    out = dup_span_counts(_ds(sf_dir, "documents"), k=12).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_token_counts(sf_dir: str):
     from brinkray.textproc.quality import add_token_counts
 
@@ -2135,6 +2156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_join": _q_fetch_join,
         # training-data operators
         "dedup_exact": _q_dedup_exact,
+        "dup_ngram_spans": _q_dup_ngram_spans,
+        "quality_model_scores": _q_quality_model_scores,
         "token_counts": _q_token_counts,
         "quality_basic": _q_quality_basic,
         "quality_signals": _q_quality_signals,
@@ -2419,6 +2442,31 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
             "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_ish "
             "FROM documents"
+        ),
+        "quality_model_scores": (
+            "WITH f AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+            "n_chars, "
+            "CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits "
+            "FROM documents) "
+            "SELECT doc_id, CAST(500 + 3*n_tokens - 1*n_chars + 20*n_punct "
+            "- 5*n_digits AS BIGINT) AS score, "
+            "(500 + 3*n_tokens - 1*n_chars + 20*n_punct - 5*n_digits) > 0 "
+            "AS passes FROM f ORDER BY doc_id"
+        ),
+        "dup_ngram_spans": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 10)) AS i "
+            "FROM toks WHERE len(t) >= 12), "
+            "wins AS (SELECT DISTINCT doc_id, "
+            "md5(array_to_string(t[i:i+11], ' ')) AS w FROM idx), "
+            "shared AS (SELECT w FROM wins GROUP BY w "
+            "HAVING COUNT(DISTINCT doc_id) >= 2) "
+            "SELECT wins.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows "
+            "FROM wins JOIN shared USING (w) "
+            "GROUP BY wins.doc_id ORDER BY wins.doc_id"
         ),
         "windowed_event_counts": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "

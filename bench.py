@@ -187,6 +187,8 @@ def bench_queries() -> dict[str, float]:
         "anomalous_days",
         "order_global_ranks",
         "order_price_ntile",
+        "dup_ngram_spans",
+        "quality_model_scores",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

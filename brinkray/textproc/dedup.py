@@ -226,6 +226,63 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def dup_span_counts(ds, k: int = 12, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Exact duplicated k-token-SPAN detection — the exact-substring
+    dedup shape (suffix-array dedup literature, e.g. Lee et al. 2022,
+    at k-token window granularity): a window of k consecutive
+    lowercased-alnum tokens counts as duplicated if it occurs in >= 2
+    distinct documents. Returns (doc_id, n_dup_windows) for docs with
+    at least one duplicated span.
+
+    Stages: (1) a stateless map_batches explodes each doc into its
+    DISTINCT window md5 digests — per-doc dedup happens in-task, so the
+    exchange carries at most one row per (doc, window) and the shuffle
+    key is the 32-char digest, never window text; (2) ONE
+    groupby(window) keeps groups spanning >= 2 docs and re-emits their
+    doc_ids; (3) one tiny groupby(doc_id) count. md5 matches DuckDB's
+    md5() so the whole operator is SQL-certifiable. At 100-TB scale,
+    swap the md5 for a vectorized 64-bit rolling hash plus a verify
+    pass on colliding spans; the stage shape is unchanged.
+    """
+    import re
+
+    from ray.data.aggregate import Count
+
+    tok = re.compile(r"[a-z0-9]+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, ws = [], []
+        for doc_id, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = tok.findall(text.lower())
+            if len(toks) < k:
+                continue
+            seen = {
+                hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+                for i in range(len(toks) - k + 1)
+            }
+            ids.extend([doc_id] * len(seen))
+            ws.extend(seen)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "w": pa.array(ws, pa.string())})
+
+    def shared_docs(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are already distinct per (doc, window)
+        if len(g) >= 2:
+            return g[[id_col]]
+        return g[[id_col]].iloc[:0]
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    return (
+        pairs.groupby("w")
+        .map_groups(shared_docs, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Count(alias_name="n_dup_windows"))
+    )
+
+
 def dedup_incremental(new_docs, corpus_docs, prefix_tokens: int | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
                       num_partitions: int = 16):

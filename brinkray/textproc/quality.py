@@ -15,6 +15,8 @@ __all__ = [
     "add_quality_signals",
     "add_lang_id",
     "add_fingerprint",
+    "LinearQualityScorer",
+    "score_documents_linear",
     "STOPWORDS",
 ]
 
@@ -119,3 +121,71 @@ def add_fingerprint(ds, text_col="text"):
         return t.append_column("fp", pa.array(fps, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# integer feature weights for the linear quality model (a stand-in for
+# a trained fastText/logreg quality classifier; integer so the score is
+# exact and SQL-twinnable). score = bias + w . [n_tokens, n_chars,
+# n_punct, n_digits]; passes = score > 0.
+LINEAR_MODEL_WEIGHTS = {
+    "bias": 500,
+    "n_tokens": 3,
+    "n_chars": -1,
+    "n_punct": 20,
+    "n_digits": -5,
+}
+
+
+class LinearQualityScorer:
+    """Actor-pool model-scoring stage: the weight vector is loaded ONCE
+    per actor in ``__init__`` (the model-load slot — a real deployment
+    would mmap a fastText/ONNX model here), each ``__call__`` scores a
+    batch with one numpy integer matmul. Integer features + integer
+    weights => the score is exact (no float summation order), so the
+    whole inference stage is DuckDB-certifiable.
+
+    Use via ``ds.map_batches(LinearQualityScorer, concurrency=N,
+    batch_size=B)``; see ``score_documents_linear``.
+    """
+
+    _TOKEN = re.compile(r"\S+")
+    _SENT_PUNCT = re.compile(r"[.!?]")
+    _DIGIT = re.compile(r"[0-9]")
+
+    def __init__(self, weights: dict | None = None):
+        import numpy as np
+
+        w = dict(LINEAR_MODEL_WEIGHTS if weights is None else weights)
+        self.bias = int(w.pop("bias", 0))
+        self.names = ["n_tokens", "n_chars", "n_punct", "n_digits"]
+        self.w = np.array([w[n] for n in self.names], dtype=np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = t["text"].to_pylist()
+        feats = np.empty((len(texts), 4), dtype=np.int64)
+        feats[:, 0] = [len(self._TOKEN.findall(x)) for x in texts]
+        feats[:, 1] = t["n_chars"].to_numpy(zero_copy_only=False)
+        feats[:, 2] = [len(self._SENT_PUNCT.findall(x)) for x in texts]
+        feats[:, 3] = [len(self._DIGIT.findall(x)) for x in texts]
+        score = self.bias + feats @ self.w
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score": pa.array(score, pa.int64()),
+                "passes": pa.array(score > 0),
+            }
+        )
+
+
+def score_documents_linear(docs_ds, concurrency: int = 4, batch_size: int = 256):
+    """Score every document with the linear quality model on an actor
+    pool (weights loaded once per actor). Returns (doc_id, score,
+    passes)."""
+    return docs_ds.select_columns(["doc_id", "text", "n_chars"]).map_batches(
+        LinearQualityScorer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

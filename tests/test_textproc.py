@@ -182,6 +182,64 @@ def test_fingerprint_normalizes_whitespace(ray_session):
     assert fingerprint(" A\tb\n") == hashlib.md5(b"a b").hexdigest()
 
 
+def test_dup_span_counts_exact(ray_session):
+    from brinkray.textproc.dedup import dup_span_counts
+
+    shared = "alpha beta gamma delta epsilon zeta"  # a 6-token span
+    texts = [
+        "one two three " + shared + " tail words here",
+        "completely different prefix " + shared,
+        "no overlap with anything else at all in this doc",
+        "x",  # fewer than k tokens -> never emitted
+    ]
+    out = (
+        dup_span_counts(_docs_ds(texts), k=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # only docs 0 and 1 share 6-token windows; exactly one window each
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_dup_windows"].tolist() == [1, 1]
+
+
+def test_linear_quality_scorer_exact(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.quality import (
+        LINEAR_MODEL_WEIGHTS,
+        score_documents_linear,
+    )
+
+    texts = ["Hi there! 42 is a number.", "", "aaa bbb"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    out = (
+        score_documents_linear(rd.from_arrow(tbl), concurrency=2, batch_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    w = LINEAR_MODEL_WEIGHTS
+    import re
+
+    for i, t in enumerate(texts):
+        exp = (
+            w["bias"]
+            + w["n_tokens"] * len(re.findall(r"\S+", t))
+            + w["n_chars"] * len(t)
+            + w["n_punct"] * len(re.findall(r"[.!?]", t))
+            + w["n_digits"] * len(re.findall(r"[0-9]", t))
+        )
+        assert int(out["score"][i]) == exp
+        assert bool(out["passes"][i]) == (exp > 0)
+
+
 def _media_tbl(rows):
     return pa.table(
         {

@@ -2144,6 +2144,163 @@ def _q_crawl_extract_links(sf_dir: str):
     return links.select_columns(["href", "linked_from", "target"]).to_pandas()
 
 
+def _q_market_basket_pairs(sf_dir: str):
+    """Self-join co-occurrence shape: unordered part pairs appearing
+    together in >= 2 orders, via one groupby(order) pair-explosion +
+    one groupby(pair) count (never a lineitem x lineitem join)."""
+    from brinkray.textproc.relagg import pair_cooccurrence
+
+    out = pair_cooccurrence(
+        _ds(sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+    ).to_pandas()
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic hash-based train/valid/test assignment (stable
+    across runs/partitionings — the standard corpus-split operator)."""
+    from brinkray.textproc.curation import train_val_test_split
+
+    out = train_val_test_split(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_sentence_stats(sf_dir: str):
+    """Sentence-explode flat_map shape: one output row per non-blank
+    sentence with its raw split index and token count."""
+    from brinkray.textproc.curation import sentence_stats
+
+    out = sentence_stats(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values(["doc_id", "sent_idx"]).reset_index(drop=True)
+
+
+def _q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, size) for
+    non-STANDARD parts, excluding low-balance suppliers. Both dimension
+    sides (part attrs, excluded suppkeys) broadcast once via ray.put
+    and probed with searchsorted inside one lineitem map_batches; the
+    only corpus-scale exchange is the distinct-triple groupby."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Count
+
+    part = _ds(sf_dir, "part").select_columns(
+        ["p_partkey", "p_brand", "p_size", "p_type"]
+    ).to_pandas()
+    part = part[~part["p_type"].str.startswith("STANDARD")]
+    part = part.sort_values("p_partkey")
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    brands = part["p_brand"].to_numpy()
+    sizes = part["p_size"].to_numpy(dtype=np.int64)
+
+    supp = _ds(sf_dir, "supplier").select_columns(
+        ["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    excl = np.sort(
+        supp.loc[supp["s_acctbal"] < 1000.0, "s_suppkey"].to_numpy(dtype=np.int64)
+    )
+    ref = ray.put((pk, brands, sizes, excl))
+
+    def probe(t: pa.Table) -> pa.Table:
+        pks, brs, szs, ex = ray.get(ref)
+        lpart = np.asarray(t["l_partkey"].to_pylist(), dtype=np.int64)
+        lsupp = np.asarray(t["l_suppkey"].to_pylist(), dtype=np.int64)
+        pos = np.searchsorted(pks, lpart)
+        pos_c = np.minimum(pos, len(pks) - 1)
+        keep = (pks[pos_c] == lpart) & ~np.isin(lsupp, ex)
+        pos_k = pos_c[keep]
+        return pa.table(
+            {
+                "p_brand": pa.array(brs[pos_k]),
+                "p_size": pa.array(szs[pos_k], pa.int64()),
+                "l_suppkey": pa.array(lsupp[keep], pa.int64()),
+            }
+        )
+
+    triples = (
+        _ds(sf_dir, "lineitem")
+        .select_columns(["l_partkey", "l_suppkey"])
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    out = (
+        triples.groupby(["p_brand", "p_size"])
+        .aggregate(Count(alias_name="n_supp"))
+        .to_pandas()
+    )
+    return out.sort_values(["p_brand", "p_size"]).reset_index(drop=True)
+
+
+def _q_rich_inactive_customers(sf_dir: str):
+    """TPC-H Q22 shape: per market segment, count + exact-cents balance
+    sum of customers whose balance beats the positive-balance global
+    average (integer cross-multiply, no float division) and who placed
+    no order since 2001-01-01 (anti-join). The global (sum, n) scalar
+    is one streaming aggregate broadcast by value."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from brinkray.textproc.joins import anti_join
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["c_acctbal"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_cents": cents,
+            }
+        )
+
+    cust = (
+        _ds(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_mktsegment", "c_acctbal"])
+        .map_batches(cust_prep, batch_format="pyarrow")
+        .materialize()
+    )
+    pos = cust.filter(expr="bal_cents > 0").aggregate(
+        Sum("bal_cents", alias_name="s"), Count(alias_name="n")
+    )
+    s_pos, n_pos = int(pos["s"]), int(pos["n"])
+
+    cutoff = np.datetime64("2001-01-01", "us")
+
+    def recent_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff)))
+        return t.select(["o_custkey"])
+
+    recent = (
+        _ds(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderdate"])
+        .map_batches(recent_only, batch_format="pyarrow")
+    )
+    def above_avg(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(pc.multiply(t["bal_cents"], pa.scalar(n_pos)),
+                       pa.scalar(s_pos))
+        )
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow")
+    out = (
+        anti_join(rich, recent, on="c_custkey", right_on="o_custkey",
+                  num_partitions=8)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_cust"),
+                   Sum("bal_cents", alias_name="bal_cents"))
+        .to_pandas()
+    )
+    out["bal_cents"] = out["bal_cents"].astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2208,6 +2365,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "token_length_percentiles": _q_token_length_percentiles,
         "customers_without_orders": _q_customers_without_orders,
+        "market_basket_pairs": _q_market_basket_pairs,
+        "part_supplier_counts": _q_part_supplier_counts,
+        "rich_inactive_customers": _q_rich_inactive_customers,
+        "dataset_split": _q_dataset_split,
+        "sentence_stats": _q_sentence_stats,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -2914,6 +3076,53 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT c_custkey FROM customer c WHERE NOT EXISTS ("
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_totalprice > 300000.0) ORDER BY c_custkey"
+        ),
+        "market_basket_pairs": (
+            "WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+            "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_groups "
+            "FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"
+        ),
+        "part_supplier_counts": (
+            "SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_supp "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_type NOT LIKE 'STANDARD%' "
+            "AND l.l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "rich_inactive_customers": (
+            "WITH c AS (SELECT c_custkey, c_mktsegment, "
+            "CAST(floor(c_acctbal*100.0) AS BIGINT) AS bal_cents FROM customer), "
+            "pos AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS s, "
+            "COUNT(*) AS n FROM c WHERE bal_cents > 0), "
+            "recent AS (SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2001-01-01') "
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust, "
+            "CAST(SUM(bal_cents) AS BIGINT) AS bal_cents "
+            "FROM c, pos WHERE c.bal_cents * pos.n > pos.s "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM recent) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "dataset_split": (
+            "SELECT doc_id, CASE WHEN n < 12 THEN 'train' "
+            "WHEN n < 14 THEN 'valid' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, strpos('0123456789abcdef', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS n "
+            "FROM documents) ORDER BY doc_id"
+        ),
+        "sentence_stats": (
+            "WITH s AS (SELECT doc_id, "
+            "regexp_split_to_array(text, '[.!?]+') AS arr FROM documents), "
+            "e AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS "
+            "sent_idx, unnest(arr) AS frag FROM s) "
+            "SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, "
+            "CAST(len(regexp_extract_all(frag, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM e WHERE regexp_matches(frag, '\\S') "
+            "ORDER BY doc_id, sent_idx"
         ),
         "event_deltas": (
             "SELECT user_id, event_id, COALESCE(date_diff('microsecond', "

@@ -189,6 +189,11 @@ def bench_queries() -> dict[str, float]:
         "order_price_ntile",
         "dup_ngram_spans",
         "quality_model_scores",
+        "market_basket_pairs",
+        "part_supplier_counts",
+        "rich_inactive_customers",
+        "dataset_split",
+        "sentence_stats",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

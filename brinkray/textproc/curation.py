@@ -50,6 +50,8 @@ __all__ = [
     "top_bigrams",
     "partitioned_write_pruned_read",
     "adjacent_edit_distances",
+    "train_val_test_split",
+    "sentence_stats",
 ]
 
 
@@ -1211,3 +1213,80 @@ def adjacent_edit_distances(docs, prefix_len: int = 200,
         )
 
     return pairs.map_batches(dist, batch_format="pyarrow")
+
+
+# ------------------------------------------------- deterministic split
+
+_HEX = "0123456789abcdef"
+
+
+def train_val_test_split(ds, id_col: str = "doc_id",
+                         bounds: tuple[int, int] = (12, 14)):
+    """Deterministic hash-based train/valid/test assignment — the
+    standard way a training pipeline splits a corpus so the assignment
+    is stable across runs, machines and partitionings (never
+    row-position-based, which reshuffles under repartition). The split
+    key is the LAST HEX NIBBLE of md5(str(id)): nibble < bounds[0] ->
+    'train' (12/16 = 75%), < bounds[1] -> 'valid' (2/16), else 'test'
+    (2/16). Stateless map_batches, no exchange; md5-of-varchar matches
+    DuckDB so the whole assignment is SQL-certifiable.
+    """
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        nib = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[-1], 16) for i in ids],
+            dtype=np.int64,
+        )
+        split = np.where(
+            nib < bounds[0], "train", np.where(nib < bounds[1], "valid", "test")
+        )
+        return pa.table({id_col: t[id_col], "split": pa.array(split)})
+
+    return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- sentence explode
+
+_SENT_SPLIT_RE = r"[.!?]+"
+
+
+def sentence_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Sentence segmentation as a flat_map explode: split each doc on
+    terminal-punctuation runs, drop whitespace-only fragments, and emit
+    one row per surviving sentence — (doc_id, sent_idx, n_tokens) where
+    sent_idx is the fragment's position in the RAW split array (stable
+    under filtering, so the Ray and SQL sides agree) and n_tokens
+    counts whitespace-delimited tokens in the trimmed sentence.
+
+    Shape: a single stateless map_batches whose output is the exploded
+    table (Ray treats a >1-row-per-input batch fn exactly like
+    flat_map, without per-row Python dicts); no exchange. Downstream
+    per-sentence ops (quality filters, chunk packing) consume the
+    exploded stream directly.
+    """
+    import re
+
+    tok = re.compile(r"\S+")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, ntoks = [], [], []
+        for doc_id, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for i, frag in enumerate(re.split(_SENT_SPLIT_RE, text), start=1):
+                frag = frag.strip()
+                if not frag:
+                    continue
+                ids.append(doc_id)
+                idxs.append(i)
+                ntoks.append(len(tok.findall(frag)))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sent_idx": pa.array(idxs, pa.int64()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "grouped_corr_stats",
     "group_shares",
     "above_group_avg",
+    "pair_cooccurrence",
 ]
 
 
@@ -594,3 +595,52 @@ def above_group_avg(ds, key: str, id_col: str, val_col: str,
         return t.filter(mask).select([id_col, key, "v_cents"])
 
     return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def pair_cooccurrence(ds, group_col: str, item_col: str,
+                      min_count: int = 2, max_items: int = 256):
+    """Market-basket pair co-occurrence (the self-join shape of TPC-H
+    Q18-style basket analysis): for every unordered pair of distinct
+    items that appear together in the same group, count the number of
+    groups containing both. Returns (item_a, item_b, n_groups) with
+    item_a < item_b and n_groups >= min_count.
+
+    Shape: ONE groupby(group) shuffle whose per-group body emits the
+    C(k,2) pairs fully vectorized (np.triu_indices over the group's
+    unique items), then ONE groupby(pair) count — never a corpus x
+    corpus self-join. Pair fan-out is quadratic in basket size, so
+    groups larger than ``max_items`` are truncated to their smallest
+    ``max_items`` items and the truncation is LOGGED (no silent caps);
+    TPC-H-shaped baskets are <= ~7 items so the cap never fires on the
+    testdata.
+    """
+    import logging
+
+    from ray.data.aggregate import Count
+
+    log = logging.getLogger("brinkray.relagg")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        items = np.unique(g[item_col].to_numpy())
+        if len(items) > max_items:
+            log.warning(
+                "pair_cooccurrence: group truncated %d -> %d items",
+                len(items), max_items,
+            )
+            items = items[:max_items]
+        if len(items) < 2:
+            return pd.DataFrame({"item_a": items[:0], "item_b": items[:0]})
+        i, j = np.triu_indices(len(items), k=1)
+        return pd.DataFrame({"item_a": items[i], "item_b": items[j]})
+
+    pairs = (
+        ds.select_columns([group_col, item_col])
+        .groupby(group_col)
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    counted = pairs.groupby(["item_a", "item_b"]).aggregate(
+        Count(alias_name="n_groups")
+    )
+    if min_count > 1:
+        counted = counted.filter(expr=f"n_groups >= {min_count}")
+    return counted

@@ -552,3 +552,39 @@ def test_adjacent_edit_distances_kernel(ray_session):
         ).fetchone()[0]
         assert row["edit_distance"] == want, (row["doc_id"], want)
     assert out[out["doc_id"] == 0]["edit_distance"].iloc[0] == 3
+
+
+def test_train_val_test_split_deterministic(ray_session):
+    from brinkray.textproc.curation import train_val_test_split
+
+    ds = _docs_ds(["a"] * 64)
+    out1 = train_val_test_split(ds).to_pandas().sort_values("doc_id")
+    out2 = train_val_test_split(ds).to_pandas().sort_values("doc_id")
+    assert out1["split"].tolist() == out2["split"].tolist()
+    # hash-derived: matches the md5-nibble rule exactly
+    for doc_id, split in zip(out1["doc_id"], out1["split"]):
+        nib = int(hashlib.md5(str(doc_id).encode()).hexdigest()[-1], 16)
+        exp = "train" if nib < 12 else ("valid" if nib < 14 else "test")
+        assert split == exp
+    assert set(out1["split"]) == {"train", "valid", "test"}
+
+
+def test_sentence_stats_explode(ray_session):
+    from brinkray.textproc.curation import sentence_stats
+
+    texts = [
+        "First one here. Second!  Third sentence? ",
+        "no terminal punctuation at all",
+        "...",  # splits to empty fragments only -> zero rows
+    ]
+    out = (
+        sentence_stats(_docs_ds(texts))
+        .to_pandas()
+        .sort_values(["doc_id", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    assert out[out["doc_id"] == 0]["n_tokens"].tolist() == [3, 1, 2]
+    # sent_idx is the RAW split position (1-based), stable under filtering
+    assert out[out["doc_id"] == 0]["sent_idx"].tolist() == [1, 2, 3]
+    assert out[out["doc_id"] == 1]["n_tokens"].tolist() == [5]
+    assert (out["doc_id"] == 2).sum() == 0

@@ -477,3 +477,41 @@ def test_above_group_avg_exact_boundary(ray_session):
     )
     assert out["id"].tolist() == [12]
     assert out["v_cents"].tolist() == [3000]
+
+
+def test_pair_cooccurrence_exact(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import pair_cooccurrence
+
+    # baskets: {1,2,3}, {2,3}, {2,3,4}, {5}
+    groups = [10, 10, 10, 20, 20, 30, 30, 30, 40, 10]  # last row dups item 1
+    items = [1, 2, 3, 2, 3, 2, 3, 4, 5, 1]
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(groups, pa.int64()),
+                  "i": pa.array(items, pa.int64())})
+    )
+    out = (
+        pair_cooccurrence(ds, "g", "i", min_count=2)
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    # only (2,3) appears in >= 2 baskets (3 of them); duplicate item
+    # rows within a basket never double-count
+    assert out["item_a"].tolist() == [2]
+    assert out["item_b"].tolist() == [3]
+    assert out["n_groups"].tolist() == [3]
+
+
+def test_pair_cooccurrence_truncates_giant_groups(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import pair_cooccurrence
+
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array([1] * 10, pa.int64()),
+                  "i": pa.array(range(10), pa.int64())})
+    )
+    out = pair_cooccurrence(ds, "g", "i", min_count=1, max_items=4).to_pandas()
+    assert len(out) == 6  # C(4,2) after truncation (warning logged worker-side)

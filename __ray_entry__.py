@@ -2301,6 +2301,64 @@ def _q_rich_inactive_customers(sf_dir: str):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def _q_longest_streaks(sf_dir: str):
+    """Gaps-and-islands at day granularity: longest consecutive-active-
+    day run per user (one groupby(user) over bounded per-key state)."""
+    from brinkray.textproc.windows import longest_streaks
+
+    out = longest_streaks(_ds(sf_dir, "events")).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """CDC diff between two corpus snapshots (added/removed/modified by
+    content hash). Snapshot B is derived deterministically from the
+    documents table (drop id%17==0, revise id%13==0, add id%19==0 under
+    id+100000) so both the Ray side and the SQL twin construct the
+    identical pair of inputs."""
+    import pyarrow as pa
+
+    from brinkray.textproc.curation import snapshot_diff
+
+    docs = _ds(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def derive_b(t: pa.Table) -> pa.Table:
+        idn = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_id, out_tx = [], []
+        for i, tx in zip(idn, texts):
+            if i % 17 == 0:
+                continue
+            out_id.append(int(i))
+            out_tx.append(tx + " rev2" if i % 13 == 0 else tx)
+        for i, tx in zip(idn, texts):
+            if i % 19 == 0:
+                out_id.append(int(i) + 100000)
+                out_tx.append(tx)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "text": pa.array(out_tx, pa.string())}
+        )
+
+    snap_b = docs.map_batches(derive_b, batch_format="pyarrow")
+    out = snapshot_diff(docs, snap_b).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_basket_triangles(sf_dir: str):
+    """Distributed triangle enumeration over the part co-occurrence
+    graph (edges = part pairs sharing >= 2 orders): two native
+    hash-shuffle joins, no gathered adjacency."""
+    from brinkray.textproc.joins import enumerate_triangles
+    from brinkray.textproc.relagg import pair_cooccurrence
+
+    edges = pair_cooccurrence(
+        _ds(sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+    out = enumerate_triangles(edges).to_pandas()
+    return out.sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2370,6 +2428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_inactive_customers": _q_rich_inactive_customers,
         "dataset_split": _q_dataset_split,
         "sentence_stats": _q_sentence_stats,
+        "longest_streaks": _q_longest_streaks,
+        "snapshot_diff": _q_snapshot_diff,
+        "basket_triangles": _q_basket_triangles,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -3113,6 +3174,41 @@ def _oracle_sql_dict() -> dict[str, str]:
             "FROM (SELECT doc_id, strpos('0123456789abcdef', "
             "substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS n "
             "FROM documents) ORDER BY doc_id"
+        ),
+        "longest_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            "FROM events), "
+            "r AS (SELECT user_id, day, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY day) AS rn FROM d), "
+            "i AS (SELECT user_id, COUNT(*) AS len FROM r "
+            "GROUP BY user_id, day - CAST(rn AS INTEGER)) "
+            "SELECT user_id, CAST(MAX(len) AS BIGINT) AS streak "
+            "FROM i GROUP BY user_id ORDER BY user_id"
+        ),
+        "snapshot_diff": (
+            "WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents), "
+            "b AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 "
+            "THEN text || ' rev2' ELSE text END) AS fp FROM documents "
+            "WHERE doc_id % 17 <> 0 "
+            "UNION ALL SELECT doc_id + 100000, md5(text) FROM documents "
+            "WHERE doc_id % 19 = 0) "
+            "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, "
+            "CASE WHEN b.doc_id IS NULL THEN 'removed' "
+            "WHEN a.doc_id IS NULL THEN 'added' ELSE 'modified' END AS change "
+            "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id "
+            "WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp "
+            "ORDER BY 1"
+        ),
+        "basket_triangles": (
+            "WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "e AS (SELECT x.l_partkey AS ia, y.l_partkey AS ib "
+            "FROM pp x JOIN pp y ON x.l_orderkey = y.l_orderkey "
+            "AND x.l_partkey < y.l_partkey "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+            "SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c "
+            "FROM e e1 JOIN e e2 ON e1.ib = e2.ia "
+            "JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib "
+            "ORDER BY 1, 2, 3"
         ),
         "sentence_stats": (
             "WITH s AS (SELECT doc_id, "

@@ -194,6 +194,9 @@ def bench_queries() -> dict[str, float]:
         "rich_inactive_customers",
         "dataset_split",
         "sentence_stats",
+        "longest_streaks",
+        "snapshot_diff",
+        "basket_triangles",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

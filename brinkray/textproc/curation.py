@@ -52,6 +52,7 @@ __all__ = [
     "adjacent_edit_distances",
     "train_val_test_split",
     "sentence_stats",
+    "snapshot_diff",
 ]
 
 
@@ -1290,3 +1291,63 @@ def sentence_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow"
     )
+
+
+# -------------------------------------------------------- snapshot diff
+
+
+def snapshot_diff(a_ds, b_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """CDC-style diff between two corpus snapshots: one row per changed
+    key — (id, change) with change in {'added', 'removed', 'modified'}
+    (modified = same key, different content hash). Unchanged keys emit
+    nothing.
+
+    Shape: both sides map to (id, side-tagged md5 fingerprint) rows —
+    content never crosses the exchange, only 32-char digests — then ONE
+    union-tagged groupby(id) (the same single-exchange full-outer
+    pattern joins.py documents for Ray 2.49's empty-partition
+    full_outer bug) with Max aggregates: a missing side's slot stays ''
+    (md5 hex is never empty), so the classifier is a vectorized
+    per-batch map over the tiny aggregate table. Assumes each side has
+    unique keys (snapshot semantics).
+    """
+    from ray.data.aggregate import Max
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            fps = [
+                hashlib.md5(x.encode()).hexdigest()
+                for x in t[text_col].to_pylist()
+            ]
+            empty = [""] * t.num_rows
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "a_fp": pa.array(fps if side == "a" else empty),
+                    "b_fp": pa.array(fps if side == "b" else empty),
+                }
+            )
+
+        return fn
+
+    tagged = a_ds.select_columns([id_col, text_col]).map_batches(
+        tag("a"), batch_format="pyarrow"
+    ).union(
+        b_ds.select_columns([id_col, text_col]).map_batches(
+            tag("b"), batch_format="pyarrow"
+        )
+    )
+    agg = tagged.groupby(id_col).aggregate(
+        Max("a_fp", alias_name="a_fp"), Max("b_fp", alias_name="b_fp")
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a_fp"].to_pylist())
+        b = np.asarray(t["b_fp"].to_pylist())
+        change = np.where(b == "", "removed", np.where(a == "", "added", "modified"))
+        keep = (a == "") | (b == "") | (a != b)
+        return pa.table(
+            {id_col: t[id_col], "change": pa.array(change)}
+        ).filter(pa.array(keep))
+
+    return agg.map_batches(classify, batch_format="pyarrow")

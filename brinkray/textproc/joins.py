@@ -35,6 +35,7 @@ __all__ = [
     "left_outer_totals",
     "full_outer_counts",
     "cross_join_small",
+    "enumerate_triangles",
 ]
 
 
@@ -872,3 +873,66 @@ def cross_join_small(left_ds, right_ds, columns_left: list[str],
     return left_ds.select_columns(columns_left).map_batches(
         per_batch, batch_format="pyarrow"
     )
+
+
+def enumerate_triangles(edges_ds, a_col: str = "item_a", b_col: str = "item_b",
+                        num_partitions: int | None = None):
+    """Distributed triangle enumeration over an undirected edge set
+    given in canonical a < b orientation: emit every (a, b, c) with
+    a < b < c and all three edges present.
+
+    The standard two-join plan (e.g. Suri & Vassilvitskii, WWW 2011's
+    MapReduce formulation): (1) wedges = edges ⋈ edges on b1 = a2 —
+    each length-2 path a-b-c with a < b < c; (2) wedges ⋈ edges on the
+    closing (a, c) pair — both are native hash-shuffle ``Dataset.join``
+    exchanges, so no side is ever gathered. Wedge volume is
+    sum-over-mid-nodes of in-deg*out-deg — the canonical orientation
+    caps it at the count of (smaller, larger) neighbor pairs, the same
+    bound that makes this plan viable at web scale (hub nodes
+    contribute only their HIGHER-id neighbor pairs).
+
+    The wedge table is MATERIALIZED between the two joins: each native
+    hash-shuffle join reserves an aggregator-actor pool sized with
+    ``num_partitions``, and two joins sharing one streaming execution
+    can reserve every CPU of a small cluster while the map stage that
+    feeds them holds the remaining demand — a scheduling deadlock
+    (observed at num_cpus=4). The barrier splits them into one
+    execution per join; wedge blocks spill to the object store, so the
+    barrier costs latency, not memory. ``num_partitions`` defaults to
+    half the cluster CPUs (>= 2) for the same reason.
+    """
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    def rename(suffix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select([a_col, b_col]).rename_columns(
+                [f"a{suffix}", f"b{suffix}"]
+            )
+
+        return fn
+
+    e1 = edges_ds.map_batches(rename("1"), batch_format="pyarrow")
+    e2 = edges_ds.map_batches(rename("2"), batch_format="pyarrow")
+    wedges = e1.join(
+        e2, join_type="inner", num_partitions=num_partitions,
+        on=("b1",), right_on=("a2",),
+    )
+
+    def wedge_cols(t: pa.Table) -> pa.Table:
+        # (a, b, c) = (a1, b1, b2); needs the closing edge (a, c)
+        return pa.table({"w_a": t["a1"], "w_b": t["b1"], "w_c": t["b2"]})
+
+    closing = edges_ds.map_batches(rename("3"), batch_format="pyarrow")
+    wedges = wedges.map_batches(wedge_cols, batch_format="pyarrow").materialize()
+    tri = wedges.join(
+        closing, join_type="inner", num_partitions=num_partitions,
+        on=("w_a", "w_c"), right_on=("a3", "b3"),
+    )
+
+    def out_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["w_a"], "b": t["w_b"], "c": t["w_c"]})
+
+    return tri.map_batches(out_cols, batch_format="pyarrow")

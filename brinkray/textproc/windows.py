@@ -37,6 +37,7 @@ __all__ = [
     "debounce_events",
     "unpivot",
     "sliding_distinct_counts",
+    "longest_streaks",
 ]
 
 
@@ -762,4 +763,36 @@ def sliding_distinct_counts(ds, ts_col: str, val_col: str,
         .drop_columns(["_c"])
         .groupby("window_end")
         .aggregate(Count(alias_name="n_distinct"))
+    )
+
+
+def longest_streaks(events_ds, key: str = "user_id", ts_col: str = "ts"):
+    """Longest run of CONSECUTIVE active days per key — the
+    gaps-and-islands shape at day granularity (SQL: day - row_number()
+    island trick over the per-key distinct days). Returns (key,
+    streak).
+
+    Shape: per-batch (key, day) projection, ONE groupby(key) whose
+    vectorized body takes unique sorted day ordinals and finds the
+    longest diff==1 run — per-key distinct-day state is bounded by the
+    calendar, never by event volume, so even a hot key's group is tiny.
+    """
+
+    def to_days(t: pa.Table) -> pa.Table:
+        days = t[ts_col].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table({key: t[key], "day": pa.array(days, pa.int64())})
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy())
+        # boundaries where the next day is NOT consecutive
+        brk = np.concatenate(([0], np.flatnonzero(np.diff(days) != 1) + 1,
+                              [len(days)]))
+        streak = int(np.max(np.diff(brk)))
+        return pd.DataFrame({key: [g[key].iloc[0]], "streak": [streak]})
+
+    return (
+        events_ds.select_columns([key, ts_col])
+        .map_batches(to_days, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
     )

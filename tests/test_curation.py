@@ -588,3 +588,21 @@ def test_sentence_stats_explode(ray_session):
     assert out[out["doc_id"] == 0]["sent_idx"].tolist() == [1, 2, 3]
     assert out[out["doc_id"] == 1]["n_tokens"].tolist() == [5]
     assert (out["doc_id"] == 2).sum() == 0
+
+
+def test_snapshot_diff_classifies(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.curation import snapshot_diff
+
+    a = _docs_ds(["same", "old text", "goner"])            # ids 0,1,2
+    b_tbl = pa.table(
+        {"doc_id": pa.array([0, 1, 9], pa.int64()),
+         "text": pa.array(["same", "new text", "fresh"], pa.string())}
+    )
+    out = (
+        snapshot_diff(a, rd.from_arrow(b_tbl)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 9]
+    assert out["change"].tolist() == ["modified", "removed", "added"]

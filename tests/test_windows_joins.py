@@ -1017,3 +1017,49 @@ def test_sliding_distinct_counts(ray_session):
     assert got["2024-01-03"] == 2          # {1,2} (day0 still in range)
     assert got["2024-01-04"] == 2          # {2 (day1), 3 (day3)}
     assert got["2024-01-06"] == 1          # {3}
+
+
+def test_longest_streaks_islands(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import longest_streaks
+
+    # user 1: days 1,2,3 then 5,6 -> streak 3; user 2: one day -> 1
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-01-02 05:00", "2024-01-02 09:00", "2024-01-03",
+         "2024-01-05", "2024-01-06", "2024-02-01"],
+        format="mixed",
+    ).values.astype("datetime64[us]")
+    users = [1, 1, 1, 1, 1, 1, 2]
+    ds = rd.from_arrow(
+        pa.table({"user_id": pa.array(users, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    )
+    out = (
+        longest_streaks(ds).to_pandas().sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["streak"].tolist() == [3, 1]
+
+
+def test_enumerate_triangles_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.joins import enumerate_triangles
+
+    # triangle (1,2,3) + edge to 4 closing a second triangle (1,3,4)
+    ea = [1, 1, 2, 3, 1]
+    eb = [2, 3, 3, 4, 4]
+    edges = rd.from_arrow(
+        pa.table({"item_a": pa.array(ea, pa.int64()),
+                  "item_b": pa.array(eb, pa.int64())})
+    )
+    out = (
+        enumerate_triangles(edges).to_pandas()
+        .sort_values(["a", "b", "c"]).reset_index(drop=True)
+    )
+    assert list(map(tuple, out.to_numpy())) == [(1, 2, 3), (1, 3, 4)]

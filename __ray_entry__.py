@@ -2359,6 +2359,159 @@ def _q_basket_triangles(sf_dir: str):
     return out.sort_values(["a", "b", "c"]).reset_index(drop=True)
 
 
+def _q_clustering_coefficients(sf_dir: str):
+    """Per-node triangle participation over the part co-occurrence
+    graph: (node, n_tri, n_wedges) in exact integers — the local
+    clustering coefficient is n_tri / n_wedges, left rational so the
+    result stays hash-comparable. Triangle side reuses the distributed
+    enumeration; degrees come from one groupby over the edge list."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from brinkray.textproc.joins import enumerate_triangles
+    from brinkray.textproc.relagg import pair_cooccurrence
+
+    edges = pair_cooccurrence(
+        _ds(sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+    ).materialize()
+    tris = enumerate_triangles(edges)
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [t["a"].combine_chunks(), t["b"].combine_chunks(),
+                 t["c"].combine_chunks()]
+            )}
+        )
+
+    tri_counts = (
+        tris.map_batches(explode_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="n_tri"))
+        .to_pandas()
+    )
+
+    def edge_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [t["item_a"].combine_chunks(), t["item_b"].combine_chunks()]
+            )}
+        )
+
+    deg = (
+        edges.map_batches(edge_ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .to_pandas()
+    )
+    out = deg.merge(tri_counts, on="node", how="left")
+    out["n_tri"] = out["n_tri"].fillna(0).astype("int64")
+    out["n_wedges"] = (out["deg"] * (out["deg"] - 1) // 2).astype("int64")
+    out = out[out["n_wedges"] > 0][["node", "n_tri", "n_wedges"]]
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape (decorrelated scalar subquery): revenue from
+    lineitems whose quantity is below 20% of their part's average —
+    the per-part (sum, n) aggregate joins back onto lineitem and the
+    comparison is the exact integer cross-multiply qty*5*n < sum.
+    Returns one row: (rev_cents, n_rows)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(
+            pc.floor(pc.multiply(t["l_quantity"], pa.scalar(100.0))), pa.int64()
+        )
+        ep = pc.cast(
+            pc.floor(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_partkey": t["l_partkey"], "qty_cents": qty, "ep_cents": ep}
+        )
+
+    rows = (
+        _ds(sf_dir, "lineitem")
+        .select_columns(["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+    per_part = rows.groupby("l_partkey").aggregate(
+        Sum("qty_cents", alias_name="s"), Count(alias_name="n")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["pk", "s", "n"])
+
+    joined = rows.join(
+        per_part.map_batches(rename, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("l_partkey",),
+        right_on=("pk",),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(pc.multiply(t["qty_cents"], pa.scalar(5)), t["n"])
+        return t.filter(pc.less(lhs, t["s"])).select(["ep_cents"])
+
+    agg = joined.map_batches(keep, batch_format="pyarrow").aggregate(
+        Sum("ep_cents", alias_name="rev_cents"), Count(alias_name="n_rows")
+    )
+    return pd.DataFrame(
+        {"rev_cents": [int(agg["rev_cents"])], "n_rows": [int(agg["n_rows"])]}
+    )
+
+
+def _q_time_to_first_purchase(sf_dir: str):
+    """Two-branch argmin join: per user, microseconds from first click
+    to first purchase (users whose first purchase is not before their
+    first click). ONE groupby(user, event_type) Min exchange feeds a
+    tiny in-driver pivot — the corpus never moves twice."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Min
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": t["ts"].cast(pa.int64()),
+            }
+        )
+
+    firsts = (
+        _ds(sf_dir, "events")
+        .select_columns(["user_id", "event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("ts_us", alias_name="t"))
+        .to_pandas()
+    )  # |users| x |event types| rows — driver-safe by construction
+    piv = firsts.pivot_table(index="user_id", columns="event_type", values="t")
+    if "click" not in piv.columns or "purchase" not in piv.columns:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "delta_us": pd.Series([], dtype="int64")})
+    both = piv.dropna(subset=["click", "purchase"])
+    both = both[both["purchase"] >= both["click"]]
+    out = pd.DataFrame(
+        {
+            "user_id": both.index.to_numpy(),
+            "delta_us": (both["purchase"] - both["click"]).astype("int64").to_numpy(),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2431,6 +2584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_streaks": _q_longest_streaks,
         "snapshot_diff": _q_snapshot_diff,
         "basket_triangles": _q_basket_triangles,
+        "clustering_coefficients": _q_clustering_coefficients,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "time_to_first_purchase": _q_time_to_first_purchase,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -3209,6 +3365,45 @@ def _oracle_sql_dict() -> dict[str, str]:
             "FROM e e1 JOIN e e2 ON e1.ib = e2.ia "
             "JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib "
             "ORDER BY 1, 2, 3"
+        ),
+        "clustering_coefficients": (
+            "WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "e AS (SELECT x.l_partkey AS ia, y.l_partkey AS ib "
+            "FROM pp x JOIN pp y ON x.l_orderkey = y.l_orderkey "
+            "AND x.l_partkey < y.l_partkey "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+            "t AS (SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c "
+            "FROM e e1 JOIN e e2 ON e1.ib = e2.ia "
+            "JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib), "
+            "tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM ("
+            "SELECT a AS node FROM t UNION ALL SELECT b FROM t "
+            "UNION ALL SELECT c FROM t) GROUP BY 1), "
+            "deg AS (SELECT node, COUNT(*) AS d FROM ("
+            "SELECT ia AS node FROM e UNION ALL SELECT ib FROM e) GROUP BY 1) "
+            "SELECT deg.node, CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri, "
+            "CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS n_wedges "
+            "FROM deg LEFT JOIN tn ON deg.node = tn.node "
+            "WHERE deg.d >= 2 ORDER BY deg.node"
+        ),
+        "small_quantity_revenue": (
+            "WITH r AS (SELECT l_partkey, "
+            "CAST(floor(l_quantity*100.0) AS BIGINT) AS qty_cents, "
+            "CAST(floor(l_extendedprice*100.0) AS BIGINT) AS ep_cents "
+            "FROM lineitem), "
+            "q AS (SELECT l_partkey, CAST(SUM(qty_cents) AS BIGINT) AS s, "
+            "COUNT(*) AS n FROM r GROUP BY 1) "
+            "SELECT CAST(SUM(r.ep_cents) AS BIGINT) AS rev_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM r JOIN q ON r.l_partkey = q.l_partkey "
+            "WHERE r.qty_cents * 5 * q.n < q.s"
+        ),
+        "time_to_first_purchase": (
+            "WITH c AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "WHERE event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT c.user_id, date_diff('microsecond', c.t, p.t) AS delta_us "
+            "FROM c JOIN p USING (user_id) WHERE p.t >= c.t ORDER BY 1"
         ),
         "sentence_stats": (
             "WITH s AS (SELECT doc_id, "

@@ -197,6 +197,9 @@ def bench_queries() -> dict[str, float]:
         "longest_streaks",
         "snapshot_diff",
         "basket_triangles",
+        "clustering_coefficients",
+        "small_quantity_revenue",
+        "time_to_first_purchase",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

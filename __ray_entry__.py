@@ -2512,6 +2512,70 @@ def _q_time_to_first_purchase(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_cdc_apply(sf_dir: str):
+    """CDC merge/upsert: apply a derived change stream (revise id%13,
+    delete id%17 — deletes win, insert id%19 under id+100000) onto the
+    documents snapshot; certified by the twin constructing the target
+    snapshot directly. Returns (doc_id, fp) — content hashes, so the
+    comparison covers payload bytes, not just keys."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from brinkray.textproc.curation import apply_changes
+
+    docs = _ds(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def derive_changes(t: pa.Table) -> pa.Table:
+        idn = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_id, out_op, out_tx = [], [], []
+        for i, tx in zip(idn, texts):
+            if i % 17 == 0:
+                out_id.append(int(i)); out_op.append("delete"); out_tx.append("")
+            elif i % 13 == 0:
+                out_id.append(int(i)); out_op.append("upsert")
+                out_tx.append(tx + " rev2")
+            if i % 19 == 0:
+                out_id.append(int(i) + 100000); out_op.append("upsert")
+                out_tx.append(tx)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "op": pa.array(out_op, pa.string()),
+             "text": pa.array(out_tx, pa.string())}
+        )
+
+    changes = docs.map_batches(derive_changes, batch_format="pyarrow")
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps)})
+
+    out = (
+        apply_changes(docs, changes)
+        .map_batches(fp, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_graph_distances(sf_dir: str):
+    """Multi-wave BFS hop distances over the part co-occurrence graph
+    from the graph's smallest node — the iterative frontier-join shape,
+    twinned against a bounded recursive CTE."""
+    from ray.data.aggregate import Min
+
+    from brinkray.textproc.joins import bfs_distances
+    from brinkray.textproc.relagg import pair_cooccurrence
+
+    edges = pair_cooccurrence(
+        _ds(sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+    ).materialize()
+    seed = int(edges.aggregate(Min("item_a", alias_name="m"))["m"])
+    out = bfs_distances(edges, [seed], max_depth=6).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2587,6 +2651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficients": _q_clustering_coefficients,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "time_to_first_purchase": _q_time_to_first_purchase,
+        "cdc_apply": _q_cdc_apply,
+        "graph_distances": _q_graph_distances,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -3396,6 +3462,28 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_rows "
             "FROM r JOIN q ON r.l_partkey = q.l_partkey "
             "WHERE r.qty_cents * 5 * q.n < q.s"
+        ),
+        "cdc_apply": (
+            "SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 "
+            "THEN text || ' rev2' ELSE text END) AS fp FROM documents "
+            "WHERE doc_id % 17 <> 0 "
+            "UNION ALL SELECT doc_id + 100000, md5(text) FROM documents "
+            "WHERE doc_id % 19 = 0 ORDER BY 1"
+        ),
+        "graph_distances": (
+            "WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "e AS (SELECT x.l_partkey AS ia, y.l_partkey AS ib "
+            "FROM pp x JOIN pp y ON x.l_orderkey = y.l_orderkey "
+            "AND x.l_partkey < y.l_partkey "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+            "b AS (SELECT ia AS src, ib AS dst FROM e "
+            "UNION ALL SELECT ib, ia FROM e), "
+            "r(node, d) AS (SELECT (SELECT MIN(ia) FROM e), 0 "
+            "UNION SELECT b.dst, r.d + 1 FROM r JOIN b ON r.node = b.src "
+            "WHERE r.d < 6) "
+            "SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "time_to_first_purchase": (
             "WITH c AS (SELECT user_id, MIN(ts) AS t FROM events "

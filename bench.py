@@ -200,6 +200,8 @@ def bench_queries() -> dict[str, float]:
         "clustering_coefficients",
         "small_quantity_revenue",
         "time_to_first_purchase",
+        "cdc_apply",
+        "graph_distances",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -53,6 +53,7 @@ __all__ = [
     "train_val_test_split",
     "sentence_stats",
     "snapshot_diff",
+    "apply_changes",
 ]
 
 
@@ -1351,3 +1352,62 @@ def snapshot_diff(a_ds, b_ds, id_col: str = "doc_id", text_col: str = "text"):
         ).filter(pa.array(keep))
 
     return agg.map_batches(classify, batch_format="pyarrow")
+
+
+def apply_changes(base_ds, changes_ds, id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 8):
+    """CDC merge/upsert (the inverse of :func:`snapshot_diff`): apply a
+    change stream — rows (id, op, text) with op in {'upsert','delete'};
+    at most one change row per id, deletes win upstream — onto a base
+    snapshot, producing the new snapshot.
+
+    Shape: content moves ONCE — base LEFT OUTER JOINs the keyed change
+    stream (native hash shuffle), a vectorized resolver keeps base rows
+    untouched / replaces upserts / drops deletes; inserts (upserts
+    whose key is absent from base) come from an anti-join of the
+    changes against the base's distinct keys (keys only — base payload
+    never moves twice). Assumes the change stream is small relative to
+    the base (the CDC contract); base-key distinctness is snapshot
+    semantics.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import anti_join
+
+    def ch_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_cid": t[id_col], "_op": t["op"], "_ctext": t[text_col]}
+        )
+
+    ch = changes_ds.map_batches(ch_prep, batch_format="pyarrow")
+    joined = base_ds.select_columns([id_col, text_col]).join(
+        ch, join_type="left_outer", num_partitions=num_partitions,
+        on=(id_col,), right_on=("_cid",),
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        op = t["_op"]
+        keep = pc.or_kleene(
+            pc.is_null(op), pc.not_equal(op, pa.scalar("delete"))
+        )
+        t = t.filter(pc.fill_null(keep, True))
+        txt = pc.if_else(
+            pc.equal(pc.fill_null(t["_op"], ""), pa.scalar("upsert")),
+            t["_ctext"],
+            t[text_col],
+        )
+        return pa.table({id_col: t[id_col], text_col: txt})
+
+    merged = joined.map_batches(resolve, batch_format="pyarrow")
+
+    def ins_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["op"], pa.scalar("upsert")))
+        return pa.table({id_col: t[id_col], text_col: t[text_col]})
+
+    inserts = anti_join(
+        changes_ds.map_batches(ins_prep, batch_format="pyarrow"),
+        base_ds.select_columns([id_col]),
+        on=id_col,
+        num_partitions=num_partitions,
+    )
+    return merged.union(inserts)

@@ -36,6 +36,7 @@ __all__ = [
     "full_outer_counts",
     "cross_join_small",
     "enumerate_triangles",
+    "bfs_distances",
 ]
 
 
@@ -936,3 +937,83 @@ def enumerate_triangles(edges_ds, a_col: str = "item_a", b_col: str = "item_b",
         return pa.table({"a": t["w_a"], "b": t["w_b"], "c": t["w_c"]})
 
     return tri.map_batches(out_cols, batch_format="pyarrow")
+
+
+def bfs_distances(edges_ds, seed_nodes: list[int], max_depth: int = 6,
+                  a_col: str = "item_a", b_col: str = "item_b",
+                  num_partitions: int | None = None):
+    """Multi-source BFS shortest-path distances (hop counts) over an
+    undirected edge set — the iterative-join graph shape (one
+    frontier ⋈ edges native hash join + one distinct per wave, the
+    Pregel/GraphX pattern expressed in Dataset ops). Returns (node,
+    dist) for every node within ``max_depth`` hops of any seed.
+
+    Each wave's new frontier is anti-joined against the accumulated
+    distance table, so a node's distance is fixed the first wave it
+    appears (BFS optimality) and the frontier only carries NEWLY
+    discovered nodes. Waves are materialized (tiny: one row per node)
+    both to terminate on an empty frontier via free count() metadata
+    and to keep each wave's joins in separate executions (see
+    enumerate_triangles' small-cluster deadlock note).
+    """
+    import ray
+    import ray.data as rd
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        src = pa.concat_arrays(
+            [t[a_col].combine_chunks(), t[b_col].combine_chunks()]
+        )
+        dst = pa.concat_arrays(
+            [t[b_col].combine_chunks(), t[a_col].combine_chunks()]
+        )
+        return pa.table({"src": src, "dst": dst})
+
+    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(sorted(set(seed_nodes)), pa.int64()),
+                "dist": pa.array([0] * len(set(seed_nodes)), pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = dist
+
+    for d in range(1, max_depth + 1):
+        nbrs = frontier.select_columns(["node"]).join(
+            edges, join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=("src",),
+        )
+
+        def as_node(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["dst"]})
+
+        # distinct over keys only, then drop already-labeled nodes
+        cand = (
+            nbrs.map_batches(as_node, batch_format="pyarrow")
+            .groupby("node")
+            .count()
+            .select_columns(["node"])
+        )
+        new = anti_join(
+            cand, dist.select_columns(["node"]), on="node",
+            num_partitions=num_partitions,
+        )
+
+        def with_d(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": t["node"],
+                 "dist": pa.array([d] * t.num_rows, pa.int64())}
+            )
+
+        new = new.map_batches(with_d, batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        dist = dist.union(new).materialize()
+        frontier = new
+
+    return dist

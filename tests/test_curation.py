@@ -606,3 +606,24 @@ def test_snapshot_diff_classifies(ray_session):
     )
     assert out["doc_id"].tolist() == [1, 2, 9]
     assert out["change"].tolist() == ["modified", "removed", "added"]
+
+
+def test_apply_changes_merge_semantics(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.curation import apply_changes
+
+    base = _docs_ds(["keep", "revise me", "drop me"])  # ids 0,1,2
+    ch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 7], pa.int64()),
+            "op": pa.array(["upsert", "delete", "upsert"], pa.string()),
+            "text": pa.array(["revised", "", "inserted"], pa.string()),
+        }
+    )
+    out = (
+        apply_changes(base, rd.from_arrow(ch)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 7]
+    assert out["text"].tolist() == ["keep", "revised", "inserted"]

@@ -1063,3 +1063,21 @@ def test_enumerate_triangles_exact(ray_session):
         .sort_values(["a", "b", "c"]).reset_index(drop=True)
     )
     assert list(map(tuple, out.to_numpy())) == [(1, 2, 3), (1, 3, 4)]
+
+
+def test_bfs_distances_hops(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.joins import bfs_distances
+
+    # path 1-2-3-4 plus shortcut 1-3; isolated edge 8-9
+    edges = rd.from_arrow(
+        pa.table({"item_a": pa.array([1, 2, 3, 1, 8], pa.int64()),
+                  "item_b": pa.array([2, 3, 4, 3, 9], pa.int64())})
+    )
+    out = (
+        bfs_distances(edges, [1], max_depth=6).to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    assert dict(zip(out["node"], out["dist"])) == {1: 0, 2: 1, 3: 1, 4: 2}

@@ -236,50 +236,77 @@ def dup_span_counts(ds, k: int = 12, text_col: str = "text",
     at least one duplicated span.
 
     Stages: (1) a stateless map_batches explodes each doc into its
-    DISTINCT window md5 digests — per-doc dedup happens in-task, so the
-    exchange carries at most one row per (doc, window) and the shuffle
-    key is the 32-char digest, never window text; (2) ONE
-    groupby(window) keeps groups spanning >= 2 docs and re-emits their
-    doc_ids; (3) one tiny groupby(doc_id) count. md5 matches DuckDB's
-    md5() so the whole operator is SQL-certifiable. At 100-TB scale,
-    swap the md5 for a vectorized 64-bit rolling hash plus a verify
-    pass on colliding spans; the stage shape is unchanged.
+    DISTINCT window md5 digests as TWO int64 halves (the full 128 bits
+    ride the exchange — exact, no truncation collisions — and integer
+    keys lexsort ~10x faster than 32-char strings); per-doc dedup
+    happens in-task, so the exchange carries at most one row per
+    (doc, window) and never window text. (2) ONE low-cardinality
+    bucket exchange (bucket = high-half mod 4x cluster CPUs — window
+    counts run to millions of distinct groups, where Ray's sort
+    aggregate degrades; a run-length pass over the bucket's lexsorted
+    digests keeps windows spanning >= 2 docs and pre-counts per doc).
+    (3) one tiny groupby(doc_id) sum. md5 matches DuckDB's md5() so
+    the whole operator is SQL-certifiable. At 100-TB scale, swap the
+    md5 for a vectorized 64-bit rolling hash plus a verify pass on
+    colliding spans; the stage shape is unchanged.
     """
     import re
 
-    from ray.data.aggregate import Count
+    import ray
+    from ray.data.aggregate import Sum
 
     tok = re.compile(r"[a-z0-9]+")
+    n_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, ws = [], []
+        ids: list[int] = []
+        w_hi: list[int] = []
+        w_lo: list[int] = []
         for doc_id, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             toks = tok.findall(text.lower())
             if len(toks) < k:
                 continue
             seen = {
-                hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+                hashlib.md5(" ".join(toks[i:i + k]).encode()).digest()
                 for i in range(len(toks) - k + 1)
             }
-            ids.extend([doc_id] * len(seen))
-            ws.extend(seen)
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "w": pa.array(ws, pa.string())})
+            for d in seen:
+                v = int.from_bytes(d, "big")
+                ids.append(doc_id)
+                w_hi.append((v >> 64) - (1 << 63))   # signed int64
+                w_lo.append((v & ((1 << 64) - 1)) - (1 << 63))
+        hi = np.array(w_hi, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "w_hi": pa.array(hi, pa.int64()),
+                "w_lo": pa.array(np.array(w_lo, dtype=np.int64), pa.int64()),
+                "_wb": pa.array(
+                    (hi.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+                ),
+            }
+        )
 
-    def shared_docs(g: pd.DataFrame) -> pd.DataFrame:
-        # rows are already distinct per (doc, window)
-        if len(g) >= 2:
-            return g[[id_col]]
-        return g[[id_col]].iloc[:0]
+    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+        hi = g["w_hi"].to_numpy()
+        lo = g["w_lo"].to_numpy()
+        docs = g[id_col].to_numpy()
+        order = np.lexsort((lo, hi))
+        hi, lo, docs = hi[order], lo[order], docs[order]
+        new = np.concatenate(([True], (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])))
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        shared = run_len[run_id] >= 2  # rows already distinct per (doc, window)
+        d, c = np.unique(docs[shared], return_counts=True)
+        return pd.DataFrame({id_col: d, "_n": c.astype(np.int64)})
 
-    pairs = ds.select_columns([id_col, text_col]).map_batches(
-        explode, batch_format="pyarrow"
-    )
     return (
-        pairs.groupby("w")
-        .map_groups(shared_docs, batch_format="pandas")
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(count_shared, batch_format="pandas")
         .groupby(id_col)
-        .aggregate(Count(alias_name="n_dup_windows"))
+        .aggregate(Sum("_n", alias_name="n_dup_windows"))
     )
 
 

@@ -2576,6 +2576,17 @@ def _q_graph_distances(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def _q_funnel_steps(sf_dir: str):
+    """Ordered 3-step funnel (view -> click -> purchase with
+    chained-MIN ordering): per user, the furthest step reached."""
+    from brinkray.textproc.windows import funnel_steps
+
+    out = funnel_steps(
+        _ds(sf_dir, "events"), ["view", "click", "purchase"]
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2653,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_first_purchase": _q_time_to_first_purchase,
         "cdc_apply": _q_cdc_apply,
         "graph_distances": _q_graph_distances,
+        "funnel_steps": _q_funnel_steps,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -3462,6 +3474,21 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_rows "
             "FROM r JOIN q ON r.l_partkey = q.l_partkey "
             "WHERE r.qty_cents * 5 * q.n < q.s"
+        ),
+        "funnel_steps": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1 "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT v.user_id, CAST(CASE WHEN p.user_id IS NOT NULL THEN 3 "
+            "WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) "
+            "AS max_step "
+            "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+            "LEFT JOIN p ON v.user_id = p.user_id ORDER BY 1"
         ),
         "cdc_apply": (
             "SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 "

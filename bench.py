@@ -202,6 +202,7 @@ def bench_queries() -> dict[str, float]:
         "time_to_first_purchase",
         "cdc_apply",
         "graph_distances",
+        "funnel_steps",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -38,6 +38,7 @@ __all__ = [
     "unpivot",
     "sliding_distinct_counts",
     "longest_streaks",
+    "funnel_steps",
 ]
 
 
@@ -793,6 +794,55 @@ def longest_streaks(events_ds, key: str = "user_id", ts_col: str = "ts"):
     return (
         events_ds.select_columns([key, ts_col])
         .map_batches(to_days, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def funnel_steps(events_ds, steps: list[str], key: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered multi-step funnel: per key, the furthest step reached
+    where step i+1 must occur AT OR AFTER the first qualifying
+    occurrence of step i (the chained-MIN semantics:
+    t1 = min ts of step1, t2 = min ts >= t1 of step2, ...). Returns
+    (key, max_step) for keys that reached step 1; max_step in
+    [1, len(steps)].
+
+    Shape: the type filter prunes the stream to funnel events before
+    the exchange, then ONE groupby(key) whose body is a handful of
+    vectorized masked mins per key — per-key state is the funnel
+    events of one user, bounded in practice.
+    """
+    wanted = list(steps)
+
+    def prune(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[type_col], value_set=pa.array(wanted))
+        t = t.filter(mask)
+        return pa.table(
+            {key: t[key], type_col: t[type_col],
+             "ts_us": t[ts_col].cast(pa.int64())}
+        )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts_us"].to_numpy()
+        et = g[type_col].to_numpy()
+        cur = np.int64(-(2**62))
+        reached = 0
+        for s in wanted:
+            m = (et == s) & (ts >= cur)
+            if not m.any():
+                break
+            cur = ts[m].min()
+            reached += 1
+        if reached == 0:
+            return pd.DataFrame({key: g[key].iloc[:0],
+                                 "max_step": pd.Series([], dtype="int64")})
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "max_step": np.array([reached], dtype=np.int64)})
+
+    return (
+        events_ds.select_columns([key, type_col, ts_col])
+        .map_batches(prune, batch_format="pyarrow")
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
     )

@@ -1081,3 +1081,26 @@ def test_bfs_distances_hops(ray_session):
         .sort_values("node").reset_index(drop=True)
     )
     assert dict(zip(out["node"], out["dist"])) == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_funnel_steps_chained_ordering(ray_session):
+    from brinkray.textproc.windows import funnel_steps
+
+    rows = [
+        # user 1: full funnel in order
+        (TS, 1, "view", 0.0),
+        (TS + pd.Timedelta(minutes=1), 1, "click", 0.0),
+        (TS + pd.Timedelta(minutes=2), 1, "purchase", 0.0),
+        # user 2: purchase BEFORE the first view-anchored click -> step 2
+        (TS, 2, "purchase", 0.0),
+        (TS + pd.Timedelta(minutes=1), 2, "view", 0.0),
+        (TS + pd.Timedelta(minutes=2), 2, "click", 0.0),
+        # user 3: never viewed -> absent
+        (TS, 3, "click", 0.0),
+    ]
+    out = (
+        funnel_steps(_events_ds(rows), ["view", "click", "purchase"])
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["max_step"].tolist() == [3, 2]

@@ -2587,6 +2587,15 @@ def _q_funnel_steps(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_events_profile(sf_dir: str):
+    """Data-profiling operator: per-column NULL + exact distinct counts
+    over the events table."""
+    from brinkray.textproc.relagg import table_profile
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    return table_profile(_ds(sf_dir, "events"), cols).to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2665,6 +2674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply": _q_cdc_apply,
         "graph_distances": _q_graph_distances,
         "funnel_steps": _q_funnel_steps,
+        "events_profile": _q_events_profile,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -3474,6 +3484,19 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_rows "
             "FROM r JOIN q ON r.l_partkey = q.l_partkey "
             "WHERE r.qty_cents * 5 * q.n < q.s"
+        ),
+        "events_profile": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col, "
+                f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+                f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct "
+                "FROM events"
+                for c in sorted(
+                    ["event_id", "ts", "user_id", "event_type", "value",
+                     "props"]
+                )
+            )
+            + " ORDER BY col"
         ),
         "funnel_steps": (
             "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "

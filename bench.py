@@ -203,6 +203,7 @@ def bench_queries() -> dict[str, float]:
         "cdc_apply",
         "graph_distances",
         "funnel_steps",
+        "events_profile",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -32,6 +32,7 @@ __all__ = [
     "group_shares",
     "above_group_avg",
     "pair_cooccurrence",
+    "table_profile",
 ]
 
 
@@ -709,3 +710,60 @@ def pair_cooccurrence(ds, group_col: str, item_col: str,
         .groupby("_pb")
         .map_groups(count_in_bucket, batch_format="pandas")
     )
+
+
+def table_profile(ds, cols: list[str]):
+    """Data-profiling operator (the Deequ/dbt-test shape): per column,
+    NULL count and exact distinct count. Returns (col, n_nulls,
+    n_distinct) sorted by column name.
+
+    Shape: null counts come from ONE streaming pass (a vectorized
+    per-batch partial summed by a tiny aggregate); each distinct count
+    is its own keys-only groupby exchange — c columns => c exchanges,
+    the honest cost of EXACT per-column cardinality (the approximate
+    alternative is the HLL sketch operator, sketch.py). Values never
+    move with payloads attached: each exchange carries only the one
+    column it counts.
+    """
+    from ray.data.aggregate import Sum
+
+    def null_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {f"_n_{c}": pa.array(
+                [t.column(c).null_count], pa.int64()
+            ) for c in cols}
+        )
+
+    agg = ds.select_columns(cols).map_batches(
+        null_partial, batch_format="pyarrow"
+    ).aggregate(*[Sum(f"_n_{c}", alias_name=f"_n_{c}") for c in cols])
+    nulls = {c: int(agg[f"_n_{c}"]) for c in cols}
+
+    distinct = {}
+    for c in cols:
+        # keys-only distinct: groupby(col).count emits one row per value.
+        # NULLs are dropped first — Ray's groupby gives NULL its own
+        # group, while SQL's COUNT(DISTINCT col) ignores NULLs.
+        def drop_nulls(t: pa.Table, col=c) -> pa.Table:
+            return t.filter(pc.is_valid(t[col]))
+
+        distinct[c] = (
+            ds.select_columns([c])
+            .map_batches(drop_nulls, batch_format="pyarrow")
+            .groupby(c)
+            .count()
+            .count()
+        )
+
+    out = pa.table(
+        {
+            "col": pa.array(sorted(cols)),
+            "n_nulls": pa.array([nulls[c] for c in sorted(cols)], pa.int64()),
+            "n_distinct": pa.array(
+                [distinct[c] for c in sorted(cols)], pa.int64()
+            ),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(out)

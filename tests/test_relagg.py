@@ -515,3 +515,22 @@ def test_pair_cooccurrence_truncates_giant_groups(ray_session):
     )
     out = pair_cooccurrence(ds, "g", "i", min_count=1, max_items=4).to_pandas()
     assert len(out) == 6  # C(4,2) after truncation (warning logged worker-side)
+
+
+def test_table_profile_counts_nulls_and_distinct(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import table_profile
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 2, None], pa.int64()),
+            "b": pa.array(["x", None, None, "y"], pa.string()),
+        }
+    )
+    out = table_profile(rd.from_arrow(t), ["a", "b"]).to_pandas()
+    assert out["col"].tolist() == ["a", "b"]
+    assert out["n_nulls"].tolist() == [1, 2]
+    # SQL's COUNT(DISTINCT col) ignores NULLs; the kernel must too
+    # (Ray's groupby would otherwise give NULL its own group)
+    assert out["n_distinct"].tolist() == [2, 2]

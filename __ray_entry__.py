@@ -2596,6 +2596,24 @@ def _q_events_profile(sf_dir: str):
     return table_profile(_ds(sf_dir, "events"), cols).to_pandas()
 
 
+def _q_text_roundtrip(sf_dir: str):
+    """Plain-text-lines sink + source (ray.data.read_text), certified
+    end to end through the same manifest invariant as the jsonl/csv
+    pairs."""
+    import shutil
+    import tempfile
+
+    from brinkray.textproc.curation import read_text_manifest, write_text_shards
+
+    out_dir = tempfile.mkdtemp(prefix="brinkray_text_", dir="/tmp")
+    try:
+        write_text_shards(_ds(sf_dir, "documents"), out_dir).materialize()
+        out = read_text_manifest(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2675,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_distances": _q_graph_distances,
         "funnel_steps": _q_funnel_steps,
         "events_profile": _q_events_profile,
+        "text_roundtrip": _q_text_roundtrip,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -3824,6 +3843,14 @@ def _oracle_sql_dict() -> dict[str, str]:
         # the CSV pair certifies the identical invariant (manifest
         # re-derived from the original table) through a different
         # format + reader, so it shares the jsonl twin's SQL
+        # text-lines pair: same invariant, third format/reader
+        "text_roundtrip": (
+            "SELECT CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) "
+            "- 1) % 16 AS BIGINT) AS shard, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars "
+            "FROM documents GROUP BY shard ORDER BY shard"
+        ),
         "csv_roundtrip": (
             "SELECT CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) "
             "- 1) % 16 AS BIGINT) AS shard, "

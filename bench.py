@@ -204,6 +204,7 @@ def bench_queries() -> dict[str, float]:
         "graph_distances",
         "funnel_steps",
         "events_profile",
+        "text_roundtrip",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

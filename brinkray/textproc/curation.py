@@ -54,6 +54,8 @@ __all__ = [
     "sentence_stats",
     "snapshot_diff",
     "apply_changes",
+    "write_text_shards",
+    "read_text_manifest",
 ]
 
 
@@ -1411,3 +1413,96 @@ def apply_changes(base_ds, changes_ds, id_col: str = "doc_id",
         num_partitions=num_partitions,
     )
     return merged.union(inserts)
+
+
+def write_text_shards(docs, out_dir: str, n_shards: int = 16,
+                      text_col="text", id_col="doc_id"):
+    """Plain-text-lines sink (``<doc_id>\\t<text>`` per line) with the
+    same deterministic resumable layout as the jsonl/csv/packed sinks:
+    one ``out_dir/shard-NN.txt`` per md5-bucket shard, canonical
+    (md5, doc_id) in-shard order, skip-existing + tmp+rename atomicity.
+    Lines are the fourth interchange format next to parquet/jsonl/csv;
+    the caller's text must be newline/tab-free (true of the corpus by
+    construction — a violating row raises rather than corrupting the
+    framing). Returns the per-shard manifest (shard, n_docs, n_chars).
+    """
+    import os
+
+    def assign(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: t[text_col],
+                "h": pa.array(hs, pa.string()),
+                "shard": pa.array(
+                    [int(h[0], 16) % n_shards for h in hs], pa.int64()
+                ),
+            }
+        )
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["shard"].iloc[0])
+        g = g.sort_values(["h", id_col])
+        path = os.path.join(out_dir, f"shard-{shard:02d}.txt")
+        if not os.path.exists(path):
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                for did, txt in zip(g[id_col], g[text_col]):
+                    if "\n" in txt or "\t" in txt:
+                        raise ValueError(
+                            f"text of doc {did} contains framing chars; "
+                            "use the jsonl sink for unrestricted text"
+                        )
+                    f.write(f"{int(did)}\t{txt}\n")
+            os.rename(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_docs": [len(g)],
+                "n_chars": [int(sum(len(x) for x in g[text_col]))],
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_group, batch_format="pandas")
+    )
+
+
+def read_text_manifest(in_dir: str):
+    """Text-lines source: ``ray.data.read_text`` over a
+    :func:`write_text_shards` directory (one task per shard file),
+    reduced to the writer's manifest with n_chars recomputed from the
+    ROUND-TRIPPED text — certifying sink + source byte fidelity."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_text(in_dir, file_extensions=["txt"], include_paths=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        shards = [
+            int(_re.search(r"shard-(\d+)\.txt$", p).group(1))
+            for p in t["path"].to_pylist()
+        ]
+        texts = [line.split("\t", 1)[1] for line in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "shard": pa.array(shards, pa.int64()),
+                "n_chars": pa.array(
+                    [len(x) for x in texts], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+    )

@@ -2614,6 +2614,70 @@ def _q_text_roundtrip(sf_dir: str):
     return out.sort_values("shard").reset_index(drop=True)
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Label-vs-model confusion matrix: stored lang x stopword-profile
+    prediction, one stateless scoring pass + one tiny groupby."""
+    from ray.data.aggregate import Count
+
+    from brinkray.textproc.quality import add_lang_id
+
+    out = (
+        add_lang_id(_ds(sf_dir, "documents").select_columns(["lang", "text"]))
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def _q_filter_funnel(sf_dir: str):
+    """Filter-cascade accounting (what a curation run reports): each
+    doc is attributed to the FIRST stage that rejects it — lang !=
+    'en', length outside [100, 520] chars, linear quality score <= 0 —
+    or 'pass'. One vectorized pass + a 4-row groupby; no doc is
+    silently dropped (the counts partition the corpus)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from brinkray.textproc.quality import LINEAR_MODEL_WEIGHTS as W
+
+    tok = re.compile(r"\S+")
+    punct = re.compile(r"[.!?]")
+    digit = re.compile(r"[0-9]")
+
+    def label(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        texts = t["text"].to_pylist()
+        nchars = t["n_chars"].to_numpy(zero_copy_only=False)
+        score = (
+            W["bias"]
+            + W["n_tokens"] * np.array([len(tok.findall(x)) for x in texts])
+            + W["n_chars"] * nchars
+            + W["n_punct"] * np.array([len(punct.findall(x)) for x in texts])
+            + W["n_digits"] * np.array([len(digit.findall(x)) for x in texts])
+        )
+        stage = np.where(
+            np.array(langs) != "en", "lang",
+            np.where((nchars < 100) | (nchars > 520), "length",
+                     np.where(score <= 0, "quality", "pass")),
+        )
+        return pa.table({"stage": pa.array(stage)})
+
+    out = (
+        _ds(sf_dir, "documents")
+        .select_columns(["lang", "text", "n_chars"])
+        .map_batches(label, batch_format="pyarrow")
+        .groupby("stage")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values("stage").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2694,6 +2758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_steps": _q_funnel_steps,
         "events_profile": _q_events_profile,
         "text_roundtrip": _q_text_roundtrip,
+        "lang_confusion": _q_lang_confusion,
+        "filter_funnel": _q_filter_funnel,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -3090,6 +3156,35 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "lang_confusion": (
+            "WITH toks AS (SELECT lang, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS tk "
+            "FROM documents), r AS (SELECT lang, len(tk) AS nt, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('de')}))) AS c_de, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('en')}))) AS c_en, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('es')}))) AS c_es, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('fr')}))) AS c_fr "
+            "FROM toks), lab AS (SELECT lang, CASE "
+            "WHEN nt = 0 OR (c_de = 0 AND c_en = 0 AND c_es = 0 AND c_fr = 0) THEN 'und' "
+            "WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de' "
+            "WHEN c_en >= c_es AND c_en >= c_fr THEN 'en' "
+            "WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM r) "
+            "SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lab GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "filter_funnel": (
+            "WITH f AS (SELECT lang, n_chars, "
+            "500 + 3*CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "- n_chars "
+            "+ 20*CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) "
+            "- 5*CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) "
+            "AS score FROM documents), "
+            "lab AS (SELECT CASE WHEN lang <> 'en' THEN 'lang' "
+            "WHEN n_chars < 100 OR n_chars > 520 THEN 'length' "
+            "WHEN score <= 0 THEN 'quality' ELSE 'pass' END AS stage FROM f) "
+            "SELECT stage, CAST(COUNT(*) AS BIGINT) AS n FROM lab "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "lang_id_counts": (
             "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk "
             "FROM documents), r AS (SELECT len(tk) AS nt, "

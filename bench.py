@@ -205,6 +205,8 @@ def bench_queries() -> dict[str, float]:
         "funnel_steps",
         "events_profile",
         "text_roundtrip",
+        "lang_confusion",
+        "filter_funnel",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -2144,15 +2144,25 @@ def _q_crawl_extract_links(sf_dir: str):
     return links.select_columns(["href", "linked_from", "target"]).to_pandas()
 
 
+def _part_edges(sf_dir: str):
+    """Memoized part co-occurrence edge set (materialized Dataset) —
+    four graph queries share it; the input parquet is immutable, so
+    reuse is exact (same pattern as _crawl_result)."""
+    key = f"edges:{sf_dir}"
+    if key not in _memo:
+        from brinkray.textproc.relagg import pair_cooccurrence
+
+        _memo[key] = pair_cooccurrence(
+            _ds(sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+        ).materialize()
+    return _memo[key]
+
+
 def _q_market_basket_pairs(sf_dir: str):
     """Self-join co-occurrence shape: unordered part pairs appearing
-    together in >= 2 orders, via one groupby(order) pair-explosion +
-    one groupby(pair) count (never a lineitem x lineitem join)."""
-    from brinkray.textproc.relagg import pair_cooccurrence
-
-    out = pair_cooccurrence(
-        _ds(sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
-    ).to_pandas()
+    together in >= 2 orders, via bucket-vectorized pair explosion +
+    bucket-vectorized counting (never a lineitem x lineitem join)."""
+    out = _part_edges(sf_dir).to_pandas()
     return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
 
 
@@ -2350,12 +2360,8 @@ def _q_basket_triangles(sf_dir: str):
     graph (edges = part pairs sharing >= 2 orders): two native
     hash-shuffle joins, no gathered adjacency."""
     from brinkray.textproc.joins import enumerate_triangles
-    from brinkray.textproc.relagg import pair_cooccurrence
 
-    edges = pair_cooccurrence(
-        _ds(sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
-    )
-    out = enumerate_triangles(edges).to_pandas()
+    out = enumerate_triangles(_part_edges(sf_dir)).to_pandas()
     return out.sort_values(["a", "b", "c"]).reset_index(drop=True)
 
 
@@ -2371,11 +2377,8 @@ def _q_clustering_coefficients(sf_dir: str):
     from ray.data.aggregate import Count
 
     from brinkray.textproc.joins import enumerate_triangles
-    from brinkray.textproc.relagg import pair_cooccurrence
 
-    edges = pair_cooccurrence(
-        _ds(sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
-    ).materialize()
+    edges = _part_edges(sf_dir)
     tris = enumerate_triangles(edges)
 
     def explode_nodes(t: pa.Table) -> pa.Table:
@@ -2566,11 +2569,8 @@ def _q_graph_distances(sf_dir: str):
     from ray.data.aggregate import Min
 
     from brinkray.textproc.joins import bfs_distances
-    from brinkray.textproc.relagg import pair_cooccurrence
 
-    edges = pair_cooccurrence(
-        _ds(sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
-    ).materialize()
+    edges = _part_edges(sf_dir)
     seed = int(edges.aggregate(Min("item_a", alias_name="m"))["m"])
     out = bfs_distances(edges, [seed], max_depth=6).to_pandas()
     return out.sort_values("node").reset_index(drop=True)

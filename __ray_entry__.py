@@ -2678,6 +2678,90 @@ def _q_filter_funnel(sf_dir: str):
     return out.sort_values("stage").reset_index(drop=True)
 
 
+def _q_weighted_sample_orders(sf_dir: str):
+    """Deterministic WEIGHTED sampling (inclusion probability ∝ value,
+    the importance-sampling shape): order o is kept iff
+    u16(o) / 65536 < price_cents / 60,000,000 where u16 is the last
+    four md5 nibbles of the orderkey — hash-deterministic, so the
+    sample is stable under repartition/rerun AND fully SQL-twinnable;
+    the comparison is exact-integer cross-multiplied. Stateless
+    map_batches, no exchange."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        u16 = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[-4:], 16) for i in ids],
+            dtype=np.int64,
+        )
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        ).to_numpy()
+        mask = u16 * 60_000_000 < 65_536 * cents
+        return pa.table(
+            {"o_orderkey": pa.array(ids[mask], pa.int64())}
+        )
+
+    out = (
+        _ds(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_totalprice"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _q_pareto_customers(sf_dir: str):
+    """Pareto coverage report: how many of the top-revenue customers
+    cover >= 80% of total order revenue (exact cents; threshold compare
+    is integer cross-multiplied). The corpus-scale exchange is the
+    per-customer Sum; the descending cumsum runs over the
+    |customers|-bounded aggregate (documented assumption — a
+    corpus-scale key set would swap the tail for the distributed
+    range_rank + prefix-sum path)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+
+    per_cust = (
+        _ds(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    per_cust = per_cust.sort_values(
+        ["cents", "o_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    total = int(per_cust["cents"].sum())
+    cum = per_cust["cents"].cumsum().to_numpy()
+    # first k with cum[k-1] * 5 >= total * 4  (>= 80%, exact ints)
+    k = int(np.searchsorted(cum * 5, total * 4) + 1)
+    return pd.DataFrame(
+        {
+            "n_customers": np.array([len(per_cust)], dtype=np.int64),
+            "top_k_for_80pct": np.array([k], dtype=np.int64),
+            "total_cents": np.array([total], dtype=np.int64),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2760,6 +2844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_roundtrip": _q_text_roundtrip,
         "lang_confusion": _q_lang_confusion,
         "filter_funnel": _q_filter_funnel,
+        "weighted_sample_orders": _q_weighted_sample_orders,
+        "pareto_customers": _q_pareto_customers,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "hll_distinct_tokens": _q_hll_distinct_tokens,
@@ -3156,6 +3242,26 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "weighted_sample_orders": (
+            "SELECT o_orderkey FROM orders "
+            "WHERE CAST((strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 29, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 30, 1)) - 1) * 256 "
+            "+ (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 31, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1)) - 1) AS BIGINT) * 60000000 "
+            "< 65536 * CAST(floor(o_totalprice*100.0) AS BIGINT) "
+            "ORDER BY 1"
+        ),
+        "pareto_customers": (
+            "WITH pc AS (SELECT o_custkey, "
+            "CAST(SUM(CAST(floor(o_totalprice*100.0) AS BIGINT)) AS BIGINT) "
+            "AS cents FROM orders GROUP BY 1), "
+            "r AS (SELECT SUM(cents) OVER (ORDER BY cents DESC, o_custkey "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM pc), "
+            "t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total, "
+            "COUNT(*) AS n FROM pc) "
+            "SELECT CAST(t.n AS BIGINT) AS n_customers, "
+            "CAST((SELECT COUNT(*) FROM r, t WHERE r.cum * 5 < t.total * 4) "
+            "+ 1 AS BIGINT) AS top_k_for_80pct, "
+            "t.total AS total_cents FROM t"
+        ),
         "lang_confusion": (
             "WITH toks AS (SELECT lang, "
             "regexp_extract_all(lower(text), '[a-z0-9]+') AS tk "

@@ -207,6 +207,8 @@ def bench_queries() -> dict[str, float]:
         "text_roundtrip",
         "lang_confusion",
         "filter_funnel",
+        "weighted_sample_orders",
+        "pareto_customers",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -2762,6 +2762,72 @@ def _q_pareto_customers(sf_dir: str):
     )
 
 
+def _q_repeat_orders_week(sf_dir: str):
+    """Temporal SELF-join: unordered pairs of same-customer orders
+    placed within 7 days of each other, via the interval-join kernel
+    (orders vs orders with a [date, date+7d] window) and a vectorized
+    dedup filter so each pair emits exactly once (later date wins;
+    equal dates tie-break on orderkey)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.joins import interval_join
+
+    def left_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": t["o_custkey"],
+                "ts": t["o_orderdate"],
+                "next_order": t["o_orderkey"],
+            }
+        )
+
+    def right_prep(t: pa.Table) -> pa.Table:
+        lo = t["o_orderdate"]
+        hi = pc.add(lo, pa.scalar(np.timedelta64(7, "D").astype("timedelta64[us]")))
+        return pa.table(
+            {
+                "ck": t["o_custkey"],
+                "lo": lo,
+                "hi": hi,
+                "first_order": t["o_orderkey"],
+                # carried so the dedup filter can compare dates
+                "first_date": lo,
+            }
+        )
+
+    orders = _ds(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    joined = interval_join(
+        orders.map_batches(left_prep, batch_format="pyarrow"),
+        orders.map_batches(right_prep, batch_format="pyarrow"),
+        key="ck",
+        left_ts="ts",
+        right_lo="lo",
+        right_hi="hi",
+        right_vals=["first_order", "first_date"],
+        max_span=np.timedelta64(7, "D"),
+    )
+
+    def dedup(t: pa.Table) -> pa.Table:
+        later = pc.greater(t["ts"], t["first_date"])
+        tie = pc.and_(
+            pc.equal(t["ts"], t["first_date"]),
+            pc.greater(t["next_order"], t["first_order"]),
+        )
+        t = t.filter(pc.or_(later, tie))
+        return t.select(["ck", "first_order", "next_order"]).rename_columns(
+            ["o_custkey", "first_order", "next_order"]
+        )
+
+    out = joined.map_batches(dedup, batch_format="pyarrow").to_pandas()
+    return out.sort_values(
+        ["o_custkey", "first_order", "next_order"]
+    ).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2845,6 +2911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "filter_funnel": _q_filter_funnel,
         "weighted_sample_orders": _q_weighted_sample_orders,
+        "repeat_orders_week": _q_repeat_orders_week,
         "pareto_customers": _q_pareto_customers,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
@@ -3242,6 +3309,16 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "repeat_orders_week": (
+            "SELECT a.o_custkey, b.o_orderkey AS first_order, "
+            "a.o_orderkey AS next_order "
+            "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey "
+            "AND a.o_orderdate >= b.o_orderdate "
+            "AND a.o_orderdate <= b.o_orderdate + INTERVAL 7 DAY "
+            "AND (a.o_orderdate > b.o_orderdate OR "
+            "(a.o_orderdate = b.o_orderdate AND a.o_orderkey > b.o_orderkey)) "
+            "ORDER BY 1, 2, 3"
+        ),
         "weighted_sample_orders": (
             "SELECT o_orderkey FROM orders "
             "WHERE CAST((strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 29, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 30, 1)) - 1) * 256 "

@@ -209,6 +209,7 @@ def bench_queries() -> dict[str, float]:
         "filter_funnel",
         "weighted_sample_orders",
         "pareto_customers",
+        "repeat_orders_week",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

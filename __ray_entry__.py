@@ -2828,6 +2828,56 @@ def _q_repeat_orders_week(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_revenue_gini(sf_dir: str):
+    """Gini concentration of per-customer revenue in EXACT integers:
+    G = (2*sum(i*v_i) - (n+1)*sum(v)) / (n*sum(v)) over ascending-rank
+    cents — returned as (gini_num, gini_den) so the division never
+    happens. Ranks come from the distributed range_rank (the
+    high-cardinality sort-rank path), so no stage holds more than one
+    range's rows; the final reduction is one integer aggregate."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from brinkray.textproc.relagg import range_rank
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+
+    per_cust = (
+        _ds(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    ranked = range_rank(per_cust, key_col="cents", id_col="o_custkey")
+
+    def weight(t: pa.Table) -> pa.Table:
+        i = pc.add(t["rank"], pa.scalar(1))  # 1-based
+        return pa.table(
+            {"cents": t["cents"], "iv": pc.multiply(i, t["cents"])}
+        )
+
+    agg = ranked.map_batches(weight, batch_format="pyarrow").aggregate(
+        Sum("cents", alias_name="s"), Sum("iv", alias_name="s1"),
+        Count(alias_name="n"),
+    )
+    s, s1, n = int(agg["s"]), int(agg["s1"]), int(agg["n"])
+    return pd.DataFrame(
+        {
+            "gini_num": pd.Series([2 * s1 - (n + 1) * s], dtype="int64"),
+            "gini_den": pd.Series([n * s], dtype="int64"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2912,6 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_funnel": _q_filter_funnel,
         "weighted_sample_orders": _q_weighted_sample_orders,
         "repeat_orders_week": _q_repeat_orders_week,
+        "revenue_gini": _q_revenue_gini,
         "pareto_customers": _q_pareto_customers,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
@@ -3309,6 +3360,17 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "revenue_gini": (
+            "WITH pc AS (SELECT o_custkey, "
+            "CAST(SUM(CAST(floor(o_totalprice*100.0) AS BIGINT)) AS BIGINT) "
+            "AS cents FROM orders GROUP BY 1), "
+            "r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) "
+            "AS i FROM pc), "
+            "a AS (SELECT CAST(SUM(cents) AS BIGINT) AS s, "
+            "CAST(SUM(i*cents) AS BIGINT) AS s1, COUNT(*) AS n FROM r) "
+            "SELECT CAST(2*s1 - (n+1)*s AS BIGINT) AS gini_num, "
+            "CAST(n*s AS BIGINT) AS gini_den FROM a"
+        ),
         "repeat_orders_week": (
             "SELECT a.o_custkey, b.o_orderkey AS first_order, "
             "a.o_orderkey AS next_order "

@@ -210,6 +210,7 @@ def bench_queries() -> dict[str, float]:
         "weighted_sample_orders",
         "pareto_customers",
         "repeat_orders_week",
+        "revenue_gini",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

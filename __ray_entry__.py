@@ -2878,6 +2878,83 @@ def _q_revenue_gini(sf_dir: str):
     )
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark/late-data detection: events whose event time trails
+    the per-user ARRIVAL-order watermark by > 24 hours. The generated
+    events arrive in perfect event-time order (zero late rows), so
+    arrival order is simulated with a deterministic md5 shuffle —
+    seq = u16(md5(event_id)) * 2^40 + event_id, identical on both
+    sides — which is exactly the out-of-order stream a watermark
+    exists for."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from brinkray.textproc.windows import late_events
+
+    def with_seq(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        u16 = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[-4:], 16)
+             for i in ids],
+            dtype=np.int64,
+        )
+        return t.append_column(
+            "arrival", pa.array((u16 << 40) + ids, pa.int64())
+        )
+
+    ev = _ds(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts"]
+    ).map_batches(with_seq, batch_format="pyarrow")
+    out = late_events(
+        ev, lateness_minutes=24 * 60, seq_col="arrival"
+    ).to_pandas()
+    out = out[["user_id", "arrival", "ts_us", "lag_us"]]
+    return out.sort_values(["user_id", "arrival"]).reset_index(drop=True)
+
+
+def _q_incremental_daily_counts(sf_dir: str):
+    """Incremental view maintenance: a base aggregate (events before
+    the split date) merged with a delta aggregate (events after) by
+    one sum over the union — certified against the full recompute (the
+    twin). The corpus never re-aggregates from scratch: each side is
+    its own combiner-bounded groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    split = np.datetime64("2024-01-15", "us")
+
+    def bucket(which: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if which == "base":
+                t = t.filter(pc.less(t["ts"], pa.scalar(split)))
+            else:
+                t = t.filter(pc.greater_equal(t["ts"], pa.scalar(split)))
+            day = pc.floor_temporal(t["ts"], unit="day")
+            return pa.table(
+                {"day": day,
+                 "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}
+            )
+
+        return fn
+
+    ev = _ds(sf_dir, "events").select_columns(["ts"])
+    base = ev.map_batches(bucket("base"), batch_format="pyarrow")
+    delta = ev.map_batches(bucket("delta"), batch_format="pyarrow")
+    out = (
+        base.union(delta)
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -2963,6 +3040,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": _q_weighted_sample_orders,
         "repeat_orders_week": _q_repeat_orders_week,
         "revenue_gini": _q_revenue_gini,
+        "late_events": _q_late_events,
+        "incremental_daily_counts": _q_incremental_daily_counts,
         "pareto_customers": _q_pareto_customers,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
@@ -3360,6 +3439,25 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "late_events": (
+            "WITH a AS (SELECT user_id, "
+            "CAST((strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 29, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 30, 1)) - 1) * 256 "
+            "+ (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 31, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 32, 1)) - 1) AS BIGINT) * 1099511627776 "
+            "+ event_id AS arrival, "
+            "CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events), "
+            "w AS (SELECT user_id, arrival, ts_us, "
+            "MAX(ts_us) OVER (PARTITION BY user_id ORDER BY arrival "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM a) "
+            "SELECT user_id, arrival, ts_us, "
+            "CAST(wm - ts_us AS BIGINT) AS lag_us "
+            "FROM w WHERE wm - ts_us > 86400000000::BIGINT "
+            "ORDER BY user_id, arrival"
+        ),
+        "incremental_daily_counts": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "revenue_gini": (
             "WITH pc AS (SELECT o_custkey, "
             "CAST(SUM(CAST(floor(o_totalprice*100.0) AS BIGINT)) AS BIGINT) "

@@ -211,6 +211,8 @@ def bench_queries() -> dict[str, float]:
         "pareto_customers",
         "repeat_orders_week",
         "revenue_gini",
+        "late_events",
+        "incremental_daily_counts",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

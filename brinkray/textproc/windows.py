@@ -39,6 +39,7 @@ __all__ = [
     "sliding_distinct_counts",
     "longest_streaks",
     "funnel_steps",
+    "late_events",
 ]
 
 
@@ -843,6 +844,52 @@ def funnel_steps(events_ds, steps: list[str], key: str = "user_id",
     return (
         events_ds.select_columns([key, type_col, ts_col])
         .map_batches(prune, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def late_events(events_ds, lateness_minutes: int = 60, key: str = "user_id",
+                ts_col: str = "ts", seq_col: str = "event_id"):
+    """Watermark / late-data detection (the streaming-semantics shape):
+    an event is LATE if its event time trails the per-key watermark —
+    the max event time seen earlier in ARRIVAL order (``seq_col``) —
+    by more than the allowed lateness. Returns the late rows
+    (key, seq, ts, lag_us).
+
+    Shape: one groupby(key); the per-key body is a vectorized
+    running-max over the arrival-sorted timestamps (np.maximum
+    .accumulate) — the same bounded-per-key-state contract as the
+    other window operators. A corpus-wide single watermark would
+    instead need the range-partitioned prefix pass (range_rank's
+    shape); per-key is the semantics real pipelines shard by.
+    """
+    lateness_us = np.int64(lateness_minutes) * 60 * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: t[key],
+                seq_col: t[seq_col],
+                "ts_us": t[ts_col].cast(pa.int64()),
+            }
+        )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(seq_col, kind="mergesort").reset_index(drop=True)
+        ts = g["ts_us"].to_numpy()
+        # watermark BEFORE each event: running max over the prefix
+        wm = np.concatenate(([np.int64(-(2**62))],
+                             np.maximum.accumulate(ts)[:-1]))
+        lag = wm - ts
+        late = lag > lateness_us
+        out = g[late].copy()
+        out["lag_us"] = lag[late]
+        return out
+
+    return (
+        events_ds.select_columns([key, seq_col, ts_col])
+        .map_batches(prep, batch_format="pyarrow")
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
     )

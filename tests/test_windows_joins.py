@@ -1104,3 +1104,31 @@ def test_funnel_steps_chained_ordering(ray_session):
     )
     assert out["user_id"].tolist() == [1, 2]
     assert out["max_step"].tolist() == [3, 2]
+
+
+def test_late_events_watermark(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import late_events
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+    hour = 3_600_000_000
+    # arrival order: seq; event at seq 3 is 3h older than the watermark
+    rows = {
+        "user_id": [1, 1, 1, 1],
+        "event_id": [10, 11, 12, 13],
+        "ts": [base, base + 4 * hour, base + hour, base + 5 * hour],
+    }
+    t = pa.table(
+        {
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    out = late_events(
+        rd.from_arrow(t), lateness_minutes=120, seq_col="event_id"
+    ).to_pandas()
+    assert out["event_id"].tolist() == [12]
+    assert out["lag_us"].tolist() == [3 * hour]

@@ -2955,6 +2955,74 @@ def _q_incremental_daily_counts(sf_dir: str):
     return out.sort_values("day").reset_index(drop=True)
 
 
+def _q_session_conversion(sf_dir: str):
+    """Sessionized conversion rate inputs: total session count and the
+    count containing >= 1 purchase, as exact integers (the rate is
+    their ratio). Per-user session assignment is the same vectorized
+    gaps-and-islands body as sessionize; only one tiny row per session
+    leaves the group."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Sum
+
+    gap = np.timedelta64(30 * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        sid = np.cumsum(np.concatenate(([True], np.diff(ts) > gap)))
+        hasp = pd.DataFrame(
+            {"sid": sid, "p": (g["event_type"].to_numpy() == "purchase")}
+        ).groupby("sid")["p"].any()
+        return pd.DataFrame({"hasp": hasp.astype("int64").to_numpy()})
+
+    agg = (
+        _ds(sf_dir, "events")
+        .select_columns(["user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .aggregate(Count(alias_name="n_sessions"),
+                   Sum("hasp", alias_name="n_with_purchase"))
+    )
+    return pd.DataFrame(
+        {
+            "n_sessions": pd.Series([int(agg["n_sessions"])], dtype="int64"),
+            "n_with_purchase": pd.Series(
+                [int(agg["n_with_purchase"])], dtype="int64"
+            ),
+        }
+    )
+
+
+def _q_top_entry_paths(sf_dir: str):
+    """Sequence-mining shape: the 10 most common first-3-event-type
+    paths across users (ties by path string). Per-user prefix
+    extraction is one groupby(user) with a vectorized argsort body;
+    the path-count exchange is bounded by |event types|^3."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").head(3)
+        return pd.DataFrame({"path": [">".join(g["event_type"])]})
+
+    out = (
+        _ds(sf_dir, "events")
+        .select_columns(["user_id", "ts", "event_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "path"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -3041,6 +3109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_orders_week": _q_repeat_orders_week,
         "revenue_gini": _q_revenue_gini,
         "late_events": _q_late_events,
+        "session_conversion": _q_session_conversion,
+        "top_entry_paths": _q_top_entry_paths,
         "incremental_daily_counts": _q_incremental_daily_counts,
         "pareto_customers": _q_pareto_customers,
         "grouped_token_quantiles": _q_grouped_token_quantiles,
@@ -3439,6 +3509,31 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "session_conversion": (
+            "WITH r AS (SELECT user_id, ts, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS brk FROM events WINDOW w AS ("
+            "PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, event_type, SUM(brk) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM r), "
+            "sess AS (SELECT user_id, sid, "
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hasp "
+            "FROM s GROUP BY 1, 2) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "CAST(SUM(hasp) AS BIGINT) AS n_with_purchase FROM sess"
+        ),
+        "top_entry_paths": (
+            "WITH f AS (SELECT user_id, event_type, ts, event_id, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "p AS (SELECT user_id, string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS path FROM f WHERE rn <= 3 "
+            "GROUP BY 1) "
+            "SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p "
+            "GROUP BY 1 ORDER BY n DESC, path LIMIT 10"
+        ),
         "late_events": (
             "WITH a AS (SELECT user_id, "
             "CAST((strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 29, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 30, 1)) - 1) * 256 "

@@ -213,6 +213,8 @@ def bench_queries() -> dict[str, float]:
         "revenue_gini",
         "late_events",
         "incremental_daily_counts",
+        "session_conversion",
+        "top_entry_paths",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

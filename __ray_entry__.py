@@ -3023,6 +3023,89 @@ def _q_top_entry_paths(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_imputed_values(sf_dir: str):
+    """Missing-value imputation (the data-repair shape): values of
+    events with event_id % 7 == 0 are treated as missing and filled
+    with their event type's median over the NON-missing rows (exact
+    cents, quantile_disc rank semantics). The per-group medians come
+    from one combiner-bounded (group, value, count) histogram groupby;
+    the small median table broadcasts into a vectorized fill pass."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        )
+        missing = pa.array(
+            t["event_id"].to_numpy(zero_copy_only=False) % 7 == 0
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cents": cents,
+                "missing": missing,
+            }
+        )
+
+    rows = (
+        _ds(sf_dir, "events")
+        .select_columns(["event_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = t.filter(pc.invert(t["missing"])).select(
+            ["event_type", "cents"]
+        ).to_pandas()
+        g = df.groupby(["event_type", "cents"]).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        rows.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )  # bounded by |types| x |distinct cents|
+    medians: dict[str, int] = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        n = int(g["c"].sum())
+        rank = max(1, math.ceil(0.5 * n))  # quantile_disc(0.5)
+        cum = g["c"].cumsum().to_numpy()
+        medians[et] = int(g["cents"].to_numpy()[np.searchsorted(cum, rank)])
+
+    import ray
+
+    med_ref = ray.put(medians)
+
+    def fill(t: pa.Table) -> pa.Table:
+        med = ray.get(med_ref)
+        ets = t["event_type"].to_pylist()
+        cents = t["cents"].to_numpy(zero_copy_only=False).copy()
+        miss = t["missing"].to_numpy(zero_copy_only=False)
+        fills = np.array([med[e] for e in ets], dtype=np.int64)
+        cents[miss] = fills[miss]
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "value_cents": pa.array(cents, pa.int64()),
+                "imputed": pa.array(miss),
+            }
+        )
+
+    out = rows.map_batches(fill, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -3110,6 +3193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_gini": _q_revenue_gini,
         "late_events": _q_late_events,
         "session_conversion": _q_session_conversion,
+        "imputed_values": _q_imputed_values,
         "top_entry_paths": _q_top_entry_paths,
         "incremental_daily_counts": _q_incremental_daily_counts,
         "pareto_customers": _q_pareto_customers,
@@ -3509,6 +3593,19 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "imputed_values": (
+            "WITH r AS (SELECT event_id, event_type, "
+            "CAST(floor(value*100.0) AS BIGINT) AS cents, "
+            "event_id % 7 = 0 AS missing FROM events), "
+            "m AS (SELECT event_type, "
+            "quantile_disc(cents, 0.5) AS med FROM r "
+            "WHERE NOT missing GROUP BY 1) "
+            "SELECT r.event_id, "
+            "CAST(CASE WHEN r.missing THEN m.med ELSE r.cents END AS BIGINT) "
+            "AS value_cents, r.missing AS imputed "
+            "FROM r JOIN m ON r.event_type = m.event_type "
+            "ORDER BY r.event_id"
+        ),
         "session_conversion": (
             "WITH r AS (SELECT user_id, ts, event_type, "
             "CASE WHEN lag(ts) OVER w IS NULL "

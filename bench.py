@@ -216,6 +216,7 @@ def bench_queries() -> dict[str, float]:
         "session_conversion",
         "top_entry_paths",
         "imputed_values",
+        "next_order_after_event",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

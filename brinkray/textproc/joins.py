@@ -154,9 +154,14 @@ def asof_join(
     right_ts: str,
     right_vals: list[str],
     buckets: int | None = None,
+    direction: str = "backward",
 ):
     """For each left row: columns of the latest right row with the same
     ``key`` and ``right_ts`` <= ``left_ts`` (nulls when none).
+    ``direction="forward"`` flips the semantics to the EARLIEST right
+    row with ``right_ts`` >= ``left_ts`` — the "next appointment"
+    shape (DuckDB's ASOF JOIN is backward-only; the forward twin is
+    the decorrelated MIN join).
 
     ``buckets`` (the shuffle fan-out; each bucket is one in-memory
     pandas merge_asof) defaults to 4x the cluster CPU count — a fixed
@@ -222,7 +227,7 @@ def asof_join(
             left_on=left_ts,
             right_on=right_ts,
             by=key,
-            direction="backward",
+            direction=direction,
             suffixes=("", "_r"),
         )
         return merged[out_cols]

@@ -1132,3 +1132,42 @@ def test_late_events_watermark(ray_session):
     ).to_pandas()
     assert out["event_id"].tolist() == [12]
     assert out["lag_us"].tolist() == [3 * hour]
+
+
+def test_asof_join_forward_matches_pandas(ray_session):
+    import ray.data as rd
+    from brinkray.textproc.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 50),
+            "lts": pd.to_datetime(rng.integers(0, 10**6, 50), unit="s"),
+            "lval": np.arange(50),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 30),
+            "rts": pd.to_datetime(rng.integers(0, 10**6, 30), unit="s"),
+            "price": rng.standard_normal(30).round(3),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", left_ts="lts", right_ts="rts",
+            right_vals=["price"], direction="forward",
+        )
+        .to_pandas().sort_values("lval").reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("lts", kind="mergesort"),
+        right.sort_values("rts", kind="mergesort"),
+        left_on="lts", right_on="rts", by="k", direction="forward",
+    ).sort_values("lval").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "lval", "price"]].astype({"price": "float64"}),
+        want[["k", "lval", "price"]].astype({"price": "float64"}),
+        check_dtype=False,
+    )

@@ -3156,6 +3156,131 @@ def _q_next_order_after_event(sf_dir: str):
     )
 
 
+def _q_revenue_by_balance_decile(sf_dir: str):
+    """Analytics composition: customers NTILE(10)-bucketed by account
+    balance (exact cents, range-partitioned global rank), native-joined
+    onto orders, revenue + order count per decile."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from brinkray.textproc.joins import default_join_partitions
+    from brinkray.textproc.relagg import range_rank
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["c_acctbal"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table({"c_custkey": t["c_custkey"], "bal_cents": cents})
+
+    deciles = range_rank(
+        _ds(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_acctbal"])
+        .map_batches(cust_prep, batch_format="pyarrow"),
+        key_col="bal_cents",
+        id_col="c_custkey",
+        n_buckets=10,
+    )
+
+    def keep_bucket(t: pa.Table) -> pa.Table:
+        return pa.table({"ck": t["c_custkey"], "decile": t["bucket"]})
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+
+    joined = (
+        _ds(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(ord_prep, batch_format="pyarrow")
+        .join(
+            deciles.map_batches(keep_bucket, batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("o_custkey",),
+            right_on=("ck",),
+        )
+    )
+    out = (
+        joined.groupby("decile")
+        .aggregate(Sum("cents", alias_name="rev_cents"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["rev_cents"] = out["rev_cents"].astype("int64")
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+def _q_loo_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding (the ML feature-engineering shape:
+    each row's feature is its GROUP's mean computed WITHOUT the row, so
+    the encoding never leaks the row's own target): per order,
+    (sum_others, n_others) = (group_sum - v, n - 1) as exact integers —
+    the mean is the rational num/den, never a float. Per-customer sums
+    come from the bucket-vectorized kernel; one native join back."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.joins import default_join_partitions
+    from brinkray.textproc.relagg import bucketed_group_sums
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        ones = pa.array([1] * t.num_rows, pa.int64())
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "o_orderkey": t["o_orderkey"],
+             "cents": cents, "_n": ones}
+        )
+
+    rows = (
+        _ds(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def agg_in(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "s": t["cents"], "n": t["_n"]}
+        )
+
+    agg = bucketed_group_sums(
+        rows.map_batches(agg_in, batch_format="pyarrow"),
+        key_col="o_custkey", sum_cols=["s", "n"],
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["ck", "s", "n"])
+
+    joined = rows.join(
+        agg.map_batches(rename, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("o_custkey",),
+        right_on=("ck",),
+    )
+
+    def loo(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], pa.scalar(1)))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "loo_num": pc.subtract(t["s"], t["cents"]),
+                "loo_den": pc.subtract(t["n"], pa.scalar(1)),
+            }
+        )
+
+    out = joined.map_batches(loo, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -3245,6 +3370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion": _q_session_conversion,
         "imputed_values": _q_imputed_values,
         "next_order_after_event": _q_next_order_after_event,
+        "revenue_by_balance_decile": _q_revenue_by_balance_decile,
+        "loo_target_encoding": _q_loo_target_encoding,
         "top_entry_paths": _q_top_entry_paths,
         "incremental_daily_counts": _q_incremental_daily_counts,
         "pareto_customers": _q_pareto_customers,
@@ -3644,6 +3771,26 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "revenue_by_balance_decile": (
+            "WITH d AS (SELECT c_custkey, ntile(10) OVER ("
+            "ORDER BY CAST(floor(c_acctbal*100.0) AS BIGINT), c_custkey) "
+            "AS decile FROM customer) "
+            "SELECT CAST(d.decile AS BIGINT) AS decile, "
+            "CAST(SUM(CAST(floor(o_totalprice*100.0) AS BIGINT)) AS BIGINT) "
+            "AS rev_cents, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders o JOIN d ON o.o_custkey = d.c_custkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "loo_target_encoding": (
+            "WITH r AS (SELECT o_custkey, o_orderkey, "
+            "CAST(floor(o_totalprice*100.0) AS BIGINT) AS cents FROM orders), "
+            "a AS (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS s, "
+            "COUNT(*) AS n FROM r GROUP BY 1) "
+            "SELECT r.o_orderkey, CAST(a.s - r.cents AS BIGINT) AS loo_num, "
+            "CAST(a.n - 1 AS BIGINT) AS loo_den "
+            "FROM r JOIN a ON r.o_custkey = a.o_custkey "
+            "WHERE a.n > 1 ORDER BY 1"
+        ),
         "next_order_after_event": (
             "WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer), "
             "e AS (SELECT event_id, user_id % (SELECT m FROM mx) + 1 AS ck, "

@@ -217,6 +217,8 @@ def bench_queries() -> dict[str, float]:
         "top_entry_paths",
         "imputed_values",
         "next_order_after_event",
+        "revenue_by_balance_decile",
+        "loo_target_encoding",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

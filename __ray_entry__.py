@@ -3281,6 +3281,73 @@ def _q_loo_target_encoding(sf_dir: str):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def _q_score_calibration(sf_dir: str):
+    """Model-eval calibration table: documents NTILE(10)-bucketed by
+    quality-model score (exact integers, ties by doc_id), per decile
+    the row count and the count passing the decision threshold — the
+    table a score-calibration curve is plotted from."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from brinkray.textproc.quality import score_documents_linear
+    from brinkray.textproc.relagg import range_rank
+
+    scores = score_documents_linear(_ds(sf_dir, "documents")).materialize()
+    ranked = range_rank(scores, key_col="score", id_col="doc_id",
+                        n_buckets=10)
+
+    def flag(t: pa.Table) -> pa.Table:
+        # rejoin passes from the score itself (rank kept only key+id)
+        return pa.table(
+            {
+                "decile": t["bucket"],
+                "pass_i": pc.cast(pc.greater(t["score"], pa.scalar(0)),
+                                  pa.int64()),
+            }
+        )
+
+    out = (
+        ranked.map_batches(flag, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Count(alias_name="n"), Sum("pass_i", alias_name="n_pass"))
+        .to_pandas()
+    )
+    out["n_pass"] = out["n_pass"].astype("int64")
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+def _q_lang_id_prf(sf_dir: str):
+    """Per-class precision/recall INPUTS for the lang-ID model
+    (tp/fp/fn as exact integers — precision = tp/(tp+fp), recall =
+    tp/(tp+fn) are the callers' rationals): derived from the
+    |classes|^2-bounded confusion counts, classes = labels ∪
+    predictions."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from brinkray.textproc.quality import add_lang_id
+
+    conf = (
+        add_lang_id(_ds(sf_dir, "documents").select_columns(["lang", "text"]))
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )  # bounded by |classes|^2
+    classes = sorted(set(conf["lang"]) | set(conf["lang_pred"]))
+    rows = []
+    for c in classes:
+        tp = int(conf[(conf["lang"] == c) & (conf["lang_pred"] == c)]["n"].sum())
+        fn = int(conf[(conf["lang"] == c) & (conf["lang_pred"] != c)]["n"].sum())
+        fp = int(conf[(conf["lang"] != c) & (conf["lang_pred"] == c)]["n"].sum())
+        rows.append((c, tp, fp, fn))
+    return pd.DataFrame(rows, columns=["cls", "tp", "fp", "fn"]).astype(
+        {"tp": "int64", "fp": "int64", "fn": "int64"}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -3372,6 +3439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_order_after_event": _q_next_order_after_event,
         "revenue_by_balance_decile": _q_revenue_by_balance_decile,
         "loo_target_encoding": _q_loo_target_encoding,
+        "score_calibration": _q_score_calibration,
+        "lang_id_prf": _q_lang_id_prf,
         "top_entry_paths": _q_top_entry_paths,
         "incremental_daily_counts": _q_incremental_daily_counts,
         "pareto_customers": _q_pareto_customers,
@@ -3771,6 +3840,44 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lang_id: same stopword profiles inlined; the CASE cascade encodes
         # the Python argmax's strict-> tie-break (alphabetical profile order
         # wins ties; ratios share the denominator so counts compare exactly).
+        "score_calibration": (
+            "WITH f AS (SELECT doc_id, "
+            "500 + 3*CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "- n_chars "
+            "+ 20*CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) "
+            "- 5*CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) "
+            "AS score FROM documents), "
+            "d AS (SELECT score, ntile(10) OVER (ORDER BY score, doc_id) "
+            "AS decile FROM f) "
+            "SELECT CAST(decile AS BIGINT) AS decile, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*) FILTER (score > 0) AS BIGINT) AS n_pass "
+            "FROM d GROUP BY 1 ORDER BY 1"
+        ),
+        "lang_id_prf": (
+            "WITH toks AS (SELECT lang, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS tk "
+            "FROM documents), r AS (SELECT lang, len(tk) AS nt, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('de')}))) AS c_de, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('en')}))) AS c_en, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('es')}))) AS c_es, "
+            f"len(list_filter(tk, t -> t IN ({_sql_set('fr')}))) AS c_fr "
+            "FROM toks), m AS (SELECT lang, CASE "
+            "WHEN nt = 0 OR (c_de = 0 AND c_en = 0 AND c_es = 0 AND c_fr = 0) THEN 'und' "
+            "WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de' "
+            "WHEN c_en >= c_es AND c_en >= c_fr THEN 'en' "
+            "WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS lang_pred FROM r), "
+            "c AS (SELECT DISTINCT lang AS cls FROM m "
+            "UNION SELECT DISTINCT lang_pred FROM m) "
+            "SELECT c.cls, "
+            "CAST((SELECT COUNT(*) FROM m WHERE m.lang = c.cls "
+            "AND m.lang_pred = c.cls) AS BIGINT) AS tp, "
+            "CAST((SELECT COUNT(*) FROM m WHERE m.lang <> c.cls "
+            "AND m.lang_pred = c.cls) AS BIGINT) AS fp, "
+            "CAST((SELECT COUNT(*) FROM m WHERE m.lang = c.cls "
+            "AND m.lang_pred <> c.cls) AS BIGINT) AS fn "
+            "FROM c ORDER BY c.cls"
+        ),
         "revenue_by_balance_decile": (
             "WITH d AS (SELECT c_custkey, ntile(10) OVER ("
             "ORDER BY CAST(floor(c_acctbal*100.0) AS BIGINT), c_custkey) "

@@ -219,6 +219,8 @@ def bench_queries() -> dict[str, float]:
         "next_order_after_event",
         "revenue_by_balance_decile",
         "loo_target_encoding",
+        "score_calibration",
+        "lang_id_prf",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

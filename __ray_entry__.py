@@ -3348,6 +3348,35 @@ def _q_lang_id_prf(sf_dir: str):
     )
 
 
+def _q_crawl_url_features(sf_dir: str):
+    """Web-analytics features over the crawl's reached URL set: path
+    depth (non-empty '/'-segments) and query-string flag per canonical
+    url — a stateless vectorized map over the seen set, twinned
+    through the same recursive-CTE reachability fixpoint as
+    crawl_seen_set."""
+    import re
+
+    import pandas as pd
+
+    res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
+    urls = sorted(res.seen.keys())
+    path_re = re.compile(r"^https?://[^/?#]+([^?#]*)")
+    depths, has_q = [], []
+    for u in urls:
+        m = path_re.match(u)
+        path = m.group(1) if m else ""
+        depths.append(len([s for s in path.split("/") if s]))
+        has_q.append("?" in u)
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "depth": pd.Series(depths, dtype="int64"),
+            "has_query": has_q,
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -3509,6 +3538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         # the crawl engine itself (non-SQL-expressible: stateful wave loop)
         "crawl_seen_set": _q_crawl_seen,
+        "crawl_url_features": _q_crawl_url_features,
         "crawl_events": _q_crawl_events,
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_extract_links": _q_crawl_extract_links,
@@ -4273,6 +4303,15 @@ def _oracle_sql_dict() -> dict[str, str]:
         # recursive-CTE BFS fixpoint over the dumped pages — an
         # independent re-derivation of the stateful wave loop's result,
         # valid because membership and statuses are order-independent.
+        "crawl_url_features": (
+            _CRAWL_CTE
+            + "SELECT r.canon AS url, "
+            "CAST(len(list_filter(str_split("
+            "regexp_extract(r.canon, '^https?://[^/?#]+([^?#]*)', 1), '/'), "
+            "s -> s <> '')) AS BIGINT) AS depth, "
+            "contains(r.canon, '?') AS has_query "
+            "FROM reach r ORDER BY url"
+        ),
         "crawl_seen_set": (
             _CRAWL_CTE
             + "SELECT r.canon AS url, CAST(COALESCE(i.status, 404) AS BIGINT) AS status "

@@ -221,6 +221,7 @@ def bench_queries() -> dict[str, float]:
         "loo_target_encoding",
         "score_calibration",
         "lang_id_prf",
+        "crawl_url_features",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -1652,7 +1652,10 @@ def _q_order_price_ntile(sf_dir: str):
     )
 
     def cents(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        # repo-wide fixed-point rule: floor(x*100) on BOTH sides (pyarrow
+        # round is half-to-even, DuckDB ROUND is half-away — floor avoids
+        # the divergence entirely).
+        c = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
         return pa.table({"bucket": t["bucket"], "c": c})
 
     out = (
@@ -2324,7 +2327,7 @@ def _q_snapshot_diff(sf_dir: str):
     """CDC diff between two corpus snapshots (added/removed/modified by
     content hash). Snapshot B is derived deterministically from the
     documents table (drop id%17==0, revise id%13==0, add id%19==0 under
-    id+100000) so both the Ray side and the SQL twin construct the
+    id + 2^40 — a high-bit offset that cannot collide with real ids) so both the Ray side and the SQL twin construct the
     identical pair of inputs."""
     import pyarrow as pa
 
@@ -2343,7 +2346,7 @@ def _q_snapshot_diff(sf_dir: str):
             out_tx.append(tx + " rev2" if i % 13 == 0 else tx)
         for i, tx in zip(idn, texts):
             if i % 19 == 0:
-                out_id.append(int(i) + 100000)
+                out_id.append(int(i) + (1 << 40))
                 out_tx.append(tx)
         return pa.table(
             {"doc_id": pa.array(out_id, pa.int64()),
@@ -2517,7 +2520,7 @@ def _q_time_to_first_purchase(sf_dir: str):
 
 def _q_cdc_apply(sf_dir: str):
     """CDC merge/upsert: apply a derived change stream (revise id%13,
-    delete id%17 — deletes win, insert id%19 under id+100000) onto the
+    delete id%17 — deletes win, insert id%19 under id + 2^40) onto the
     documents snapshot; certified by the twin constructing the target
     snapshot directly. Returns (doc_id, fp) — content hashes, so the
     comparison covers payload bytes, not just keys."""
@@ -2540,7 +2543,7 @@ def _q_cdc_apply(sf_dir: str):
                 out_id.append(int(i)); out_op.append("upsert")
                 out_tx.append(tx + " rev2")
             if i % 19 == 0:
-                out_id.append(int(i) + 100000); out_op.append("upsert")
+                out_id.append(int(i) + (1 << 40)); out_op.append("upsert")
                 out_tx.append(tx)
         return pa.table(
             {"doc_id": pa.array(out_id, pa.int64()),
@@ -3092,15 +3095,21 @@ def _q_imputed_values(sf_dir: str):
         ets = t["event_type"].to_pylist()
         cents = t["cents"].to_numpy(zero_copy_only=False).copy()
         miss = t["missing"].to_numpy(zero_copy_only=False)
-        fills = np.array([med[e] for e in ets], dtype=np.int64)
+        # An event_type with ONLY missing rows has no median; the SQL
+        # twin's inner join on the medians table silently drops those
+        # rows — mirror that (instead of raising KeyError).
+        has_med = np.array([e in med for e in ets], dtype=bool)
+        fills = np.array([med.get(e, 0) for e in ets], dtype=np.int64)
         cents[miss] = fills[miss]
-        return pa.table(
+        out = pa.table(
             {
                 "event_id": t["event_id"],
                 "value_cents": pa.array(cents, pa.int64()),
                 "imputed": pa.array(miss),
             }
         )
+        keep = np.logical_or(~miss, has_med)
+        return out if bool(keep.all()) else out.filter(pa.array(keep))
 
     out = rows.map_batches(fill, batch_format="pyarrow").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
@@ -4436,7 +4445,7 @@ def _oracle_sql_dict() -> dict[str, str]:
             "b AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 "
             "THEN text || ' rev2' ELSE text END) AS fp FROM documents "
             "WHERE doc_id % 17 <> 0 "
-            "UNION ALL SELECT doc_id + 100000, md5(text) FROM documents "
+            "UNION ALL SELECT doc_id + (1::BIGINT << 40), md5(text) FROM documents "
             "WHERE doc_id % 19 = 0) "
             "SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, "
             "CASE WHEN b.doc_id IS NULL THEN 'removed' "
@@ -4519,7 +4528,7 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 "
             "THEN text || ' rev2' ELSE text END) AS fp FROM documents "
             "WHERE doc_id % 17 <> 0 "
-            "UNION ALL SELECT doc_id + 100000, md5(text) FROM documents "
+            "UNION ALL SELECT doc_id + (1::BIGINT << 40), md5(text) FROM documents "
             "WHERE doc_id % 19 = 0 ORDER BY 1"
         ),
         "graph_distances": (
@@ -4940,7 +4949,7 @@ def _oracle_sql_dict() -> dict[str, str]:
             "ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket "
             "FROM orders) "
             "SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n, "
-            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
             "AS sum_cents FROM r GROUP BY bucket ORDER BY bucket"
         ),
         # exact distinct-token cardinality — the oracle-certified

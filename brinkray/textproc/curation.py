@@ -1357,7 +1357,8 @@ def snapshot_diff(a_ds, b_ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def apply_changes(base_ds, changes_ds, id_col: str = "doc_id",
-                  text_col: str = "text", num_partitions: int = 8):
+                  text_col: str = "text",
+                  num_partitions: int | None = None):
     """CDC merge/upsert (the inverse of :func:`snapshot_diff`): apply a
     change stream — rows (id, op, text) with op in {'upsert','delete'};
     at most one change row per id, deletes win upstream — onto a base

@@ -616,7 +616,8 @@ def above_group_avg(ds, key: str, id_col: str, val_col: str,
 
 
 def pair_cooccurrence(ds, group_col: str, item_col: str,
-                      min_count: int = 2, max_items: int = 256):
+                      min_count: int = 2, max_items: int = 256,
+                      on_oversize: str = "raise"):
     """Market-basket pair co-occurrence (the self-join shape of TPC-H
     Q18-style basket analysis): for every unordered pair of distinct
     items that appear together in the same group, count the number of
@@ -630,11 +631,16 @@ def pair_cooccurrence(ds, group_col: str, item_col: str,
     over group slices (np.triu_indices — no per-group DataFrames);
     (2) pairs bucket by pair hash and each bucket counts its pairs
     with one lexsort + run-length pass. Pair fan-out is quadratic in
-    basket size, so groups larger than ``max_items`` are truncated to
-    their smallest ``max_items`` items and the truncation is LOGGED
-    (no silent caps); TPC-H-shaped baskets are <= ~7 items so the cap
-    never fires on the testdata.
+    basket size, so groups larger than ``max_items`` RAISE by default
+    (``on_oversize="raise"``, mirroring interval_join's max_span
+    contract — a truncated result would silently diverge from any SQL
+    oracle); pass ``on_oversize="truncate"`` to instead keep each
+    oversized group's smallest ``max_items`` items with a LOGGED
+    warning. TPC-H-shaped baskets are <= ~7 items so the cap never
+    fires on the testdata.
     """
+    if on_oversize not in ("raise", "truncate"):
+        raise ValueError(f"on_oversize must be raise|truncate, got {on_oversize!r}")
     import logging
 
     import ray
@@ -672,6 +678,13 @@ def pair_cooccurrence(ds, group_col: str, item_col: str,
             if k < 2:
                 continue
             if k > max_items:
+                if on_oversize == "raise":
+                    raise ValueError(
+                        f"pair_cooccurrence: group of {k} items exceeds "
+                        f"max_items={max_items}; pair fan-out is C(k,2). "
+                        "Raise max_items or pass on_oversize='truncate' "
+                        "(truncation diverges from a capless SQL oracle)."
+                    )
                 log.warning(
                     "pair_cooccurrence: group truncated %d -> %d items",
                     k, max_items,

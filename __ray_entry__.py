@@ -257,21 +257,70 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
-    from brinkray.textproc.dedup import minhash_lsh_pairs
+    """MinHash-LSH near-dup, restructured to a driver-CHECKABLE
+    deterministic output: 1-row bands (bands=64 — a true s>=0.5 pair
+    escapes all 64 with p=(1-s)^64 <= 5e-20) propose candidates, exact
+    set-Jaccard verifies at 0.5, and the emitted (doc_a, doc_b,
+    jaccard) is the exact-verified subset — which IS SQL-expressible,
+    so DuckDB brute-force re-derives it independently of the MinHash
+    machinery. est-threshold 0.2 on the signature prunes candidates
+    (P(est<0.2 | s>=0.5) ~ Phi(-4.8)); bucket_cap above corpus size
+    keeps conformance recall exact (scale runs keep the default cap +
+    logged truncation)."""
+    from brinkray.textproc.dedup import jaccard_verify, minhash_lsh_pairs
 
-    return _to_pandas(minhash_lsh_pairs(_ds(sf_dir, "documents"), threshold=0.2))
+    docs = _ds(sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, threshold=0.2, bands=64, bucket_cap=1 << 20
+    ).materialize()
+    if cand.count() == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    return _to_pandas(jaccard_verify(docs, cand, threshold=0.5))
 
 
 def _q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup at max_hamming=3 with the md5_number_lower
+    token hash: 4-chunk pigeonhole makes candidate recall EXACT for
+    distance <= 3, and the md5 hash makes the 64-bit signatures (and
+    so the whole Hamming-pair result) independently re-derivable by
+    the DuckDB twin — the sketch computation itself is driver-checked.
+    Token-less docs are excluded on both sides (SQL's per-token
+    aggregation never sees them); bucket_cap above corpus size keeps
+    conformance recall exact."""
+    import pyarrow.compute as pc
+
     from brinkray.textproc.dedup import simhash_pairs
 
-    return _to_pandas(simhash_pairs(_ds(sf_dir, "documents"), max_hamming=8))
+    docs = _ds(sf_dir, "documents").map_batches(
+        lambda t: t.filter(
+            pc.match_substring_regex(pc.utf8_lower(t["text"]), "[a-z0-9]")
+        ),
+        batch_format="pyarrow",
+    )
+    return _to_pandas(
+        simhash_pairs(docs, max_hamming=3, hash_kind="md5", bucket_cap=1 << 20)
+    )
 
 
 def _q_dedup_ngram(sf_dir: str):
-    from brinkray.textproc.dedup import ngram_jaccard_pairs
+    """Exact n-gram-Jaccard similarity self-join at t=0.5 via the
+    prefix-filtered inverted shingle index (AllPairs/PPJoin bound) —
+    recall exactly 1 by construction, so the result equals the DuckDB
+    brute-force twin row for row. Independent code path from
+    dedup_minhash_lsh (which reaches the same answer through
+    LSH-propose + exact-verify): the two certify each other AND the
+    shared oracle."""
+    from brinkray.textproc.dedup import shingle_join_pairs
 
-    return _to_pandas(ngram_jaccard_pairs(_ds(sf_dir, "documents"), threshold=0.1))
+    return _to_pandas(
+        shingle_join_pairs(_ds(sf_dir, "documents"), threshold=0.5,
+                           bucket_cap=1 << 20)
+    )
 
 
 def _q_ngram_exact(sf_dir: str):
@@ -322,9 +371,31 @@ def _q_ann_ivf_exhaustive(sf_dir: str):
 
 
 def _q_embedding_dups(sf_dir: str):
+    """Hyperplane-LSH embedding near-dup, restructured driver-visible:
+    3-bit tables x 48 (a true cos>=0.4 pair — collision prob per table
+    p^3 >= 0.251 — escapes all 48 with p <= 1e-6) propose, exact
+    in-bucket cosine verifies at 0.4, and the emitted (vec_a, vec_b)
+    membership equals the brute-force SQL twin (threshold margin
+    >= 1e-5 measured on all sfs, so the last-ulp summation-order
+    difference cannot flip a pair — same argument as
+    embedding_dups_exact). bucket_cap above corpus size keeps
+    conformance recall exact; scale runs use the default sharp
+    (bits ~ log2(n/32)) tables + capped buckets."""
+    import pandas as pd
+
     from brinkray.textproc.dedup import embedding_dup_pairs
 
-    return _to_pandas(embedding_dup_pairs(_ds(sf_dir, "embeddings"), threshold=0.9))
+    out = _to_pandas(
+        embedding_dup_pairs(
+            _ds(sf_dir, "embeddings"), threshold=0.4, n_tables=48, bits=3,
+            bucket_cap=1 << 20,
+        )
+    )
+    return (
+        out.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})[["vec_a", "vec_b"]]
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
 
 
 def _query_vec(sf_dir: str):
@@ -349,9 +420,20 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    from brinkray.textproc.similarity import ivf_topk
+    """EXACT top-k through the IVF index with per-cell angular-radius
+    pruning (ivf_topk_pruned): probes cells in bound order and stops
+    only when no unprobed cell can beat the k-th best, so the
+    membership provably equals the brute-force scan — and the DuckDB
+    twin. This replaces the fixed-nprobe approximate variant as the
+    driver surface (recall<1 is invisible to a SQL oracle); the
+    approximate path stays pytest-pinned via its recall bound."""
+    from brinkray.textproc.similarity import ivf_topk_pruned
 
-    return ivf_topk(_ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10).to_pandas()
+    out = ivf_topk_pruned(
+        _ds(sf_dir, "embeddings"), _query_vec(sf_dir), k=10, n_centroids=16,
+        nprobe=4,
+    ).to_pandas()
+    return out[["vec_id"]]
 
 
 # the crawl-loop oracles re-derive the BFS fixpoint with a DuckDB
@@ -1709,17 +1791,23 @@ def _q_click_no_purchase_days(sf_dir: str):
 
 
 def _q_hll_users_per_event_type(sf_dir: str):
-    """Per-group approximate distinct users (grouped HLL sketch) —
-    rows-only by nature (the estimate is not SQL); its EXACT sibling
-    distinct_users_per_event_type is oracle-certified, and pytest ties
-    the two within the sketch's standard error."""
-    from brinkray.textproc.sketch import hll_grouped
+    """Per-group HLL sketch, restructured driver-visible: the emitted
+    surface is the merged REGISTER TABLE (event_type, reg, rank) —
+    the sketch's entire state in integers — computed with the
+    md5_number_lower value hash so DuckDB re-derives every register
+    independently (reg = top-12 hash bits, rank = leading zeros of
+    the remaining 52 + 1 via exact bin()-string length — floor(log2)
+    rounds 2^k-1 UP at k>=49 and is avoided on both sides). Pins the
+    full sketch computation, not just its estimate; the estimate
+    itself stays pytest-tied to the exact sibling
+    (distinct_users_per_event_type)."""
+    from brinkray.textproc.sketch import hll_grouped_registers
 
-    out = hll_grouped(
+    out = hll_grouped_registers(
         _ds(sf_dir, "events"), key_col="event_type", value_col="user_id",
-        p=12,
+        p=12, hash_kind="md5",
     ).to_pandas()
-    return out.sort_values("event_type").reset_index(drop=True)
+    return out.sort_values(["event_type", "reg"]).reset_index(drop=True)
 
 
 def _q_props_k_stats(sf_dir: str):
@@ -4283,6 +4371,104 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT e.vec_id FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10"
+        ),
+        # exact IVF top-k with radius-bound pruning == brute force by
+        # construction (probing stops only when no unprobed cell can
+        # beat the k-th best) => same membership twin as the scan.
+        "ann_ivf_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings "
+            "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) "
+            "SELECT e.vec_id FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10"
+        ),
+        # MinHash-LSH propose + exact-verify at t=0.5: the verified
+        # subset is SQL-expressible (brute-force pairwise Jaccard) —
+        # 1-row bands make LSH recall 1-(1-s)^64 (miss <= 5e-20 at the
+        # threshold), so the equality is deterministic in practice.
+        "dedup_minhash_lsh": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s FROM toks), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) "
+            "/ greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5 "
+            "ORDER BY 1, 2"
+        ),
+        # exact prefix-filtered shingle join (recall 1 by the
+        # AllPairs/PPJoin bound) — same brute-force twin as the
+        # LSH-verified path above; two independent Ray code paths,
+        # one oracle.
+        "dedup_ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s FROM toks), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) "
+            "/ greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5 "
+            "ORDER BY 1, 2"
+        ),
+        # SimHash at max_hamming=3: 4-chunk pigeonhole recall is EXACT
+        # and the md5_number_lower token hash lets DuckDB re-derive the
+        # 64-bit signatures independently (per-bit +/-1 majority vote,
+        # packed into two BIGINT halves to stay inside shift range).
+        "dedup_simhash": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+            "FROM documents), "
+            "th AS (SELECT doc_id, md5_number_lower(tok)::UBIGINT AS h FROM toks), "
+            "bits AS (SELECT doc_id, bb.b, "
+            "SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+            "FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb "
+            "GROUP BY doc_id, bb.b), "
+            "sig AS (SELECT doc_id, "
+            "CAST(SUM(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) "
+            "ELSE 0 END) AS BIGINT) AS lo, "
+            "CAST(SUM(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) "
+            "ELSE 0 END) AS BIGINT) AS hi FROM bits GROUP BY doc_id) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) "
+            "AS BIGINT) AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 "
+            "ORDER BY 1, 2"
+        ),
+        # hyperplane-LSH propose + exact cosine verify at 0.4 — same
+        # membership as the brute-force twin (recall: 48 tables x 3
+        # bits miss a true pair with p <= 1e-6; margin at the 0.4
+        # boundary >= 1e-5 measured on all sfs).
+        "embedding_dups": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY 1, 2"
+        ),
+        # grouped-HLL register table: reg = top-12 bits of
+        # md5_number_lower(str(user_id)), rank = leading zeros of the
+        # low 52 bits + 1 — computed with exact bin()-string length
+        # (floor(log2(2^k-1)) rounds UP at k >= 49; measured), max-
+        # merged per (event_type, reg). Pins the sketch state itself.
+        "hll_users_per_event_type": (
+            "WITH h AS (SELECT event_type, "
+            "md5_number_lower(CAST(user_id AS VARCHAR))::UBIGINT AS h "
+            "FROM events), "
+            "r AS (SELECT event_type, CAST(h >> 52 AS BIGINT) AS reg, "
+            "CASE WHEN w = 0 THEN 53 "
+            "ELSE 53 - length(ltrim(bin(w), '0')) END AS rk "
+            "FROM (SELECT event_type, h, "
+            "h & 4503599627370495::UBIGINT AS w FROM h)) "
+            "SELECT event_type, reg, CAST(MAX(rk) AS BIGINT) AS \"rank\" "
+            "FROM r GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # exact shingle-Jaccard kernel: DuckDB re-derives the 3-token
         # shingle SETS from the text (regexp tokenizer == TOKEN_RE,

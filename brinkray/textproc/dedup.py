@@ -23,6 +23,7 @@ from .hashing import (
     minhash_signature,
     shingle_hashes,
     simhash64,
+    simhash64_md5 as _simhash64_md5,
 )
 
 BANDS = 16
@@ -391,11 +392,20 @@ def minhash_rows(ds, text_col: str = "text", id_col: str = "doc_id", bands: int 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5, bands=BANDS):
+def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5,
+                      bands=BANDS, bucket_cap: int = BUCKET_CAP):
     """MinHash+LSH near-dup candidates: bucket by (band, band_hash),
     estimate Jaccard from full signatures, keep pairs >= threshold.
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, deduped
-    across bands via a final groupby."""
+    across bands via a final groupby.
+
+    ``bands`` trades precision for recall: with NUM_PERM=64, bands=16
+    gives 4-row bands (sharp, P(collide)=1-(1-s^4)^16), bands=64 gives
+    1-row bands (P(collide)=1-(1-s)^64 — misses a true s>=0.5 pair
+    with p<=5e-20, which makes an exact-verified result deterministic
+    for all practical purposes). ``bucket_cap`` bounds quadratic
+    bucket work at scale (truncation is logged, never silent);
+    conformance-scale callers pass a cap above the corpus size."""
     from ray.data.aggregate import Max
 
     rows = minhash_rows(ds, text_col, id_col, bands)
@@ -405,9 +415,9 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5, bands
         n = len(g)
         if n < 2:
             return _pairs_frame([], [], [], "est_jaccard")
-        if n > BUCKET_CAP:
-            g = g.head(BUCKET_CAP)  # star-pattern cap, see module docstring
-            n = BUCKET_CAP
+        if n > bucket_cap:
+            g = g.head(bucket_cap)  # star-pattern cap, see module docstring
+            n = bucket_cap
         ids = g[id_col].to_numpy()
         sigs = np.stack(
             [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
@@ -423,7 +433,7 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5, bands
         return _pairs_frame(a_list, b_list, est_list, "est_jaccard")
 
     rows = rows.materialize()  # signatures are computed once, reused by both passes
-    colliding = _keep_colliding_buckets(rows, ["band", "band_hash"])
+    colliding = _keep_colliding_buckets(rows, ["band", "band_hash"], cap=bucket_cap)
     if colliding is None:
         return _ensure_pair_schema(None, "est_jaccard", pa.float64())
     pairs = _grouped_bucket_pairs(
@@ -447,6 +457,83 @@ def ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", threshold=0.3, ban
 
     cand = minhash_lsh_pairs(ds, text_col, id_col, threshold=0.0, bands=bands)
     cand = cand.materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(_EMPTY_JACCARD)
+    return jaccard_verify(ds, cand, text_col, id_col, threshold)
+
+
+def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
+                       id_col="doc_id", bucket_cap: int = BUCKET_CAP):
+    """EXACT similarity self-join: every pair with shingle-set Jaccard
+    >= ``threshold``, via an inverted shingle index with PREFIX
+    FILTERING (the AllPairs/PPJoin bound — Bayardo et al., WWW'07;
+    Xiao et al., WWW'08). Unlike the MinHash path this is
+    deterministic with recall EXACTLY 1 by construction, so its output
+    equals a brute-force SQL oracle row for row.
+
+    Prefix bound: order each doc's distinct shingle hashes ascending
+    (any total order all docs agree on works; the uniform hash order
+    doubles as load balancing) and emit only the first
+    ``n - ceil(t*n) + 1`` of its n shingles into the index. A pair
+    with Jaccard >= t has |intersection| >= ceil(t*n) for BOTH side
+    sizes n, so it must collide on at least one indexed prefix
+    shingle — suffix-only overlap would cap the intersection at
+    ceil(t*n) - 1. Collision buckets then emit candidate pairs
+    (star-capped per ``bucket_cap``; truncation is logged by
+    _keep_colliding_buckets — conformance callers pass a cap above
+    the corpus size to keep exactness) and ``jaccard_verify`` computes
+    true set Jaccard fully distributed.
+
+    Scale shape: the index holds (1-t)-fraction of the corpus'
+    shingles (t=0.5 halves it), buckets prune to colliding keys
+    before any per-group Python, candidate pairs dedup through the
+    hash-partitioned exchange, and verification shuffles shingle
+    payloads only for docs that appear in some candidate pair."""
+    import math
+
+    import ray.data as rd
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        out_sh, out_id = [], []
+        for i, text in zip(ids, t[text_col].to_pylist()):
+            sh = np.unique(shingle_hashes(text))  # distinct + ascending
+            n = len(sh)
+            keep = n - math.ceil(threshold * n) + 1
+            pre = sh[:keep].view(np.int64)  # int64 bit view (see sig note)
+            out_sh.extend(pre.tolist())
+            out_id.extend([i] * len(pre))
+        return pa.table(
+            {
+                "sh": pa.array(out_sh, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(bucket_cap)
+        n = len(g)
+        if n < 2:
+            return _pairs_frame([], [], [], "jaccard")
+        ids = g[id_col].to_numpy()
+        iu = np.triu_indices(n, 1)
+        return _pairs_frame(ids[iu[0]], ids[iu[1]], np.zeros(len(iu[0])), "jaccard")
+
+    rows = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(prefix_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    colliding = _keep_colliding_buckets(rows, ["sh"], cap=bucket_cap)
+    if colliding is None:
+        return rd.from_arrow(_EMPTY_JACCARD)
+    cand = _grouped_bucket_pairs(
+        colliding,
+        ["sh"],
+        lambda t: [int(v) & 63 for v in t["sh"].to_pylist()],
+        bucket_pairs,
+    )
+    cand = _dedup_pairs(cand, "jaccard", "max").materialize()
     if cand.count() == 0:
         return rd.from_arrow(_EMPTY_JACCARD)
     return jaccard_verify(ds, cand, text_col, id_col, threshold)
@@ -604,14 +691,25 @@ def jaccard_verify(ds, cand, text_col="text", id_col="doc_id", threshold=0.3):
 
 
 # ---------------------------------------------------------------- simhash
-def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
+def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3,
+                  hash_kind: str = "blake", bucket_cap: int = BUCKET_CAP):
     """SimHash near-dup: 64-bit signatures; candidates share one of 4
     16-bit chunks (pigeonhole guarantees recall for distance <= 3),
-    verified by exact Hamming distance."""
+    verified by exact Hamming distance.
+
+    ``hash_kind="md5"`` switches the token hash to md5_lower64
+    (DuckDB's md5_number_lower), making the signatures — and therefore
+    the exact-Hamming result at max_hamming <= 3, where the pigeonhole
+    recall guarantee holds — independently re-derivable by a SQL
+    oracle. ``"blake"`` (default) keeps the faster keyed blake2b for
+    scale runs. ``bucket_cap`` bounds quadratic chunk-bucket work
+    (logged truncation); conformance callers pass a cap above the
+    corpus size so recall stays exact."""
+    sig_fn = simhash64 if hash_kind == "blake" else _simhash64_md5
 
     def sig_rows(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
-        sigs = [simhash64(x) for x in t[text_col].to_pylist()]
+        sigs = [sig_fn(x) for x in t[text_col].to_pylist()]
         out_chunk, out_val, out_id, out_sig = [], [], [], []
         for i, s in zip(ids, sigs):
             for c in range(4):
@@ -636,7 +734,7 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(BUCKET_CAP)
+        g = g.sort_values(id_col).head(bucket_cap)
         n = len(g)
         if n < 2:
             return _pairs_frame([], [], [], "hamming", "int64")
@@ -654,7 +752,7 @@ def simhash_pairs(ds, text_col="text", id_col="doc_id", max_hamming: int = 3):
     from ray.data.aggregate import Min
 
     rows = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
-    colliding = _keep_colliding_buckets(rows, ["chunk", "val"])
+    colliding = _keep_colliding_buckets(rows, ["chunk", "val"], cap=bucket_cap)
     if colliding is None:
         return _ensure_pair_schema(None, "hamming", pa.int64())
     pairs = _grouped_bucket_pairs(
@@ -678,6 +776,7 @@ def embedding_dup_pairs(
     threshold=0.98,
     n_tables: int = 4,
     bits: int | None = None,
+    bucket_cap: int = BUCKET_CAP,
 ):
     """Embedding-cosine near-dup: MULTI-TABLE random-hyperplane LSH
     (fixed seed), exact cosine verification within buckets.
@@ -725,7 +824,7 @@ def embedding_dup_pairs(
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(BUCKET_CAP)
+        g = g.sort_values(id_col).head(bucket_cap)
         if len(g) < 2:
             return _pairs_frame([], [], [], "cosine")
         ids = g[id_col].to_numpy()
@@ -741,7 +840,7 @@ def embedding_dup_pairs(
         return _pairs_frame(a_list, b_list, c_list, "cosine")
 
     rows = ds.map_batches(sig_rows, batch_format="pyarrow").materialize()
-    colliding = _keep_colliding_buckets(rows, ["table", "bucket"])
+    colliding = _keep_colliding_buckets(rows, ["table", "bucket"], cap=bucket_cap)
     if colliding is None:
         return _ensure_pair_schema(None, "cosine", pa.float64())
     pairs = _grouped_bucket_pairs(

@@ -94,6 +94,38 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def md5_lower64(data: str) -> int:
+    """Little-endian uint64 of the LAST 8 md5 bytes — bit-identical to
+    DuckDB's ``md5_number_lower()`` (verified against DuckDB 1.0), so
+    any operator keyed on this hash is SQL-twinnable end to end."""
+    return int.from_bytes(hashlib.md5(data.encode("utf-8")).digest()[8:], "little")
+
+
+@lru_cache(maxsize=1 << 17)
+def _token_hash_md5(tok: str) -> int:
+    return md5_lower64(tok)
+
+
+def simhash64_md5(text: str) -> int:
+    """SimHash over md5_lower64 token hashes — same construction as
+    :func:`simhash64` but with the DuckDB-reproducible token hash, so
+    the signature (and any Hamming-distance predicate on it) can be
+    re-derived independently by a SQL oracle. Token-less text returns
+    0 (callers that need SQL parity must exclude those docs: SQL's
+    per-token aggregation produces no row for them)."""
+    toks = tokens_of(text)
+    if not toks:
+        return 0
+    h = np.fromiter(
+        (_token_hash_md5(t) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).sum(
+        axis=0
+    )
+    sig = (2 * bits > len(toks)).astype(np.uint64)
+    return int((sig << np.arange(64, dtype=np.uint64)).sum())
+
+
 # explicit ASCII whitespace class: Python's \s and RE2's \s (DuckDB)
 # disagree on \v — the explicit class makes the Python operator and its
 # SQL twin (regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))

@@ -15,8 +15,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-__all__ = ["cosine_topk", "ivf_topk", "build_ivf_centroids", "kmeans_labels",
-           "label_centroids"]
+__all__ = ["cosine_topk", "ivf_topk", "ivf_topk_pruned", "build_ivf_centroids",
+           "kmeans_labels", "label_centroids"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -119,6 +119,125 @@ def ivf_topk(
         {
             id_col: pa.array(ids[order], pa.int64()),
             "cosine": pa.array(cos[order], pa.float64()),
+        }
+    )
+
+
+def ivf_topk_pruned(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col="embedding",
+    id_col="vec_id",
+):
+    """EXACT top-k with IVF cell pruning — the scale path that still
+    matches brute force row for row (and therefore a SQL oracle),
+    unlike ``ivf_topk``'s fixed-nprobe approximation.
+
+    Per-cell ANGULAR RADIUS bound: with unit vectors, any member x of
+    cell c satisfies angle(q, x) >= angle(q, c) - r_c where
+    r_c = max over members of angle(c, x), so the best cosine cell c
+    can possibly contain is cos(max(0, theta_qc - r_c)). Cells are
+    probed in descending bound order, ``nprobe`` at a time; after each
+    round, every unprobed cell whose bound (plus a conservative float
+    epsilon) still exceeds the current k-th best cosine must be — and
+    is — probed next round. Terminates when no unprobed cell can beat
+    the k-th best: the result provably equals the exhaustive scan.
+
+    Cost model: one assignment/radius pass (per-batch partial maxima,
+    <= n_centroids rows shuffled), then one filtered scan per probe
+    round (typically a single round on clustered data; the worst case
+    degrades gracefully to the exhaustive scan). Centroids and the
+    probe set are broadcast per round, only k rows per batch reach
+    the driver."""
+    cents = build_ivf_centroids(ds, n_centroids, vec_col=vec_col)
+    q = _unit(np.asarray(query, dtype=np.float64))
+    base = ds.select_columns([id_col, vec_col])
+
+    # pass 1: per-cell max member angle (the cell radius), reduced from
+    # per-batch partial maxima — n_centroids tiny rows total
+    def radius_partial(t: pa.Table) -> pa.Table:
+        unit = _unit(_as_matrix(t[vec_col]))
+        sim = unit @ cents.T
+        assign = np.argmax(sim, axis=1)
+        member_cos = sim[np.arange(len(unit)), assign]
+        ang = np.arccos(np.clip(member_cos, -1.0, 1.0))
+        cells, inv = np.unique(assign, return_inverse=True)
+        rmax = np.zeros(len(cells))
+        np.maximum.at(rmax, inv, ang)
+        return pa.table(
+            {
+                "cell": pa.array(cells.astype(np.int64), pa.int64()),
+                "r": pa.array(rmax, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    rad_rows = (
+        base.map_batches(radius_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Max("r", alias_name="r"))
+        .take_all()
+    )
+    radius = np.zeros(len(cents))
+    for r in rad_rows:
+        radius[int(r["cell"])] = float(r["r"])
+
+    theta_q = np.arccos(np.clip(cents @ q, -1.0, 1.0))
+    # conservative epsilon absorbs arccos/matmul rounding so the bound
+    # stays a true upper bound (over-probing is correct, under isn't)
+    bound = np.cos(np.maximum(0.0, theta_q - radius - 1e-9)) + 1e-12
+
+    def probe_scan(probe_cells: np.ndarray) -> pa.Table:
+        probe_ref = ray.put(np.sort(probe_cells))
+
+        def partial(t: pa.Table) -> pa.Table:
+            probe = ray.get(probe_ref)
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            unit = _unit(_as_matrix(t[vec_col]))
+            assign = np.argmax(unit @ cents.T, axis=1)
+            mask = np.isin(assign, probe)
+            ids, unit = ids[mask], unit[mask]
+            cos = unit @ q
+            if len(ids) > k:
+                idx = np.argpartition(-cos, k)[:k]
+                ids, cos = ids[idx], cos[idx]
+            return pa.table(
+                {id_col: pa.array(ids, pa.int64()),
+                 "cosine": pa.array(cos, pa.float64())}
+            )
+
+        return pa.concat_tables(
+            ray.get(base.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        )
+
+    order = np.argsort(-bound, kind="stable")
+    probed = np.zeros(len(cents), dtype=bool)
+    ids_acc = np.array([], dtype=np.int64)
+    cos_acc = np.array([], dtype=np.float64)
+    cursor = 0
+    while True:
+        todo = [int(c) for c in order[cursor:] if not probed[c]][:nprobe]
+        if not todo:
+            break
+        cursor += len(todo)
+        probed[np.asarray(todo)] = True
+        part = probe_scan(np.asarray(todo, dtype=np.int64))
+        ids_acc = np.concatenate([ids_acc, np.asarray(part[id_col].to_pylist(), dtype=np.int64)])
+        cos_acc = np.concatenate([cos_acc, np.asarray(part["cosine"].to_pylist())])
+        if len(ids_acc) >= k:
+            kth = np.sort(cos_acc)[-k]
+            remaining = bound[~probed]
+            if len(remaining) == 0 or remaining.max() < kth:
+                break
+    sel = np.lexsort((ids_acc, -cos_acc))[:k]
+    return pa.table(
+        {
+            id_col: pa.array(ids_acc[sel], pa.int64()),
+            "cosine": pa.array(cos_acc[sel], pa.float64()),
         }
     )
 

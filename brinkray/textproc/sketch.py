@@ -27,6 +27,7 @@ from .hashing import tokens_of
 __all__ = [
     "hll_distinct_tokens",
     "hll_grouped",
+    "hll_grouped_registers",
     "distinct_tokens_exact",
     "hll_estimate",
     "cms_token_counts",
@@ -378,29 +379,35 @@ def exact_float_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
     )
 
 
-def hll_grouped(ds, key_col: str, value_col: str, p: int = 12):
-    """Per-GROUP approximate distinct count — HLL registers keyed by
-    (group, register): each batch folds its values into per-group
-    register partials (vectorized over the whole batch via lexsorted
-    (group, reg) reduction), the one shuffle moves <= |groups| * 2^p
-    tiny rows, and a final map_groups renders each group's estimate.
-    The per-event-type distinct-users shape when the exact
-    double-groupby (distinct_users_per_event_type — its oracle-certified
-    exact sibling) is too wide to shuffle at corpus scale. Hashing is
-    bit-stable across runs and block layouts: INTEGER value columns go
-    through a vectorized splitmix64 finalizer (no per-row Python in the
-    hot path); other types fall back to per-row keyed blake2b.
-    """
+def hll_grouped_registers(ds, key_col: str, value_col: str, p: int = 12,
+                          hash_kind: str = "blake"):
+    """The merged per-group HLL REGISTER table — (key, reg, rank) with
+    reg = top-p hash bits and rank = max leading-zero rank seen in that
+    register. This is the sketch's entire state, in integers: with
+    ``hash_kind="md5"`` (value hash = md5_number_lower of str(value),
+    DuckDB-reproducible) the table is bit-identical to a SQL oracle
+    re-deriving the registers — the driver-visible invariant that pins
+    the whole sketch computation, not just its estimate. ``"blake"``
+    keeps the faster keyed-blake2b / splitmix64 hash for scale runs.
+
+    Exchange cost is the same as :func:`hll_grouped`: each batch
+    pre-folds to per-group register partials, the one shuffle moves
+    <= |groups| * 2^p tiny rows."""
     import pandas as pd
     from ray.data.aggregate import Max
 
-    from .hashing import blake64
+    from .hashing import blake64, md5_lower64
     from .joins import _mix64
 
     def partial(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_pylist()
         col = t[value_col]
-        if pa.types.is_integer(col.type):
+        if hash_kind == "md5":
+            h = np.fromiter(
+                (md5_lower64(str(x)) for x in col.to_pylist()),
+                dtype=np.uint64, count=len(col),
+            )
+        elif pa.types.is_integer(col.type):
             v = col.to_numpy(zero_copy_only=False).astype(np.int64)
             h = _mix64(v.view(np.uint64))
         else:
@@ -424,12 +431,30 @@ def hll_grouped(ds, key_col: str, value_col: str, p: int = 12):
             }
         )
 
-    merged = (
+    return (
         ds.select_columns([key_col, value_col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby([key_col, "reg"])
         .aggregate(Max("rank", alias_name="rank"))
     )
+
+
+def hll_grouped(ds, key_col: str, value_col: str, p: int = 12):
+    """Per-GROUP approximate distinct count — HLL registers keyed by
+    (group, register): each batch folds its values into per-group
+    register partials (vectorized over the whole batch via lexsorted
+    (group, reg) reduction), the one shuffle moves <= |groups| * 2^p
+    tiny rows, and a final map_groups renders each group's estimate.
+    The per-event-type distinct-users shape when the exact
+    double-groupby (distinct_users_per_event_type — its oracle-certified
+    exact sibling) is too wide to shuffle at corpus scale. Hashing is
+    bit-stable across runs and block layouts: INTEGER value columns go
+    through a vectorized splitmix64 finalizer (no per-row Python in the
+    hot path); other types fall back to per-row keyed blake2b.
+    """
+    import pandas as pd
+
+    merged = hll_grouped_registers(ds, key_col, value_col, p)
 
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
         regs = np.zeros(1 << p, dtype=np.int64)

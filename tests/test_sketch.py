@@ -254,3 +254,62 @@ def test_grouped_sampled_quantile_disc_layout_stable(ray_session):
         # rank error ~3/sqrt(300) of the 10k value range
         assert abs(row["value"] - exact) < 10_000 * 3 / np.sqrt(300)
     assert run(9).equals(got)   # hash-deterministic across layouts
+
+
+def test_hll_grouped_registers_md5_matches_duckdb(ray_session):
+    """The md5-hash register table (the driver-visible sketch state) is
+    bit-identical to an independent DuckDB re-derivation — reg, rank
+    and the exact bin()-length leading-zero formula."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from brinkray.textproc.sketch import hll_grouped_registers
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": [f"g{i % 3}" for i in range(5000)],
+            "v": rng.integers(0, 800, size=5000).astype("int64"),
+        }
+    )
+    got = (
+        hll_grouped_registers(rd.from_pandas(df), "k", "v", p=12,
+                              hash_kind="md5")
+        .to_pandas()
+        .sort_values(["k", "reg"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "WITH h AS (SELECT k, md5_number_lower(CAST(v AS VARCHAR))::UBIGINT AS h FROM t), "
+        "r AS (SELECT k, CAST(h >> 52 AS BIGINT) AS reg, "
+        "CASE WHEN w = 0 THEN 53 ELSE 53 - length(ltrim(bin(w), '0')) END AS rk "
+        "FROM (SELECT k, h, h & 4503599627370495::UBIGINT AS w FROM h)) "
+        "SELECT k, reg, CAST(MAX(rk) AS BIGINT) AS rank FROM r "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hll_grouped_md5_estimate_within_bound(ray_session):
+    """The md5-register sketch still estimates: rebuild the estimate
+    from the register table and compare to the exact distinct count
+    (within the p=12 standard-error bound x4)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from brinkray.textproc.sketch import hll_estimate, hll_grouped_registers
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"k": ["a"] * 20000, "v": rng.integers(0, 6000, size=20000).astype("int64")}
+    )
+    regs_df = hll_grouped_registers(rd.from_pandas(df), "k", "v", p=12,
+                                    hash_kind="md5").to_pandas()
+    regs = np.zeros(1 << 12, dtype=np.int64)
+    regs[regs_df["reg"].to_numpy()] = regs_df["rank"].to_numpy()
+    est = hll_estimate(regs, 12)
+    exact = df["v"].nunique()
+    assert abs(est - exact) / exact < 4 * 1.04 / np.sqrt(1 << 12)

@@ -362,3 +362,123 @@ def test_kmeans_labels_recovers_blobs(ray_session):
         .to_numpy()
     )
     assert (a == b).all()  # layout determinism
+
+
+# ------------------------------------------------- driver-visible dedup twins
+def _brute_jaccard_pairs(texts, threshold):
+    """Reference all-pairs shingle Jaccard (numpy, driver-side)."""
+    from brinkray.textproc.hashing import shingle_hashes
+
+    sets = [np.unique(shingle_hashes(t)) for t in texts]
+    out = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(np.intersect1d(sets[i], sets[j]))
+            union = len(np.union1d(sets[i], sets[j]))
+            jac = inter / max(1, union)
+            if jac >= threshold:
+                out.append((i, j, jac))
+    return sorted(out)
+
+
+def _randomish_corpus(n=60, seed=11):
+    """Deterministic corpus with planted near-dups at several overlap
+    levels (no RNG: fixtures must be stable across runs)."""
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = []
+    for i in range(n):
+        toks = [words[(i * 7 + k * 3) % len(words)] for k in range(30)]
+        texts.append(" ".join(toks))
+        if i % 5 == 0:  # plant a near-dup: mutate a few tokens
+            mut = list(toks)
+            for m in range(i % 4):
+                mut[m * 5 % len(mut)] = words[(i + m) % len(words)]
+            texts.append(" ".join(mut))
+    return texts
+
+
+def test_shingle_join_pairs_equals_bruteforce(ray_session):
+    """Prefix-filtered exact similarity join == brute force, row for
+    row, at several thresholds (the recall-1 claim the driver twin
+    relies on)."""
+    from brinkray.textproc.dedup import shingle_join_pairs
+
+    texts = _randomish_corpus()
+    for t in (0.3, 0.5, 0.8):
+        out = shingle_join_pairs(_docs_ds(texts), threshold=t,
+                                 bucket_cap=1 << 20).to_pandas()
+        got = sorted(
+            (int(a), int(b), float(j))
+            for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])
+        )
+        want = _brute_jaccard_pairs(texts, t)
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+        for (_, _, gj), (_, _, wj) in zip(got, want):
+            assert gj == wj  # exact int division both sides
+
+
+def test_minhash_verified_equals_bruteforce(ray_session):
+    """1-row-band LSH propose + exact verify at 0.5 == brute force
+    (the dedup_minhash_lsh driver contract)."""
+    from brinkray.textproc.dedup import jaccard_verify, minhash_lsh_pairs
+
+    texts = _randomish_corpus()
+    ds = _docs_ds(texts)
+    cand = minhash_lsh_pairs(ds, threshold=0.2, bands=64,
+                             bucket_cap=1 << 20).materialize()
+    out = jaccard_verify(ds, cand, threshold=0.5).to_pandas()
+    got = sorted((int(a), int(b)) for a, b in zip(out["doc_a"], out["doc_b"]))
+    want = [(a, b) for a, b, _ in _brute_jaccard_pairs(texts, 0.5)]
+    assert got == want
+
+
+def test_simhash_md5_pigeonhole_exact(ray_session):
+    """md5-hash simhash at max_hamming=3: result == brute-force Hamming
+    over the signatures (pigeonhole recall is exact for d <= 3)."""
+    from brinkray.textproc.dedup import simhash_pairs
+    from brinkray.textproc.hashing import hamming64, simhash64_md5
+
+    texts = _randomish_corpus(40)
+    sigs = [simhash64_md5(t) for t in texts]
+    want = sorted(
+        (i, j, hamming64(sigs[i], sigs[j]))
+        for i in range(len(sigs)) for j in range(i + 1, len(sigs))
+        if hamming64(sigs[i], sigs[j]) <= 3
+    )
+    out = simhash_pairs(_docs_ds(texts), max_hamming=3, hash_kind="md5",
+                        bucket_cap=1 << 20).to_pandas()
+    got = sorted(
+        (int(a), int(b), int(h))
+        for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"])
+    )
+    assert got == want
+
+
+def test_ivf_topk_pruned_equals_bruteforce(ray_session):
+    """Radius-bound pruned IVF == exhaustive cosine top-k membership
+    AND scores, on a clustered corpus where pruning actually skips
+    cells."""
+    import ray.data as rd
+
+    from brinkray.textproc.similarity import cosine_topk, ivf_topk_pruned
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((6, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((50, 16)) * 0.3 for c in centers]
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    )
+    q = vecs[7]
+    exact = cosine_topk(ds, q, k=10)
+    pruned = ivf_topk_pruned(ds, q, k=10, n_centroids=8, nprobe=2)
+    assert pruned["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    assert pruned["cosine"].to_pylist() == exact["cosine"].to_pylist()

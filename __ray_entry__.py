@@ -473,6 +473,41 @@ def _q_crawl_events(sf_dir: str):
     )
 
 
+def _q_crawl_events_sink(sf_dir: str):
+    """Streaming events sink e2e (the scale-run result surface): crawl
+    with retain_results=False — so NO driver-side events concat even
+    exists — sinking each wave's results to parquet straight from the
+    cluster, then read the sink back as a lazy Dataset and reduce to
+    the order-independent invariant (distinct url/status pairs == the
+    final seen set), certified by the same recursive-CTE BFS oracle as
+    crawl_seen_set. events_table() on this result raises by design
+    (asserted in tests/test_engine_e2e.py)."""
+    import tempfile
+
+    from ray.data.aggregate import Max
+
+    from brinkray.engine.crawl import EngineOptions
+    from brinkray.pipelines import crawl_documents_site
+
+    sink = tempfile.mkdtemp(prefix="brinkray_events_sink_")
+    res = crawl_documents_site(
+        sf_dir, pages_per_doc=1.0, cap=800,
+        options=EngineOptions(
+            seen_shards=2, events_sink_dir=sink, retain_results=False
+        ),
+    )
+    _dump_crawl_pages(sf_dir)
+    out = (
+        res.events_dataset()
+        .select_columns(["url", "status"])
+        .groupby("url")
+        .aggregate(Max("status", alias_name="status"))  # statuses are unique per url
+        .to_pandas()
+    )
+    out["status"] = out["status"].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _q_windowed_counts(sf_dir: str):
     # SQL-checked columns only: COUNT is exact; float SUM differs from
     # DuckDB in the last ulp (summation order) and would hash-mismatch.
@@ -3637,6 +3672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seen_set": _q_crawl_seen,
         "crawl_url_features": _q_crawl_url_features,
         "crawl_events": _q_crawl_events,
+        "crawl_events_sink": _q_crawl_events_sink,
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_extract_links": _q_crawl_extract_links,
         "link_pagerank": _q_link_pagerank,
@@ -4507,6 +4543,14 @@ def _oracle_sql_dict() -> dict[str, str]:
             "contains(r.canon, '?') AS has_query "
             "FROM reach r ORDER BY url"
         ),
+        "crawl_events_sink": (
+            _CRAWL_CTE
+            + "SELECT r.canon AS url, CAST(COALESCE(i.status, 404) AS BIGINT) AS status "
+            "FROM reach r LEFT JOIN idx i ON i.canon = r.canon ORDER BY url"
+        ),
+        # sink round-trip shares the seen-set fixpoint oracle: distinct
+        # (url,status) over the sunk events IS the seen set (each fetched
+        # canon appears as >=1 event carrying its one status).
         "crawl_seen_set": (
             _CRAWL_CTE
             + "SELECT r.canon AS url, CAST(COALESCE(i.status, 404) AS BIGINT) AS status "

@@ -144,6 +144,22 @@ class EngineOptions:
     # wave pairing identical across cluster sizes (scaling pairs must
     # compare the same execution plan).
     pipeline_min_frontier: int = 4096
+    # Streaming events sink: when set, every executed wave's results
+    # are written as parquet under {events_sink_dir}/wave_XXXX/
+    # DIRECTLY from the cluster (Dataset.write_parquet — blocks never
+    # concatenate on the driver), with a sibling wave_XXXX._SUNK
+    # marker making each wave's sink atomic and resume-skippable. This
+    # is the default result surface for large runs; the in-memory
+    # CrawlResult.events_table() remains the small-run/conformance
+    # surface.
+    events_sink_dir: str | None = None
+    # Large-run switch: drop each wave's result Dataset after sinking
+    # (requires events_sink_dir) so the object store can free result
+    # blocks as the crawl streams — CrawlResult.events_table() is then
+    # gated off and CrawlResult.events_dataset() (a lazy read of the
+    # sink) is the way to consume events. Default True preserves the
+    # conformance behavior.
+    retain_results: bool = True
     # Ray Data target block size for this crawl (bytes). Frontier rows
     # are ~200 B but carry ~0.5 ms of fetch+extract work each, so the
     # default 128 MiB blocks make task granularity far too coarse and
@@ -160,6 +176,8 @@ class CrawlResult:
     metrics: list[dict] = field(default_factory=list)
     seen_client: "ShardedSeenSet | None" = None
     _seen_cache: dict | None = None
+    events_sink_dir: str | None = None
+    results_retained: bool = True
 
     @property
     def seen(self) -> dict[str, int]:
@@ -172,8 +190,33 @@ class CrawlResult:
     def seen_count(self) -> int:
         return self.seen_client.size() if self.seen_client else 0
 
+    def events_dataset(self):
+        """Streaming read-back of the sunk events — the scale-safe
+        result surface: a LAZY Dataset over the per-wave parquet the
+        crawl wrote from the cluster, so consuming events (filter,
+        aggregate, re-sink) never concatenates them on the driver.
+        Requires the crawl to have run with
+        ``EngineOptions.events_sink_dir``."""
+        if not self.events_sink_dir:
+            raise RuntimeError(
+                "crawl ran without EngineOptions.events_sink_dir; use "
+                "events_table() (small runs) or re-run with a sink"
+            )
+        import ray.data as rd
+
+        return rd.read_parquet(self.events_sink_dir, file_extensions=["parquet"])
+
     def events_table(self) -> pa.Table:
-        """All handler events in FIFO-equivalent order."""
+        """All handler events in FIFO-equivalent order, concatenated on
+        the DRIVER — the small-run/conformance surface only. Large runs
+        set ``EngineOptions.retain_results=False`` + a sink and consume
+        ``events_dataset()`` instead; this method is gated off there (a
+        100-TB crawl's events cannot live in one driver table)."""
+        if not self.results_retained:
+            raise RuntimeError(
+                "results were not retained (EngineOptions.retain_results="
+                "False); consume events via events_dataset()"
+            )
         tables = []
         for ds in self.results:
             blocks = [
@@ -524,6 +567,11 @@ class CrawlEngine:
     def _run_waves(self, seeds: list[str] | None, resume: bool) -> CrawlResult:
         opts = self.opts
         ckpt = opts.checkpoint_dir
+        if not opts.retain_results and not opts.events_sink_dir:
+            raise ValueError(
+                "retain_results=False requires events_sink_dir (the sink "
+                "becomes the only result surface)"
+            )
         start_wave = 0
         frontier_tbl = _seed_frontier(seeds or [self.cfg.root_domain])
         results: list = []
@@ -533,6 +581,23 @@ class CrawlEngine:
             state = self._load_latest_checkpoint(ckpt)
             if state is not None:
                 start_wave, frontier_tbl, results, metrics = state
+                if opts.events_sink_dir:
+                    # backfill the sink for checkpointed waves the prior
+                    # run completed but did not sink (crash between
+                    # _COMPLETE and _SUNK); already-sunk waves skip on
+                    # their marker
+                    for name in sorted(os.listdir(ckpt)):
+                        if not name.startswith("wave_"):
+                            continue
+                        wdir = os.path.join(ckpt, name)
+                        rdir = os.path.join(wdir, "results")
+                        if os.path.exists(os.path.join(wdir, "_COMPLETE")) \
+                                and os.path.isdir(rdir):
+                            self._sink_wave(
+                                int(name.split("_")[1]), rd.read_parquet(rdir)
+                            )
+                if not opts.retain_results:
+                    results = []
 
         frontier = rd.from_arrow(frontier_tbl)
         wave = start_wave
@@ -604,7 +669,10 @@ class CrawlEngine:
                     fused=fused,
                     steps=steps,
                 )
-                results.append(wave_results)
+                if opts.events_sink_dir:
+                    self._sink_wave(wave, wave_results)
+                if opts.retain_results:
+                    results.append(wave_results)
                 metrics.append(m)
                 if ckpt:
                     self._write_checkpoint(ckpt, wave, wave_results, frontier, m)
@@ -737,9 +805,12 @@ class CrawlEngine:
                 _project_result_cached, batch_format="pyarrow"
             )
             wave_results = res_main.union(res_dup)
-            if ckpt:
+            if ckpt or opts.events_sink_dir:
                 wave_results = wave_results.materialize()
-            results.append(wave_results)
+            if opts.events_sink_dir:
+                self._sink_wave(wave, wave_results)
+            if opts.retain_results:
+                results.append(wave_results)
             t_c = time.monotonic()
 
             # expansion -> next frontier (cached replays never expand)
@@ -799,7 +870,9 @@ class CrawlEngine:
                 f.write(json.dumps({"waves": wave}))
 
         return CrawlResult(
-            waves=wave, results=results, metrics=metrics, seen_client=self.seen
+            waves=wave, results=results, metrics=metrics, seen_client=self.seen,
+            events_sink_dir=opts.events_sink_dir,
+            results_retained=opts.retain_results,
         )
 
     # ---------------------------------------------------------------- scale
@@ -1007,6 +1080,40 @@ class CrawlEngine:
     # ---------------------------------------------------------------- ckpt
     def _wave_dir(self, ckpt: str, wave: int) -> str:
         return os.path.join(ckpt, f"wave_{wave:04d}")
+
+    def _sink_wave(self, wave: int, wave_results) -> None:
+        """Write one wave's results to the events sink as parquet,
+        straight from the cluster: schema-normalize per block
+        (select+cast — the strict path unions two projections) and
+        ``write_parquet`` into a tmp dir, then atomically rename and
+        drop a sibling ``wave_XXXX._SUNK`` marker. A marker that
+        already exists means a resumed run sank this wave before — the
+        write is skipped (partition-level resumable output, same rule
+        as the checkpoint's _COMPLETE)."""
+        import shutil
+
+        sink = self.opts.events_sink_dir
+        os.makedirs(sink, exist_ok=True)
+        d = os.path.join(sink, f"wave_{wave:04d}")
+        marker = d + "._SUNK"
+        if os.path.exists(marker):
+            return
+        tmp = d + "._tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        if wave_results.count() > 0:
+            (
+                wave_results.map_batches(
+                    lambda t: t.select(RESULT_COLS).cast(RESULT_SCHEMA),
+                    batch_format="pyarrow",
+                )
+                .write_parquet(tmp)
+            )
+            os.rename(tmp, d)
+        with open(marker, "w") as f:
+            f.write("ok")
 
     def _write_checkpoint(self, ckpt, wave, wave_results, next_frontier, m) -> None:
         """Per-wave layout: results + next frontier parquet, serialized

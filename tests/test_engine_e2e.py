@@ -128,3 +128,90 @@ def test_fuzzy_config_matches_oracle(ray_session):
     result = eng.run()
     assert _engine_events(result) == _oracle_events(oracle)
     assert result.seen == oracle.seen
+
+
+def test_events_sink_matches_events_table(engine_run, tmp_path):
+    """Streaming sink (scale surface): a sink-enabled run's parquet
+    read-back equals the retained run's events_table() row for row in
+    FIFO order, for BOTH ordering modes; with retain_results=False the
+    driver-side concat surface is gated off entirely."""
+    cfg, table, oracle, result = engine_run
+    want = (
+        result.events_table()
+        .select(["wave", "order_key", "linked_from", "url", "status", "cached"])
+        .to_pandas()
+    )
+    for mode in ("strict", "scale"):
+        sink = str(tmp_path / f"sink_{mode}")
+        eng = CrawlEngine(
+            cfg,
+            EngineOptions(
+                seen_shards=2, fetch_concurrency=2, ordering=mode,
+                events_sink_dir=sink, retain_results=False,
+            ),
+        )
+        eng.set_pages(table)
+        res = eng.run()
+        assert res.results == []  # nothing held on the driver
+        with pytest.raises(RuntimeError, match="events_dataset"):
+            res.events_table()
+        got = (
+            res.events_dataset()
+            .to_pandas()[["wave", "order_key", "linked_from", "url",
+                          "status", "cached"]]
+            .sort_values(["wave", "order_key"])
+            .reset_index(drop=True)
+        )
+        if mode == "strict":
+            assert got.equals(want)
+        else:  # scale mode: same event MULTISET, approximate ordering
+            a = got.drop(columns=["order_key", "wave"])
+            b = want.drop(columns=["order_key", "wave"])
+            key = ["linked_from", "url", "status", "cached"]
+            assert (
+                a.sort_values(key).reset_index(drop=True)
+                .equals(b.sort_values(key).reset_index(drop=True))
+            )
+
+
+def test_events_sink_resume_skips_sunk_waves(ray_session, tmp_path):
+    """Checkpoint + sink: a resumed crawl re-sinks nothing (markers
+    skip), backfills missing waves, and the final sink still equals the
+    full-run events."""
+    import os
+
+    cfg = site_config()
+    table = build_site(60)
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    opts = dict(seen_shards=2, fetch_concurrency=2,
+                checkpoint_dir=ck, events_sink_dir=sink)
+    eng = CrawlEngine(cfg, EngineOptions(max_waves=2, **opts))
+    eng.set_pages(table)
+    eng.run()
+    sunk_before = sorted(f for f in os.listdir(sink) if f.endswith("._SUNK"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(sink, f)) for f in sunk_before
+    }
+    # delete one marker to simulate a crash between _COMPLETE and _SUNK
+    os.remove(os.path.join(sink, sunk_before[-1]))
+    eng2 = CrawlEngine(cfg, EngineOptions(**opts))
+    eng2.set_pages(table)
+    res2 = eng2.run(resume=True)
+    sunk_after = sorted(f for f in os.listdir(sink) if f.endswith("._SUNK"))
+    assert set(sunk_before) <= set(sunk_after)  # backfilled + continued
+    for f in sunk_before[:-1]:  # untouched markers were not rewritten
+        assert os.path.getmtime(os.path.join(sink, f)) == mtimes[f]
+    full = CrawlEngine(cfg, EngineOptions(seen_shards=2, fetch_concurrency=2))
+    full.set_pages(table)
+    want = (
+        full.run().events_table()
+        .select(["linked_from", "url", "status", "cached"]).to_pandas()
+    )
+    got = res2.events_dataset().to_pandas()[
+        ["linked_from", "url", "status", "cached"]
+    ]
+    key = list(got.columns)
+    assert (
+        got.sort_values(key).reset_index(drop=True)
+        .equals(want.sort_values(key).reset_index(drop=True))
+    )

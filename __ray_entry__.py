@@ -1332,6 +1332,34 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(docs).to_pandas()
 
 
+def _q_paragraph_dedup_shuffled(sf_dir: str):
+    """Join-based shared-paragraph path (no driver-side take_all/
+    broadcast — the boilerplate-heavy-corpus fallback); same derived
+    input and the same SQL twin as paragraph_dedup, verbatim."""
+    import pyarrow as pa
+
+    from brinkray.textproc.webclean import paragraph_dedup_shuffled
+
+    def construct(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = [
+            _BOILER1 + "\n" + x + ("\n" + _BOILER2 if i % 2 == 0 else "")
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(out, pa.string())}
+        )
+
+    docs = (
+        _ds(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(construct, batch_format="pyarrow")
+    )
+    out = paragraph_dedup_shuffled(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_pii_scrub(sf_dir: str):
     import pyarrow as pa
 
@@ -3570,6 +3598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty_shuffled": _q_ngram_novelty_shuffled,
         # web-corpus cleaning (paragraph dedup / PII / exact percentiles)
         "paragraph_dedup": _q_paragraph_dedup,
+        "paragraph_dedup_shuffled": _q_paragraph_dedup_shuffled,
         "pii_scrub": _q_pii_scrub,
         "token_length_percentiles": _q_token_length_percentiles,
         "customers_without_orders": _q_customers_without_orders,
@@ -3800,6 +3829,9 @@ def oracle_sql() -> dict[str, str]:
     # the shuffle-join novelty path computes the identical quantity —
     # it shares the broadcast path's twin verbatim
     d["ngram_novelty_shuffled"] = d["ngram_novelty"]
+    # the join-based paragraph-dedup path computes the identical
+    # quantity — it shares the broadcast path's twin verbatim
+    d["paragraph_dedup_shuffled"] = d["paragraph_dedup"]
     return d
 
 

@@ -43,6 +43,7 @@ from .hashing import blake64
 
 __all__ = [
     "paragraph_dedup",
+    "paragraph_dedup_shuffled",
     "pii_scrub",
     "token_length_percentiles",
     "grouped_token_quantiles",
@@ -159,6 +160,125 @@ def paragraph_dedup(docs, min_docs: int = 2, text_col="text", id_col="doc_id"):
     return docs.select_columns([id_col, text_col]).map_batches(
         scrub, batch_format="pyarrow"
     )
+
+
+def paragraph_dedup_shuffled(docs, min_docs: int = 2, text_col="text",
+                             id_col="doc_id",
+                             num_partitions: int | None = None):
+    """``paragraph_dedup`` for boilerplate-heavy corpora where the
+    shared-paragraph set is corpus-proportional and too large to
+    ``take_all()`` + broadcast (the VERDICT-flagged 100-TB failure of
+    the broadcast path): the duplicated-hash set stays distributed and
+    reaches each document through Ray's native hash-shuffle join
+    instead — nothing corpus-scale ever reaches the driver or a single
+    task.
+
+    Shape: (doc_id, h) paragraph-hash rows -> groupby(h) distinct-doc
+    counts (per-batch pre-aggregated) -> filter to >= min_docs ->
+    inner-join back to the hash rows (hash-partitioned) -> per-doc hit
+    LISTS via groupby(doc_id) -> one left join onto the docs (text
+    moves exactly once) -> vectorized scrub. Same output as
+    ``paragraph_dedup``; equality is pinned in pytest and both modes
+    share the SQL twin.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .joins import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    base = docs.select_columns([id_col, text_col])
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        out_id, out_h = [], []
+        for i, x in zip(ids, t[text_col].to_pylist()):
+            _, h = _para_hashes(x)
+            hh = np.unique(h[h != 0])
+            out_id.append(np.full(len(hh), i, dtype=np.int64))
+            out_h.append(hh.view(np.int64))  # int64 view: join-safe keys
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate(out_id) if out_id else [], pa.int64()
+                ),
+                "h": pa.array(np.concatenate(out_h) if out_h else [], pa.int64()),
+            }
+        )
+
+    rows = base.map_batches(explode_pairs, batch_format="pyarrow").materialize()
+
+    def hash_partials(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(h, return_counts=True)  # rows are doc-distinct
+        return pa.table(
+            {"h": pa.array(u, pa.int64()), "nd": pa.array(c, pa.int64())}
+        )
+
+    def keep_dup(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["nd"], min_docs)).select(["h"])
+
+    shared = (
+        rows.map_batches(hash_partials, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .map_batches(keep_dup, batch_format="pyarrow")
+    )
+
+    hits = rows.join(
+        shared, join_type="inner", num_partitions=num_partitions, on=("h",)
+    ).materialize()  # barrier: two native joins in one streaming
+    # execution deadlock small clusters (rayfix/NOTES — aggregator
+    # pools reserve each other's CPUs)
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        # bytes, not list<int64>: Ray's native join rejects list-typed
+        # payload columns ("not supported in join non-key field")
+        return pd.DataFrame(
+            {
+                id_col: [int(g[id_col].iloc[0])],
+                "hs": [np.sort(g["h"].to_numpy().astype(np.int64)).tobytes()],
+            }
+        )
+
+    per_doc = hits.groupby(id_col).map_groups(collect, batch_format="pandas")
+    joined = base.join(
+        per_doc, join_type="left_outer", num_partitions=num_partitions,
+        on=(id_col,),
+    )
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hs_col = t["hs"].to_pylist()
+        n_paras, n_removed, cleaned = [], [], []
+        for x, hs in zip(t[text_col].to_pylist(), hs_col):
+            paras, h = _para_hashes(x)
+            if hs:
+                shared_a = np.frombuffer(hs, dtype=np.int64)
+                hv = h.view(np.int64)
+                pos = np.searchsorted(shared_a, hv)
+                pos[pos == len(shared_a)] = 0
+                hit = (shared_a[pos] == hv) & (hv != 0)
+            else:
+                hit = np.zeros(len(h), dtype=bool)
+            kept = [p for p, bad in zip(paras, hit) if not bad]
+            n_paras.append(len(paras))
+            n_removed.append(len(paras) - len(kept))
+            cleaned.append("\n".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_paras": pa.array(n_paras, pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+                "text_clean": pa.array(cleaned, pa.string()),
+            }
+        )
+
+    return joined.map_batches(scrub, batch_format="pyarrow")
 
 
 def pii_scrub(docs, text_col="text", id_col="doc_id"):

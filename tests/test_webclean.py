@@ -211,3 +211,41 @@ def test_int_quantile_disc_duckdb_semantics(ray_session):
             f"SELECT quantile_disc(x, {q}) FROM t"
         ).fetchone()[0]
         assert val == want, (q, val, want)
+
+
+def test_paragraph_dedup_shuffled_equals_broadcast(ray_session):
+    """Join-based shared-paragraph path == broadcast path row for row
+    (the 100-TB fallback contract), including docs with no hits and a
+    paragraph shared by many docs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.webclean import paragraph_dedup, paragraph_dedup_shuffled
+
+    boiler = "subscribe to our newsletter"
+    texts = []
+    for i in range(40):
+        body = f"unique body {i}\nsecond line {i * 7}"
+        if i % 2 == 0:
+            body = boiler + "\n" + body
+        if i % 5 == 0:
+            body += "\ncookie banner text"
+        texts.append(body)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    a = (
+        paragraph_dedup(ds).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        paragraph_dedup_shuffled(ds).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["n_removed"].sum() > 0  # the fixture actually removes

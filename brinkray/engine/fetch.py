@@ -874,19 +874,160 @@ def make_fetcher_fn(
 
 
 class HttpFetcher:
-    """Real-web fetcher stub: same stage contract as ``Fetcher`` but
-    backed by live HTTP. The sandbox has no network; the Ray-side
-    plumbing (actor signature, batch schema, session state) is real,
-    the transport is not.
+    """Real-HTTP fetch stage — the reference's ``Fetch``
+    (brink.go:166-229) over a live socket, with the same stage contract
+    as ``Fetcher`` (actor-pool ``map_batches``; cached replays pass
+    through, error rows silently drop, fetched rows are marked seen
+    before the batch returns). Tested against a loopback
+    ``http.server`` (no external network in CI); pointing it at a real
+    web is a config change, not a code change.
+
+    Reference gate order, reproduced exactly:
+      1. request cookies from the jar; a session-named cookie deletes
+         the Authorization header PERMANENTLY (brink.go:173-185,
+         CookieSession.prepare_headers);
+      2. the GET itself — transport errors (refused/timeout/malformed)
+         drop silently (brink.go:195-197 error return);
+      3. response Set-Cookie values merge into THE shared jar by name
+         (brink.go:201-204);
+      4. domain-allowed gate AFTER the request — status observed,
+         row dropped (NotAllowed, brink.go:206-215);
+      5. HEADER Content-Length gate (ContentTooLarge,
+         brink.go:217-221) INCLUDING the -1 quirk: Go's
+         resp.ContentLength is -1 when the header is absent/chunked,
+         and ``-1 > MaxContentLength`` is false — an UNKNOWN length
+         always passes and the full body is read. The fetch-as-join
+         path can only approximate this with body length
+         (a lookup join has no headers); here the gate is the header
+         itself, oracle-diffed in tests/test_http_fetcher.py.
     """
 
-    def __init__(self, cfg: CrawlConfig, seen_actors: list, nshards: int):
+    def __init__(self, cfg: CrawlConfig, seen_actors: list, nshards: int,
+                 cookie_jar=None, timeout: float = 10.0):
         self.cfg = cfg
         self.session = CookieSession(cfg)
-        self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+        self._jar = cookie_jar  # SharedCookieJar handle (or None)
+        self._seen = (
+            ShardedSeenSet(nshards, actors=seen_actors) if seen_actors else None
+        )
+        self._allowed = set(cfg.allowed_domains)
+        self._max_cl = cfg.max_content_length
+        self._timeout = timeout
+
+    # -- session plumbing (shared-jar when provided, else per-actor) --
+    def _headers(self) -> dict[str, str]:
+        if self._jar is not None:
+            return ray.get(self._jar.prepare_headers.remote())
+        return self.session.prepare_headers()
+
+    def _merge(self, cookies: list[Cookie]) -> None:
+        if not cookies:
+            return
+        if self._jar is not None:
+            ray.get(self._jar.merge_response_cookies.remote(cookies))
+        else:
+            self.session.merge_response_cookies(cookies)
+
+    def fetch_one(self, url: str):
+        """One URL through the reference gates. Returns (status, body)
+        or None for a silent drop (transport / NotAllowed /
+        ContentTooLarge)."""
+        import urllib.error
+        import urllib.request
+
+        from ..ref.gourl import URLError
+        from ..ref.urls import scheme_and_host
+
+        try:
+            # construction errors are the reference's "failed creating
+            # new request" return (brink.go:168-170) — also a drop
+            req = urllib.request.Request(
+                url, headers=self._headers(), method="GET"
+            )
+            resp = urllib.request.urlopen(req, timeout=self._timeout)
+        except urllib.error.HTTPError as e:
+            resp = e  # non-2xx IS a response (Go returns its status)
+        except Exception:
+            return None  # transport error -> silent drop
+        with resp:
+            status = int(getattr(resp, "status", None) or resp.code)
+            # (3) response cookies -> jar, BEFORE any gate
+            merged = []
+            for sc in resp.headers.get_all("Set-Cookie") or []:
+                nv = sc.split(";", 1)[0]
+                if "=" in nv:
+                    n, v = nv.split("=", 1)
+                    merged.append(Cookie(name=n.strip(), value=v.strip()))
+            self._merge(merged)
+            # (4) domain gate after the request
+            try:
+                scheme, host = scheme_and_host(url)
+            except URLError:
+                return None
+            if f"{scheme}://{host}" not in self._allowed:
+                return None  # NotAllowed
+            # (5) header Content-Length; absent == Go's -1 == passes
+            cl_hdr = resp.headers.get("Content-Length")
+            try:
+                cl = int(cl_hdr) if cl_hdr is not None else -1
+            except ValueError:
+                cl = -1
+            if cl > self._max_cl:
+                return None  # ContentTooLarge
+            body = resp.read()
+        return status, body
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "live HTTP fetch is unavailable in this environment; "
-            "use Fetcher with a PageIndex (fetch-as-join) instead"
-        )
+        """Same mixed-winner-batch contract as ``Fetcher.__call__``:
+        seen rows replay cached, novel rows fetch live, errors vanish,
+        fetched rows are marked before the batch returns."""
+        body_type = pa.large_binary()
+        if batch.num_rows == 0:
+            return (
+                batch.append_column("status", pa.array([], pa.int32()))
+                .append_column("body", pa.array([], body_type))
+                .append_column("cached", pa.array([], pa.bool_()))
+            )
+        novel_mask = pc.equal(batch["seen_status"], pa.scalar(-1, pa.int32()))
+        seen_rows = batch.filter(pc.invert(novel_mask))
+        novel = batch.filter(novel_mask)
+
+        out_parts: list[pa.Table] = []
+        if seen_rows.num_rows:
+            out_parts.append(
+                seen_rows.append_column(
+                    "status", seen_rows["seen_status"].cast(pa.int32())
+                )
+                .append_column(
+                    "body", pa.array([b""] * seen_rows.num_rows, body_type)
+                )
+                .append_column(
+                    "cached", pa.array([True] * seen_rows.num_rows, pa.bool_())
+                )
+            )
+        if novel.num_rows:
+            keep_idx, statuses, bodies = [], [], []
+            for i, canon in enumerate(novel["canon"].to_pylist()):
+                got = self.fetch_one(canon)
+                if got is None:
+                    continue
+                keep_idx.append(i)
+                statuses.append(got[0])
+                bodies.append(got[1])
+            kept = novel.take(pa.array(keep_idx, pa.int64()))
+            fetched = (
+                kept.append_column("status", pa.array(statuses, pa.int32()))
+                .append_column("body", pa.array(bodies, body_type))
+                .append_column(
+                    "cached", pa.array([False] * kept.num_rows, pa.bool_())
+                )
+            )
+            if fetched.num_rows and self._seen is not None:
+                self._seen.mark(
+                    fetched["canon"].to_pylist(), fetched["status"].to_pylist()
+                )
+            out_parts.append(fetched)
+        if not out_parts:
+            return self.__call__(batch.slice(0, 0))
+        out = pa.concat_tables(out_parts) if len(out_parts) > 1 else out_parts[0]
+        return out.sort_by("order_key")

@@ -84,6 +84,12 @@ RESULT_SCHEMA = pa.schema(
 class EngineOptions:
     seen_shards: int = 4
     seen_capacity_per_shard: int = 1 << 17
+    # scale-run memory switch: False stops the seen shards from
+    # retaining canon STRINGS (~80 B/URL — ~40x the 2 B/URL cuckoo +
+    # digest/status state at 10^10 URLs); CrawlResult.seen /
+    # all_items() then raise with a pointer and results flow through
+    # the events sink. Default True keeps the conformance surface.
+    retain_canon: bool = True
     politeness_shards: int = 2
     per_host_budget: int | None = None
     per_host_wave_limit: int | None = None
@@ -430,7 +436,8 @@ class CrawlEngine:
         self.cfg = cfg
         self.opts = options or EngineOptions()
         self.seen = ShardedSeenSet(
-            self.opts.seen_shards, self.opts.seen_capacity_per_shard
+            self.opts.seen_shards, self.opts.seen_capacity_per_shard,
+            retain_canon=self.opts.retain_canon,
         )
         self._politeness_on = (
             self.opts.per_host_budget is not None

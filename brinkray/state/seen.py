@@ -54,11 +54,18 @@ def _u64(digest: bytes) -> int:
 class SeenShard:
     """One hash partition of the seen set (digest-keyed)."""
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 17):
+    def __init__(self, shard_id: int, capacity: int = 1 << 17,
+                 retain_canon: bool = True):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
         self.status: dict[bytes, int] = {}
-        # digest -> canon string, populated on mark (conformance surface)
+        # digest -> canon string, populated on mark. This is the
+        # CONFORMANCE surface only (all_items / items): at 10^10 URLs
+        # the canon text (~80 B/URL) dominates shard memory ~40x over
+        # the cuckoo+status state, so scale runs set retain_canon=False
+        # and the shard stores digests only (items() then raises with a
+        # pointer — the crawl's outputs flow through the events sink).
+        self.retain_canon = retain_canon
         self.canon: dict[bytes, str] = {}
         # in-flight reservations (scale ordering mode): digest -> the
         # GENERATION (execution counter) that took it. Generation tags
@@ -86,10 +93,12 @@ class SeenShard:
     def mark(self, digests: list[bytes], canons: list[str], statuses: list[int]) -> int:
         """Idempotent first-write-wins insert (brink.go:103)."""
         n = 0
+        retain = self.retain_canon
         for d, c, s in zip(digests, canons, statuses):
             if d not in self.status:
                 self.status[d] = int(s)
-                self.canon[d] = c
+                if retain:
+                    self.canon[d] = c
                 self.filter.add_hash(_u64(d))
                 n += 1
             self.reserved.pop(d, None)
@@ -141,6 +150,11 @@ class SeenShard:
         return len(self.status)
 
     def items(self) -> list[tuple[str, int]]:
+        if not self.retain_canon and self.status:
+            raise RuntimeError(
+                "canon strings were not retained (retain_canon=False "
+                "scale mode); use size()/the events sink instead"
+            )
         return sorted((self.canon[d], s) for d, s in self.status.items())
 
     def dump(self) -> dict:
@@ -149,6 +163,7 @@ class SeenShard:
             "filter": self.filter.dump(),
             "status": dict(self.status),
             "canon": dict(self.canon),
+            "retain_canon": self.retain_canon,
         }
 
     def restore(self, state: dict) -> None:
@@ -162,6 +177,7 @@ class SeenShard:
         self.filter = CuckooFilter.restore(state["filter"])
         self.status = dict(state["status"])
         self.canon = dict(state.get("canon", {}))
+        self.retain_canon = bool(state.get("retain_canon", True))
 
 
 class ShardedSeenSet:
@@ -171,12 +187,16 @@ class ShardedSeenSet:
     here and reused for routing + wire keys); `*_digests` variants let
     the fetch hot path hash each canon exactly once per batch."""
 
-    def __init__(self, nshards: int = 4, capacity_per_shard: int = 1 << 17, actors=None):
+    def __init__(self, nshards: int = 4, capacity_per_shard: int = 1 << 17,
+                 actors=None, retain_canon: bool = True):
         self.nshards = nshards
         if actors is not None:
             self.actors = list(actors)
         else:
-            self.actors = [SeenShard.remote(i, capacity_per_shard) for i in range(nshards)]
+            self.actors = [
+                SeenShard.remote(i, capacity_per_shard, retain_canon)
+                for i in range(nshards)
+            ]
 
     def _group(self, digests: list[bytes]) -> dict[int, list[int]]:
         groups: dict[int, list[int]] = {}

@@ -139,3 +139,72 @@ def test_cookie_session_no_session_cookie_keeps_auth():
     # ...and a session cookie arriving later drops auth from then on
     s.merge_response_cookies([Cookie(name="JSessionID", value="z")])
     assert "Authorization" not in s.prepare_headers()
+
+
+def test_retain_canon_off_drops_strings_not_semantics(ray_session):
+    """retain_canon=False (the 10^10-URL memory mode): check / mark /
+    reserve / dedup semantics identical, memory ~canon-free (dump
+    carries no strings), all_items raises with a pointer."""
+    import pytest
+
+    from brinkray.state.seen import ShardedSeenSet
+
+    a = ShardedSeenSet(2, retain_canon=True)
+    b = ShardedSeenSet(2, retain_canon=False)
+    urls = [f"https://x.test/p/{i}" for i in range(200)]
+    for s in (a, b):
+        s.mark(urls[:150], [200] * 150)
+    assert a.check(urls) == b.check(urls)
+    assert a.size() == b.size() == 150
+    assert b.reserve(urls[140:160])[:10] == [200] * 10  # stored statuses
+    with pytest.raises(RuntimeError, match="retain_canon"):
+        b.all_items()
+    assert len(a.all_items()) == 150
+    # dump: no canon strings retained; restore round-trips the flag
+    dumps = b.dump()
+    assert all(d["canon"] == {} and d["retain_canon"] is False for d in dumps)
+    c = ShardedSeenSet(2, retain_canon=True)
+    c.restore(dumps)
+    assert c.check(urls) == b.check(urls)
+    with pytest.raises(RuntimeError):
+        c.all_items()  # restore adopts the dump's mode
+
+
+def test_engine_scale_run_with_retain_canon_off(ray_session, tmp_path):
+    """Scale-mode e2e with retain_canon=False + events sink: same seen
+    COUNT and same sunk events as the conformance run; the canon-keyed
+    surfaces raise."""
+    import pytest
+
+    from brinkray.engine.crawl import CrawlEngine, EngineOptions
+    from brinkray.fixtures import build_site, site_config
+
+    cfg = site_config()
+    table = build_site(60)
+    ref_eng = CrawlEngine(cfg, EngineOptions(seen_shards=2, ordering="scale"))
+    ref_eng.set_pages(table)
+    want = ref_eng.run()
+
+    sink = str(tmp_path / "sink")
+    eng = CrawlEngine(
+        cfg,
+        EngineOptions(
+            seen_shards=2, ordering="scale", retain_canon=False,
+            events_sink_dir=sink, retain_results=False,
+        ),
+    )
+    eng.set_pages(table)
+    res = eng.run()
+    assert res.seen_count() == want.seen_count()
+    with pytest.raises(RuntimeError, match="retain_canon"):
+        _ = res.seen
+    key = ["linked_from", "url", "status", "cached"]
+    got = (
+        res.events_dataset().to_pandas()[key]
+        .sort_values(key).reset_index(drop=True)
+    )
+    exp = (
+        want.events_table().select(key).to_pandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    assert got.equals(exp)

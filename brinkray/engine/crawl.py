@@ -150,6 +150,23 @@ class EngineOptions:
     # wave pairing identical across cluster sizes (scaling pairs must
     # compare the same execution plan).
     pipeline_min_frontier: int = 4096
+    # Deep-crawl key-width control (NOTES gap 3): order_key is a path
+    # label growing ~7 B per wave of depth (~3.5 KB at depth 500).
+    # With rebase_order_keys=True:
+    #   * strict mode RE-BASES per wave: each expansion parent's label
+    #     is replaced by its dense rank in the wave's FIFO order
+    #     (order-preserving, so the encoding stays FIFO-EXACT — proven
+    #     equal to the unrebased run on a deep chain in tests), and
+    #     child keys are a constant 17 bytes at any depth. Costs one
+    #     extra sort of the wave's FETCHED pages (not the frontier).
+    #   * scale mode (sort-free; no global rank exists) instead CAPS
+    #     growth: past ~96 B, children inherit the parent's label.
+    #     Set semantics are untouched (scale dedup is atomic shard
+    #     reservations, never key comparison); ordering — already
+    #     approximate in scale mode — degrades only below the cap
+    #     depth (~13 waves).
+    # Default False keeps byte-identical conformance keys.
+    rebase_order_keys: bool = False
     # Streaming events sink: when set, every executed wave's results
     # are written as parquet under {events_sink_dir}/wave_XXXX/
     # DIRECTLY from the cluster (Dataset.write_parquet — blocks never
@@ -306,6 +323,57 @@ def _mark_winners(norm_ds, target_blocks: int | None) -> "rd.Dataset":
         _block_mark_winners.remote(r, f) for r, f in zip(refs, flags)
     ]
     return rd.from_arrow_refs(marked)
+
+
+def _rank_rebase(expandable) -> "rd.Dataset":
+    """Strict-mode per-wave order_key re-basing: sort the wave's
+    expansion parents by order_key and rewrite each label to its dense
+    rank, fixed-width (10 digits). Rank order == key order, so every
+    downstream comparison (child FIFO order, dedup winner selection) is
+    unchanged while child keys stop growing with depth.
+
+    Distributed rank assignment without gathering rows: after the sort,
+    blocks hold disjoint key ranges; a metadata pass ships one
+    (first_key, num_rows) row per block to the driver, which prefix-sums
+    the counts into per-block offsets keyed by first_key (keys are
+    unique path labels, so first_key identifies its block); the relabel
+    pass then numbers each block's rows from its offset."""
+    s = expandable.sort("order_key").materialize()
+
+    def head_row(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": pa.array([t["order_key"][0].as_py()], pa.string()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    head = (
+        s.map_batches(head_row, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("k")
+    )
+    counts = head["n"].to_numpy()
+    offsets = dict(
+        zip(head["k"], (counts.cumsum() - counts).astype(int))
+    )
+
+    def relabel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        off = offsets[t["order_key"][0].as_py()]
+        ranks = pa.array(
+            [f"{off + i:010d}" for i in range(t.num_rows)], pa.string()
+        )
+        return t.set_column(
+            t.schema.get_field_index("order_key"), "order_key", ranks
+        )
+
+    return s.map_batches(relabel, batch_size=None, batch_format="pyarrow")
 
 
 def _make_seen_check_fn(actors: list, nshards: int):
@@ -823,6 +891,8 @@ class CrawlEngine:
             # expansion -> next frontier (cached replays never expand)
             fetched = _filter_batches(processed, lambda t: pc.invert(t["cached"]))
             expandable = fetched.map_batches(forbidden_gate, batch_format="pyarrow")
+            if opts.rebase_order_keys:
+                expandable = _rank_rebase(expandable)
             links = expandable.map_batches(
                 extract_links_fn, batch_format="pyarrow"
             )
@@ -969,6 +1039,7 @@ class CrawlEngine:
                 "store_text": opts.store_text,
                 "fast_extract": opts.extract_fast,
                 "gen": gen,
+                "key_cap": 96 if opts.rebase_order_keys else None,
             },
             politeness_actors=pol_actors,
             politeness_shards=opts.politeness_shards,

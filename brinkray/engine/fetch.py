@@ -254,6 +254,7 @@ class Fetcher:
         store_text: bool = True,
         fast_extract: bool = True,
         gen: int = 0,
+        key_cap: int | None = None,
     ) -> pa.Table:
         """Scale-ordering fetch (sort-free dedup): within the batch the
         first occurrence per canon (by order_key) drives; cross-batch
@@ -406,7 +407,15 @@ class Fetcher:
                 l_href.append(l.href)
                 l_from.append(l.linked_from)
                 l_target.append(l.target)
-                l_key.append(f"{okeys[i]}/{pos:06d}")
+                # key_cap (deep-crawl width bound, crawl.py
+                # rebase_order_keys): past the cap children inherit the
+                # parent's label — ordering (already approximate in
+                # scale mode) coarsens below cap depth, set semantics
+                # (reservation dedup) are untouched
+                if key_cap is not None and len(okeys[i]) + 7 > key_cap:
+                    l_key.append(okeys[i])
+                else:
+                    l_key.append(f"{okeys[i]}/{pos:06d}")
                 l_wave.append(waves[i] + 1)
                 pos += 1
 

@@ -321,8 +321,20 @@ def _phase_crawl(out_path: str) -> None:
     index = None
     with open(out_path, "a") as f:
         for _ in range(max(1, n_runs)):
+            load0 = os.getloadavg()[0]
             sec_i, stats_i, index = bench_crawl(NUM_CPUS, index=index)
-            f.write(json.dumps({"sec": round(sec_i, 3), "stats": stats_i}) + "\n")
+            f.write(
+                json.dumps(
+                    {
+                        "sec": round(sec_i, 3),
+                        "stats": stats_i,
+                        # ambient load bracketing THIS sample — the
+                        # noise-tail diagnosis is per run, not per batch
+                        "load": [round(load0, 2), round(os.getloadavg()[0], 2)],
+                    }
+                )
+                + "\n"
+            )
             f.flush()
             os.fsync(f.fileno())
     ray.shutdown()
@@ -393,6 +405,28 @@ def run_once() -> dict:
         crashes += 1
         if crashes > 2:
             break  # report whatever samples survived
+    # LOAD-AWARE RETRY (VERDICT r03 #7): this VM's ambient noise spans
+    # 2x on identical binaries; if EVERY sample so far ran under heavy
+    # ambient load (neighbors, not the engine), wait for the box to
+    # quiet down and take extra samples — bounded by
+    # BRINKRAY_BENCH_MAX_RUNS so a permanently-loaded box still
+    # terminates and the payload discloses what happened.
+    load_thresh = float(os.environ.get("BRINKRAY_LOAD_THRESH", "4.0"))
+    max_runs = int(os.environ.get("BRINKRAY_BENCH_MAX_RUNS", str(n_runs + 3)))
+    noise_retries = 0
+    while (
+        len(samples()) < max_runs
+        and samples()
+        and all(
+            min(s.get("load", [99.0])) > load_thresh for s in samples()
+        )
+    ):
+        time.sleep(float(os.environ.get("BRINKRAY_LOAD_WAIT_SEC", "20")))
+        noise_retries += 1
+        if _run_child("crawl", crawl_path, {"BRINKRAY_BENCH_RUNS": "1"}) != 0:
+            crashes += 1
+            if crashes > 2:
+                break
     crawl_runs = samples()
     if not crawl_runs:
         raise RuntimeError("headline crawl produced no samples after retries")
@@ -419,6 +453,8 @@ def run_once() -> dict:
         "num_cpus": NUM_CPUS,
         "crawl": crawl_stats,
         "crawl_runs_sec": [round(r["sec"], 3) for r in crawl_runs],
+        "crawl_runs_load": [r.get("load") for r in crawl_runs],
+        "noise_retries": noise_retries,
         "child_crashes": crashes,
         "load_avg_before": [round(x, 2) for x in load_before],
         "load_avg_after": [round(x, 2) for x in os.getloadavg()],

@@ -2227,6 +2227,117 @@ def _q_link_pagerank(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q_crawl_wave_sizes(sf_dir: str):
+    """Per-WAVE first-fetch counts — the BFS-depth histogram of the
+    crawl. Puts a SQL oracle on the wave/depth semantics themselves
+    (crawl_seen_set only certifies the order-independent SET): with
+    default options a url's first fetch happens exactly at its BFS
+    distance from the seed, which the twin re-derives by unrolling
+    the reachability CTE level by level and taking MIN(level)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    import ray.data as rd
+
+    res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
+    ev = res.events_table().select(["wave", "cached"])
+    first = ev.filter(pc.invert(ev["cached"]))
+    out = (
+        rd.from_arrow(first.select(["wave"]))
+        .groupby("wave")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["wave"] = out["wave"].astype("int64")
+    return out.sort_values("wave").reset_index(drop=True)
+
+
+def _q_dedup_clusters_exact(sf_dir: str):
+    """Connected components (alternating large-star/small-star rounds)
+    over the EXACT Jaccard>=0.5 pair graph — unlike dedup_clusters
+    (whose MinHash-estimate input is not SQL-derivable), this puts the
+    distributed component-finding itself under a driver oracle: the
+    twin re-derives the same edges by brute-force Jaccard and labels
+    components with a recursive min-label CTE."""
+    from brinkray.textproc.dedup import shingle_join_pairs
+    from brinkray.textproc.joins import cluster_pairs
+
+    pairs = shingle_join_pairs(
+        _ds(sf_dir, "documents"), threshold=0.5, bucket_cap=1 << 20
+    )
+    out = _to_pandas(cluster_pairs(pairs))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_link_hits(sf_dir: str):
+    """HITS hubs/authorities over the crawl's reachable link graph —
+    exact unnormalized integer iterations (2), twin-unrolled in SQL
+    like link_pagerank. Same event-log edge derivation as pagerank."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from brinkray.fixtures.sitegen import site_config
+    from brinkray.ref.urls import normalize_url
+    from brinkray.textproc.joins import hits
+
+    res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
+    ev = res.events_table().select(["linked_from", "url"])
+    ev = ev.filter(
+        pc.invert(
+            pc.is_in(ev["linked_from"], value_set=pa.array(["start", "warm"]))
+        )
+    )
+    ignored = site_config().ignored_get_params
+    parents = pa.array(
+        [normalize_url(u, ignored) for u in ev["linked_from"].to_pylist()],
+        pa.string(),
+    )
+    edges = (
+        rd.from_arrow(pa.table({"parent": parents, "child": ev["url"]}))
+        .groupby(["parent", "child"])
+        .count()
+        .select_columns(["parent", "child"])
+    )
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(sorted(res.seen.keys()), pa.string())})
+    )
+    out = hits(nodes, edges, iters=2, num_partitions=8).to_pandas()
+    out = out.rename(columns={"node": "url"})[["url", "auth", "hub"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _q_ann_multi_topk(sf_dir: str):
+    """Multi-query exact ANN: top-10 per query for the 5 smallest-id
+    embeddings, ONE corpus pass against the broadcast query matrix.
+    Membership per query (cosine values differ from DuckDB in the last
+    ulp); qid is the query's vec_id so both sides key identically."""
+    import pyarrow.parquet as pq
+
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.similarity import cosine_topk_multi
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.sort_by("vec_id").slice(0, 5)
+    qids = t["vec_id"].to_pylist()
+    import numpy as np
+
+    queries = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    out = cosine_topk_multi(
+        _ds(sf_dir, "embeddings"), queries, k=10
+    ).to_pandas()
+    out["qid"] = out["qid"].map({i: q for i, q in enumerate(qids)}).astype("int64")
+    return (
+        out[["qid", "vec_id"]]
+        .sort_values(["qid", "vec_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_link_degree_histogram(sf_dir: str):
     """Out-degree distribution of the crawl's reachable link graph —
     graph analytics by composition: the same distinct-edge derivation
@@ -3705,6 +3816,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_extract_links": _q_crawl_extract_links,
         "link_pagerank": _q_link_pagerank,
+        "link_hits": _q_link_hits,
+        "crawl_wave_sizes": _q_crawl_wave_sizes,
+        "dedup_clusters_exact": _q_dedup_clusters_exact,
+        "ann_multi_topk": _q_ann_multi_topk,
         "link_degree_histogram": _q_link_degree_histogram,
     }
 
@@ -3813,6 +3928,62 @@ def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
     )
 
 
+def _wave_sizes_sql(levels: int = 24) -> str:
+    """BFS-depth histogram twin: unroll the reachability CTE level by
+    level (l0 = seed, l_k = children(l_{k-1})) and take MIN(level) per
+    canon — the wave at which the engine first fetches it. ``levels``
+    safely exceeds the deepest testdata crawl (<= ~12 waves)."""
+    head = _CRAWL_CTE + ", l0 AS (SELECT 'https://site-a.test' AS canon)"
+    steps, unions = [], ["SELECT canon, 0 AS d FROM l0"]
+    for i in range(1, levels + 1):
+        steps.append(
+            f", l{i} AS (SELECT DISTINCT e.child AS canon FROM edges e "
+            f"JOIN l{i - 1} p ON e.parent = p.canon)"
+        )
+        unions.append(f"SELECT canon, {i} AS d FROM l{i}")
+    return (
+        head
+        + "".join(steps)
+        + ", alld AS (" + " UNION ALL ".join(unions) + ")"
+        + ", md AS (SELECT canon, MIN(d) AS w FROM alld GROUP BY canon) "
+        "SELECT CAST(w AS BIGINT) AS wave, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM md GROUP BY w ORDER BY wave"
+    )
+
+
+def _hits_sql(iters: int = 2) -> str:
+    """Unrolled integer HITS over the crawl CTE's reachable graph —
+    the same unnormalized recurrence as joins.hits (h0 = 1)."""
+    head = (
+        _CRAWL_CTE
+        + ", nodes AS (SELECT canon FROM reach), "
+        "er AS (SELECT DISTINCT e.parent, e.child FROM edges e "
+        "JOIN nodes n ON e.parent = n.canon), "
+        "h0 AS (SELECT canon, 1 AS h FROM nodes)"
+    )
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(
+            f", a{t} AS (SELECT n.canon, CAST(COALESCE(s.s, 0) AS BIGINT) AS a "
+            "FROM nodes n LEFT JOIN (SELECT er.child, SUM(p.h) AS s "
+            f"FROM er JOIN h{t - 1} p ON p.canon = er.parent "
+            "GROUP BY er.child) s ON s.child = n.canon)"
+        )
+        steps.append(
+            f", h{t} AS (SELECT n.canon, CAST(COALESCE(s.s, 0) AS BIGINT) AS h "
+            f"FROM nodes n LEFT JOIN (SELECT er.parent, SUM(p.a) AS s "
+            f"FROM er JOIN a{t} p ON p.canon = er.child "
+            "GROUP BY er.parent) s ON s.parent = n.canon)"
+        )
+    return (
+        head
+        + "".join(steps)
+        + f" SELECT n.canon AS url, a{iters}.a AS auth, h{iters}.h AS hub "
+        f"FROM nodes n JOIN a{iters} ON a{iters}.canon = n.canon "
+        f"JOIN h{iters} ON h{iters}.canon = n.canon ORDER BY url"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
     d["link_pagerank"] = _pagerank_sql(iters=5)
@@ -3832,6 +4003,8 @@ def oracle_sql() -> dict[str, str]:
     # the join-based paragraph-dedup path computes the identical
     # quantity — it shares the broadcast path's twin verbatim
     d["paragraph_dedup_shuffled"] = d["paragraph_dedup"]
+    d["crawl_wave_sizes"] = _wave_sizes_sql()
+    d["link_hits"] = _hits_sql(iters=2)
     return d
 
 
@@ -4443,6 +4616,40 @@ def _oracle_sql_dict() -> dict[str, str]:
         # exact IVF top-k with radius-bound pruning == brute force by
         # construction (probing stops only when no unprobed cell can
         # beat the k-th best) => same membership twin as the scan.
+        # multi-query exact top-k membership (one pass, broadcast query
+        # matrix on the Ray side; per-query window on the SQL side)
+        "ann_multi_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 5), "
+            "r AS (SELECT q.qid, e.vec_id, row_number() OVER ("
+            "PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])) DESC, e.vec_id) AS rnk "
+            "FROM embeddings e, q) "
+            "SELECT qid, vec_id FROM r WHERE rnk <= 10 ORDER BY qid, vec_id"
+        ),
+        # connected components over the exact Jaccard>=0.5 pair graph:
+        # the twin labels each node with the MIN reachable doc_id via a
+        # recursive CTE over the (brute-force-derived) edges.
+        "dedup_clusters_exact": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s FROM toks), "
+            "p AS (SELECT a.doc_id AS u, b.doc_id AS v "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) "
+            "/ greatest(len(list_distinct(a.s || b.s)), 1) >= 0.5), "
+            "e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p), "
+            "nodes AS (SELECT DISTINCT u AS node FROM e), "
+            "lbl AS (SELECT node, node AS l FROM nodes "
+            "UNION SELECT e.v, lbl.l FROM lbl JOIN e ON e.u = lbl.node "
+            "WHERE lbl.l < e.v) "
+            "SELECT node AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster "
+            "FROM lbl GROUP BY node ORDER BY doc_id"
+        ),
         "ann_ivf_topk": (
             "WITH q AS (SELECT embedding FROM embeddings "
             "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) "

@@ -222,6 +222,14 @@ def bench_queries() -> dict[str, float]:
         "score_calibration",
         "lang_id_prf",
         "crawl_url_features",
+        # round-4 operators
+        "dedup_ngram_jaccard",
+        "dedup_clusters_exact",
+        "paragraph_dedup_shuffled",
+        "crawl_events_sink",
+        "crawl_wave_sizes",
+        "link_hits",
+        "ann_multi_topk",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -561,6 +561,100 @@ def pagerank(nodes_ds, edges_ds, iters: int = 5, scale: int = 10**12,
     return ranks
 
 
+def hits(nodes_ds, edges_ds, iters: int = 2, num_partitions: int | None = None):
+    """Distributed HITS (Kleinberg, JACM 1999) hubs/authorities over a
+    link graph — ``nodes_ds`` one (``node``) per vertex, ``edges_ds``
+    DISTINCT (``parent``, ``child``) rows, both endpoints in nodes.
+    UNNORMALIZED exact-integer iterations (h0 = 1):
+
+        a_t(v) = sum over edges (u,v) of h_{t-1}(u)
+        h_t(u) = sum over edges (u,v) of a_t(v)
+
+    Skipping the usual L2 normalization keeps every value an exact
+    int64 (bit-reproducible across block layouts AND SQL-twinnable);
+    rankings are identical since normalization is a positive scalar.
+    Values grow ~ (max degree)^(2t) x n, so iterations are bounded
+    (default 2) and each half-step RAISES past 2^61 instead of silently
+    wrapping. Scale shape per half-step: one native scores⋈edges hash
+    join + one groupby(Sum) + one left join back onto nodes (absent ->
+    0); scores materialize per iteration so the plan stays flat.
+    Returns (node, auth, hub)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    if nodes_ds.count() == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()),
+                      "auth": pa.array([], pa.int64()),
+                      "hub": pa.array([], pa.int64())})
+        )
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    edges = edges_ds.materialize()
+
+    def const_scores(val_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": t["node"],
+                 val_col: pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            )
+
+        return fn
+
+    def half_step(scores, score_col: str, key: str, other: str, out_col: str):
+        """out(x) = sum over edges of score(key side) grouped by the
+        other side; nodes without incident edges get 0."""
+        contrib = (
+            edges.join(
+                scores.map_batches(
+                    lambda t: pa.table({key: t["node"], "s": t[score_col]}),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner", num_partitions=num_partitions, on=(key,),
+            )
+            .groupby(other)
+            .aggregate(Sum("s", alias_name="s"))
+            .materialize()  # barrier: two native joins in one streaming
+            # execution deadlock small clusters (NOTES / rayfix)
+        )
+        out = nodes_ds.join(
+            contrib.map_batches(
+                lambda t: pa.table({"node": t[other], "s": t["s"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer", num_partitions=num_partitions, on=("node",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t["node"],
+                 out_col: pc.cast(pc.coalesce(t["s"], pa.scalar(0)), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        mx = out.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([int(pc.max(t[out_col]).as_py() or 0)], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["m"].max()
+        if int(mx) >= (1 << 61):
+            raise OverflowError(
+                f"hits: {out_col} exceeded 2^61 — lower iters (unnormalized "
+                "integer scores grow ~degree^(2t))"
+            )
+        return out
+
+    hub = nodes_ds.map_batches(const_scores("hub"), batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, "hub", "parent", "child", "auth")
+        hub = half_step(auth, "auth", "child", "parent", "hub")
+    merged = auth.join(hub, join_type="inner", num_partitions=num_partitions,
+                       on=("node",))
+    return merged
+
+
 def cluster_pairs(pairs_ds, max_rounds: int = 30):
     """Connected components over (doc_a, doc_b) pairs, fully
     distributed: alternating large-star / small-star rounds (Kiveris et

@@ -15,8 +15,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-__all__ = ["cosine_topk", "ivf_topk", "ivf_topk_pruned", "build_ivf_centroids",
-           "kmeans_labels", "label_centroids"]
+__all__ = ["cosine_topk", "cosine_topk_multi", "ivf_topk", "ivf_topk_pruned",
+           "build_ivf_centroids", "kmeans_labels", "label_centroids"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -53,6 +53,61 @@ def cosine_topk(ds, query: np.ndarray, k: int = 10, vec_col="embedding", id_col=
         {
             id_col: pa.array(ids[order], pa.int64()),
             "cosine": pa.array(cos[order], pa.float64()),
+        }
+    )
+
+
+def cosine_topk_multi(ds, queries: np.ndarray, k: int = 10,
+                      vec_col="embedding", id_col="vec_id"):
+    """Exact cosine top-k for a BATCH of queries in ONE corpus pass —
+    the broadcast-query-matrix shape: the (q, d) matrix ships once via
+    the task closure, each batch does a single (n, d) @ (d, q) matmul
+    and keeps its per-query partial top-k, so only q*k rows per batch
+    reach the driver regardless of corpus size (vs q separate scans).
+    Returns pa.Table (qid, vec_id, cosine) with qid = query row index,
+    sorted by (qid, -cosine, vec_id)."""
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    nq = q.shape[0]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        cos = _unit(_as_matrix(t[vec_col])) @ q.T  # (n, nq)
+        out_q, out_id, out_c = [], [], []
+        for j in range(nq):
+            c = cos[:, j]
+            sel = (
+                np.argpartition(-c, k)[:k] if len(ids) > k
+                else np.arange(len(ids))
+            )
+            out_q.append(np.full(len(sel), j, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_c.append(c[sel])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    qs = np.asarray(parts["qid"].to_pylist(), dtype=np.int64)
+    ids = np.asarray(parts[id_col].to_pylist(), dtype=np.int64)
+    cos = np.asarray(parts["cosine"].to_pylist())
+    keep_q, keep_i, keep_c = [], [], []
+    for j in range(nq):
+        m = qs == j
+        order = np.lexsort((ids[m], -cos[m]))[:k]
+        keep_q.append(np.full(len(order), j, dtype=np.int64))
+        keep_i.append(ids[m][order])
+        keep_c.append(cos[m][order])
+    return pa.table(
+        {
+            "qid": pa.array(np.concatenate(keep_q), pa.int64()),
+            id_col: pa.array(np.concatenate(keep_i), pa.int64()),
+            "cosine": pa.array(np.concatenate(keep_c), pa.float64()),
         }
     )
 

@@ -513,7 +513,15 @@ def test_pair_cooccurrence_truncates_giant_groups(ray_session):
         pa.table({"g": pa.array([1] * 10, pa.int64()),
                   "i": pa.array(range(10), pa.int64())})
     )
-    out = pair_cooccurrence(ds, "g", "i", min_count=1, max_items=4).to_pandas()
+    import pytest
+
+    # default contract: oversized groups RAISE (a truncated result would
+    # silently diverge from a capless SQL oracle — ADVICE r03)
+    with pytest.raises(Exception):
+        pair_cooccurrence(ds, "g", "i", min_count=1, max_items=4).to_pandas()
+    out = pair_cooccurrence(
+        ds, "g", "i", min_count=1, max_items=4, on_oversize="truncate"
+    ).to_pandas()
     assert len(out) == 6  # C(4,2) after truncation (warning logged worker-side)
 
 

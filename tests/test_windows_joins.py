@@ -1171,3 +1171,70 @@ def test_asof_join_forward_matches_pandas(ray_session):
         want[["k", "lval", "price"]].astype({"price": "float64"}),
         check_dtype=False,
     )
+
+
+def test_hits_matches_dense_reference(ray_session):
+    """Distributed HITS == a dense numpy reference (unnormalized
+    integer recurrence, h0=1) on a random-ish digraph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.joins import hits
+
+    n = 30
+    names = [f"n{i:02d}" for i in range(n)]
+    rng = np.random.default_rng(4)
+    adj = rng.random((n, n)) < 0.12
+    np.fill_diagonal(adj, False)
+    ps, cs = np.nonzero(adj)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "parent": pa.array([names[i] for i in ps], pa.string()),
+                "child": pa.array([names[j] for j in cs], pa.string()),
+            }
+        )
+    )
+    nodes = rd.from_arrow(pa.table({"node": pa.array(names, pa.string())}))
+    out = (
+        hits(nodes, edges, iters=2, num_partitions=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    a = np.zeros(n, dtype=np.int64)
+    h = np.ones(n, dtype=np.int64)
+    A = adj.astype(np.int64)
+    for _ in range(2):
+        a = A.T @ h
+        h = A @ a
+    assert out["auth"].tolist() == a.tolist()
+    assert out["hub"].tolist() == h.tolist()
+
+
+def test_cosine_topk_multi_matches_single(ray_session):
+    """One-pass multi-query top-k == per-query brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.similarity import cosine_topk, cosine_topk_multi
+
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((200, 12))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    )
+    qs = vecs[:3].astype(np.float32).astype(np.float64)
+    multi = cosine_topk_multi(ds, qs, k=7).to_pandas()
+    for j in range(3):
+        single = cosine_topk(ds, qs[j], k=7)
+        got = multi[multi["qid"] == j]["vec_id"].tolist()
+        assert got == single["vec_id"].to_pylist()

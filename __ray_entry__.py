@@ -2253,6 +2253,39 @@ def _q_crawl_wave_sizes(sf_dir: str):
     return out.sort_values("wave").reset_index(drop=True)
 
 
+def _q_crawl_robots_seen(sf_dir: str):
+    """Robots-gated crawl seen set: the same documents-seeded site WITH
+    robots.txt pages (fixtures ROBOTS_A/ROBOTS_B), crawled with
+    robots_enabled — disallowed urls are dropped pre-fetch, so the
+    final seen set equals the robots-gated BFS fixpoint the twin
+    re-derives (incl. the longest-match allow override /p/13/deeper
+    over /p/13). Puts a driver oracle on the RFC-9309 filter path,
+    previously pytest-only."""
+    import pyarrow.parquet as pq
+
+    import pandas as pd
+
+    from brinkray.engine.crawl import EngineOptions
+    from brinkray.fixtures.sitegen import build_site
+    from brinkray.pipelines import run_crawl
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    texts = docs["text"].to_pylist()
+    n = min(800, len(texts))
+    pages = build_site(n, texts=texts, with_robots=True)
+    pq.write_table(
+        pages.select(["url", "html"]), _CRAWL_ROBOTS_PAGES_PATH
+    )
+    res = run_crawl(
+        pages,
+        options=EngineOptions(seen_shards=2, robots_enabled=True),
+    )
+    items = sorted(res.seen.items())
+    return pd.DataFrame(
+        {"url": [u for u, _ in items], "status": [s for _, s in items]}
+    )
+
+
 def _q_dedup_clusters_exact(sf_dir: str):
     """Connected components (alternating large-star/small-star rounds)
     over the EXACT Jaccard>=0.5 pair graph — unlike dedup_clusters
@@ -3818,6 +3851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "link_hits": _q_link_hits,
         "crawl_wave_sizes": _q_crawl_wave_sizes,
+        "crawl_robots_seen": _q_crawl_robots_seen,
         "dedup_clusters_exact": _q_dedup_clusters_exact,
         "ann_multi_topk": _q_ann_multi_topk,
         "link_degree_histogram": _q_link_degree_histogram,
@@ -3892,6 +3926,32 @@ reach AS (
 """
 
 _CRAWL_CTE = _CRAWL_CTE_TEMPLATE.format(path=_CRAWL_PAGES_PATH)
+
+# robots-enabled twin: same fixpoint over a robots-carrying pages dump,
+# with RFC-9309 longest-match gating (fixtures ROBOTS_A/ROBOTS_B:
+# site-a disallows /missing/ and /p/13 with /p/13/deeper re-allowed —
+# allow wins length ties; site-b disallows /status/) applied to every
+# would-be CHILD: a disallowed url is never fetched, so it is neither
+# in the seen set nor an expansion parent (stages.make_robots_filter
+# runs pre-seen-check). Path excludes the query, matching Go url.Path.
+_CRAWL_ROBOTS_PAGES_PATH = "/tmp/brinkray_crawl_pages_robots.parquet"
+_ROBOTS_CHILD_OK = (
+    "(CASE WHEN regexp_extract(c.child, '^(https?://[^/?#]+)', 1) = "
+    "'https://site-a.test' THEN "
+    "CASE WHEN starts_with(regexp_extract(c.child, "
+    "'^https?://[^/?#]+([^?#]*)', 1), '/p/13/deeper') THEN TRUE "
+    "WHEN starts_with(regexp_extract(c.child, "
+    "'^https?://[^/?#]+([^?#]*)', 1), '/p/13') THEN FALSE "
+    "WHEN starts_with(regexp_extract(c.child, "
+    "'^https?://[^/?#]+([^?#]*)', 1), '/missing/') THEN FALSE "
+    "ELSE TRUE END "
+    "ELSE NOT starts_with(regexp_extract(c.child, "
+    "'^https?://[^/?#]+([^?#]*)', 1), '/status/') END)"
+)
+_CRAWL_ROBOTS_CTE = _CRAWL_CTE_TEMPLATE.replace(
+    "AND (i.canon IS NULL OR i.blen <= 8192)",
+    "AND (i.canon IS NULL OR i.blen <= 8192)\n    AND " + _ROBOTS_CHILD_OK,
+).format(path=_CRAWL_ROBOTS_PAGES_PATH)
 
 
 def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
@@ -4004,6 +4064,12 @@ def oracle_sql() -> dict[str, str]:
     # quantity — it shares the broadcast path's twin verbatim
     d["paragraph_dedup_shuffled"] = d["paragraph_dedup"]
     d["crawl_wave_sizes"] = _wave_sizes_sql()
+    d["crawl_robots_seen"] = (
+        _CRAWL_ROBOTS_CTE
+        + "SELECT r.canon AS url, CAST(COALESCE(i.status, 404) AS BIGINT) "
+        "AS status FROM reach r LEFT JOIN idx i ON i.canon = r.canon "
+        "ORDER BY url"
+    )
     d["link_hits"] = _hits_sql(iters=2)
     return d
 

@@ -2253,6 +2253,41 @@ def _q_crawl_wave_sizes(sf_dir: str):
     return out.sort_values("wave").reset_index(drop=True)
 
 
+def _q_user_event_sequences(sf_dir: str):
+    """Ordered per-group string aggregation (SQL string_agg with ORDER
+    BY): each user's full event-type journey joined with '>' in
+    (ts, event_id) order — the session/sequence-assembly shape."""
+    from brinkray.textproc.relagg import grouped_string_agg
+
+    out = grouped_string_agg(
+        _ds(sf_dir, "events"), by="user_id", val_col="event_type",
+        order_cols=["ts", "event_id"],
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_click_minus_purchase_bag(sf_dir: str):
+    """EXCEPT ALL (bag semantics, vs the distinct set ops): per
+    (user, day), click multiplicity minus purchase multiplicity,
+    keeping keys with positive surplus — encoded as (key, n)."""
+    from brinkray.textproc.relagg import set_op_bag
+
+    clicks, purchases = _set_op_sides(sf_dir)
+    out = set_op_bag(
+        clicks, purchases, on=["user_id", "d"], op="except_all"
+    ).to_pandas()
+    return out.sort_values(["user_id", "d"]).reset_index(drop=True)
+
+
+def _q_bigram_pmi(sf_dir: str):
+    """Integer-exact PMI collocation scores over token bigrams (the
+    phrase-mining pass); HUGEINT-twinned, floor-division both sides."""
+    from brinkray.textproc.curation import bigram_pmi
+
+    out = bigram_pmi(_ds(sf_dir, "documents"), min_count=5).to_pandas()
+    return out.sort_values("bigram").reset_index(drop=True)
+
+
 def _q_crawl_robots_seen(sf_dir: str):
     """Robots-gated crawl seen set: the same documents-seeded site WITH
     robots.txt pages (fixtures ROBOTS_A/ROBOTS_B), crawled with
@@ -3852,6 +3887,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hits": _q_link_hits,
         "crawl_wave_sizes": _q_crawl_wave_sizes,
         "crawl_robots_seen": _q_crawl_robots_seen,
+        "user_event_sequences": _q_user_event_sequences,
+        "click_minus_purchase_bag": _q_click_minus_purchase_bag,
+        "bigram_pmi": _q_bigram_pmi,
         "dedup_clusters_exact": _q_dedup_clusters_exact,
         "ann_multi_topk": _q_ann_multi_topk,
         "link_degree_histogram": _q_link_degree_histogram,
@@ -5254,6 +5292,40 @@ def _oracle_sql_dict() -> dict[str, str]:
             "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
             "AS postings FROM tok GROUP BY token "
             "HAVING COUNT(*) BETWEEN 2 AND 1000 ORDER BY token"
+        ),
+        "user_event_sequences": (
+            "SELECT user_id, string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS seq FROM events "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        "click_minus_purchase_bag": (
+            "WITH c AS (SELECT user_id, date_trunc('day', ts) AS d "
+            "FROM events WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, date_trunc('day', ts) AS d "
+            "FROM events WHERE event_type = 'purchase'), "
+            "e AS (SELECT * FROM c EXCEPT ALL SELECT * FROM p) "
+            "SELECT user_id, d, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM e GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # PMI: HUGEINT keeps n_ab*U^2*1e6 exact; floor division both
+        # sides (DuckDB // == Python // for positive ints)
+        "bigram_pmi": (
+            "WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "
+            "AS tk FROM documents), "
+            "uni AS (SELECT unnest(tk) AS tok FROM t), "
+            "u AS (SELECT tok, CAST(COUNT(*) AS HUGEINT) AS n "
+            "FROM uni GROUP BY tok), "
+            "ut AS (SELECT SUM(n) AS uu FROM u), "
+            "z AS (SELECT unnest(generate_series(1, len(tk) - 1)) AS i, tk "
+            "FROM t WHERE len(tk) > 1), "
+            "bg AS (SELECT tk[i] AS a, tk[i + 1] AS b, "
+            "CAST(COUNT(*) AS HUGEINT) AS n_ab FROM z GROUP BY 1, 2), "
+            "bt AS (SELECT SUM(n_ab) AS bb FROM bg) "
+            "SELECT a || ' ' || b AS bigram, CAST(n_ab AS BIGINT) AS n_ab, "
+            "CAST((n_ab * ut.uu * ut.uu * 1000000) "
+            "// (bt.bb * ua.n * ub.n) AS BIGINT) AS pmi_ppm "
+            "FROM bg JOIN u ua ON ua.tok = bg.a JOIN u ub ON ub.tok = bg.b, "
+            "ut, bt WHERE n_ab >= 5 ORDER BY bigram"
         ),
         "top_bigrams": (
             "WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "

@@ -230,6 +230,10 @@ def bench_queries() -> dict[str, float]:
         "crawl_wave_sizes",
         "link_hits",
         "ann_multi_topk",
+        "crawl_robots_seen",
+        "user_event_sequences",
+        "click_minus_purchase_bag",
+        "bigram_pmi",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -1050,6 +1050,100 @@ def inverted_index(docs, df_min: int = 2, df_max: int = 1000,
     )
 
 
+def bigram_pmi(docs, min_count: int = 5, scale: int = 10**6,
+               text_col="text"):
+    """Pointwise-mutual-information collocation scores for token
+    bigrams, as the EXACT integer ratio
+
+        pmi_ppm = floor(n_ab * U * U * scale / (B * n_a * n_b))
+
+    (U = total token occurrences, B = total bigram occurrences) — the
+    scaled argument of log-PMI, monotone in PMI, kept rational-exact so
+    the distributed result is bit-reproducible and SQL-certifiable
+    (the repo-wide fixed-point rule; intermediates exceed int64 so the
+    finisher uses arbitrary-precision Python ints over the small
+    distinct-bigram table, and the twin uses HUGEINT).
+
+    Scale shape: bigram and unigram counts reduce through per-batch
+    vocabulary partials + one groupby each (the heavy_hitters shape);
+    the unigram table (vocab-bounded) broadcasts once via ray.put into
+    the final vectorized scorer over distinct-bigram rows. Returns
+    (bigram, n_ab, pmi_ppm) for bigrams with n_ab >= min_count."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        grams = []
+        for x in t[text_col].to_pylist():
+            toks = tokens_of(x)
+            grams.extend(f"{a} {b}" for a, b in zip(toks[:-1], toks[1:]))
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pa.table(
+            {"bigram": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())}
+        )
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t[text_col].to_pylist():
+            toks.extend(tokens_of(x))
+        if not toks:
+            return pa.table(
+                {"tok": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"tok": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())}
+        )
+
+    base = docs.select_columns([text_col])
+    uni = (
+        base.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # vocab-bounded
+    u_total = int(uni["n"].sum())
+    uni_ref = ray.put(dict(zip(uni["tok"], uni["n"].astype(int))))
+
+    bg = (
+        base.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    agg = bg.aggregate(Sum("n", alias_name="n"))
+    b_total = int(agg["n"]) if agg and agg.get("n") is not None else 0
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        udict = ray.get(uni_ref)
+        out_pmi = []
+        for bgram, n_ab in zip(t["bigram"].to_pylist(), t["n"].to_pylist()):
+            a, b = bgram.split(" ", 1)
+            # exact big-int arithmetic; result fits int64 by construction
+            out_pmi.append(
+                (int(n_ab) * u_total * u_total * scale)
+                // (b_total * udict[a] * udict[b])
+            )
+        return pa.table(
+            {
+                "bigram": t["bigram"],
+                "n_ab": t["n"],
+                "pmi_ppm": pa.array(out_pmi, pa.int64()),
+            }
+        )
+
+    return bg.map_batches(score, batch_format="pyarrow")
+
+
 def top_bigrams(docs, k: int = 20, text_col="text"):
     """Corpus-wide top-k most frequent token BIGRAMS (the LM n-gram
     statistics pass), ties broken by bigram asc. Same shape as

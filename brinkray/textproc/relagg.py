@@ -23,6 +23,8 @@ _apply_rayfix()  # schema-broadcast fix for native hash-shuffle joins
 
 __all__ = [
     "range_rank",
+    "set_op_bag",
+    "grouped_string_agg",
     "pricing_summary",
     "rollup_counts",
     "fixed_width_histogram",
@@ -311,6 +313,80 @@ def range_rank(ds, key_col: str, id_col: str, n_buckets: int = 0,
         return g.drop(columns=["pid"])
 
     return keyed.groupby("pid").map_groups(per_range, batch_format="pandas")
+
+
+def set_op_bag(left_ds, right_ds, on: list[str], op: str = "except_all"):
+    """Distributed EXCEPT ALL / INTERSECT ALL (BAG semantics — SQL's
+    multiset operators, vs :func:`set_op_distinct`'s set semantics):
+    result multiplicity per key is max(0, l - r) for ``except_all`` and
+    min(l, r) for ``intersect_all``. Returned as (key..., n) rows with
+    n >= 1 — the compact encoding of the duplicated-row multiset.
+
+    Same exchange shape as the distinct variant, carrying COUNTS:
+    each side pre-counts its keys per batch (pyarrow group_by), one
+    groupby over the tagged union sums per-side multiplicities, and a
+    vectorized finisher computes the bag arithmetic. Payloads never
+    shuffle — key columns and two int64 partial counts only."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if op not in ("except_all", "intersect_all"):
+        raise ValueError(f"unknown bag op: {op!r}")
+
+    def tag(side: str):
+        other = "_r" if side == "_l" else "_l"
+
+        def fn(t: pa.Table) -> pa.Table:
+            d = t.select(on).group_by(on).aggregate([([], "count_all")])
+            d = d.rename_columns(on + [side])
+            return d.append_column(
+                other, pa.array(np.zeros(d.num_rows, dtype=np.int64))
+            )
+
+        return fn
+
+    tagged = left_ds.map_batches(tag("_l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("_r"), batch_format="pyarrow")
+    )
+    agg = tagged.groupby(on).aggregate(
+        Sum("_l", alias_name="_l"), Sum("_r", alias_name="_r")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        left = t["_l"].to_numpy(zero_copy_only=False)
+        right = t["_r"].to_numpy(zero_copy_only=False)
+        n = (
+            np.maximum(0, left - right)
+            if op == "except_all"
+            else np.minimum(left, right)
+        )
+        keep = n > 0
+        out = t.select(on).append_column("n", pa.array(n, pa.int64()))
+        return out if bool(keep.all()) else out.filter(pa.array(keep))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, by: str, val_col: str, order_cols: list[str],
+                       sep: str = ">"):
+    """Ordered per-group string aggregation (SQL's
+    ``string_agg(val, sep ORDER BY ...)``): one groupby(by).map_groups
+    with an in-group vectorized sort — the sequence-building shape
+    (user event journeys, per-doc span assembly). Only the key, order
+    and value columns shuffle. Returns (by, seq)."""
+    import pandas as pd
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        return pd.DataFrame(
+            {by: [g[by].iloc[0]], "seq": [sep.join(g[val_col].astype(str))]}
+        )
+
+    return (
+        ds.select_columns([by, val_col] + order_cols)
+        .groupby(by)
+        .map_groups(build, batch_format="pandas")
+    )
 
 
 def set_op_distinct(left_ds, right_ds, on: list[str], op: str = "intersect"):

@@ -542,3 +542,40 @@ def test_table_profile_counts_nulls_and_distinct(ray_session):
     # SQL's COUNT(DISTINCT col) ignores NULLs; the kernel must too
     # (Ray's groupby would otherwise give NULL its own group)
     assert out["n_distinct"].tolist() == [2, 2]
+
+
+def test_set_op_bag_matches_multiset_arithmetic(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import set_op_bag
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(["a"] * 3 + ["b"] * 2 + ["c"], pa.string())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(["a"] * 1 + ["b"] * 5 + ["d"], pa.string())})
+    )
+    ex = set_op_bag(left, right, on=["k"], op="except_all").to_pandas()
+    assert dict(zip(ex["k"], ex["n"])) == {"a": 2, "c": 1}
+    it = set_op_bag(left, right, on=["k"], op="intersect_all").to_pandas()
+    assert dict(zip(it["k"], it["n"])) == {"a": 1, "b": 2}
+
+
+def test_grouped_string_agg_orders_within_group(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.relagg import grouped_string_agg
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2], pa.int64()),
+            "o": pa.array([3, 1, 2, 9], pa.int64()),
+            "v": pa.array(["c", "a", "b", "z"], pa.string()),
+        }
+    )
+    out = (
+        grouped_string_agg(rd.from_arrow(t), by="g", val_col="v",
+                           order_cols=["o"])
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert out["seq"].tolist() == ["a>b>c", "z"]

@@ -2279,6 +2279,25 @@ def _q_click_minus_purchase_bag(sf_dir: str):
     return out.sort_values(["user_id", "d"]).reset_index(drop=True)
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-rule quality flags (word-count band, integer mean-word-
+    length band, stopword English-likeness) — all-integer evidence so
+    the twin re-derives every flag with list lambdas."""
+    from brinkray.textproc.quality import gopher_quality_flags
+
+    out = gopher_quality_flags(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR-style hashed-ngram importance weights toward the lang='en'
+    target slice, exact integer ppm ratios summed per doc."""
+    from brinkray.textproc.curation import dsir_weights
+
+    out = dsir_weights(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bigram_pmi(sf_dir: str):
     """Integer-exact PMI collocation scores over token bigrams (the
     phrase-mining pass); HUGEINT-twinned, floor-division both sides."""
@@ -3890,6 +3909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": _q_user_event_sequences,
         "click_minus_purchase_bag": _q_click_minus_purchase_bag,
         "bigram_pmi": _q_bigram_pmi,
+        "gopher_quality": _q_gopher_quality,
+        "dsir_weights": _q_dsir_weights,
         "dedup_clusters_exact": _q_dedup_clusters_exact,
         "ann_multi_topk": _q_ann_multi_topk,
         "link_degree_histogram": _q_link_degree_histogram,
@@ -5309,6 +5330,47 @@ def _oracle_sql_dict() -> dict[str, str]:
         ),
         # PMI: HUGEINT keeps n_ab*U^2*1e6 exact; floor division both
         # sides (DuckDB // == Python // for positive ints)
+        "gopher_quality": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+            "CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) "
+            "AS BIGINT) AS sum_word_len, "
+            "CAST(len(list_distinct(list_filter(ws, "
+            "x -> x IN ('the', 'a', 'and', 'of', 'to')))) AS BIGINT) AS n_stop "
+            "FROM w) "
+            "SELECT doc_id, n_words, sum_word_len, n_stop, "
+            "n_words BETWEEN 50 AND 100000 AS ok_words, "
+            "(4 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words "
+            "AND n_words > 0) AS ok_mean_len, "
+            "n_stop >= 2 AS ok_stopwords, "
+            "(n_words BETWEEN 50 AND 100000) AND "
+            "(4 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words "
+            "AND n_words > 0) AND n_stop >= 2 AS keep "
+            "FROM s ORDER BY doc_id"
+        ),
+        # DSIR: ratio_ppm = n_target*1e6 // n_all per bigram; doc weight
+        # = sum over its bigram OCCURRENCES (so the per-doc join fans
+        # out positions, not distinct grams)
+        "dsir_weights": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS tk "
+            "FROM documents), "
+            "z AS (SELECT doc_id, lang, "
+            "unnest(generate_series(1, len(tk) - 1)) AS i, tk "
+            "FROM t WHERE len(tk) > 1), "
+            "bg AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g "
+            "FROM z), "
+            "r AS (SELECT g, (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+            "* 1000000) // COUNT(*) AS ppm FROM bg GROUP BY g) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(COALESCE(s.w, 0) AS BIGINT) AS weight_ppm "
+            "FROM documents d LEFT JOIN "
+            "(SELECT bg.doc_id, COUNT(*) AS nb, SUM(r.ppm) AS w "
+            "FROM bg JOIN r ON r.g = bg.g GROUP BY bg.doc_id) s "
+            "ON s.doc_id = d.doc_id ORDER BY d.doc_id"
+        ),
         "bigram_pmi": (
             "WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "
             "AS tk FROM documents), "

@@ -234,6 +234,8 @@ def bench_queries() -> dict[str, float]:
         "user_event_sequences",
         "click_minus_purchase_bag",
         "bigram_pmi",
+        "gopher_quality",
+        "dsir_weights",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

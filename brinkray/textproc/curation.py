@@ -1605,3 +1605,85 @@ def read_text_manifest(in_dir: str):
         .groupby("shard")
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
     )
+
+
+def dsir_weights(docs, target_col: str = "lang", target_value: str = "en",
+                 scale: int = 10**6, text_col="text", id_col="doc_id"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") on exact integer
+    n-gram statistics: each bigram gets a target-affinity ratio
+    ``floor(scale * n_target / n_all)`` (occurrence counts over the
+    target slice vs the whole corpus), and a document's weight is the
+    SUM of its bigram occurrences' ratios — the hashed-ngram importance
+    score, kept rational-exact (ppm ints) instead of log-likelihood
+    floats so the distributed result is bit-reproducible and
+    SQL-certifiable (the repo-wide fixed-point rule; monotone-enough
+    proxy for reweighting/resampling).
+
+    Scale shape: one groupby builds the (bigram, n_all, n_target)
+    table via per-batch vocabulary partials; the ratio table
+    (vocab^2-bounded) broadcasts once via ray.put; the scoring pass is
+    stateless map_batches. A web-scale vocab swaps the broadcast for a
+    hash join (the ngram_novelty_shuffled pattern). Returns
+    (doc_id, n_bigrams, weight_ppm)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        grams: dict[str, list[int]] = {}
+        is_t = [v == target_value for v in t[target_col].to_pylist()]
+        for flag, x in zip(is_t, t[text_col].to_pylist()):
+            toks = tokens_of(x)
+            for a, b in zip(toks[:-1], toks[1:]):
+                g = grams.setdefault(f"{a} {b}", [0, 0])
+                g[0] += 1
+                g[1] += int(flag)
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "n_all": pa.array([], pa.int64()),
+                 "n_t": pa.array([], pa.int64())}
+            )
+        ks = list(grams)
+        return pa.table(
+            {
+                "bigram": pa.array(ks, pa.string()),
+                "n_all": pa.array([grams[k][0] for k in ks], pa.int64()),
+                "n_t": pa.array([grams[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    ratios = (
+        docs.select_columns([target_col, text_col])
+        .map_batches(pair_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n_all", alias_name="n_all"),
+                   Sum("n_t", alias_name="n_t"))
+        .to_pandas()
+    )  # vocab^2-bounded
+    ratio = {
+        b: (int(nt) * scale) // int(na)
+        for b, na, nt in zip(ratios["bigram"], ratios["n_all"], ratios["n_t"])
+    }
+    ref = ray.put(ratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        ids = t[id_col].to_pylist()
+        n_bg, w = [], []
+        for x in t[text_col].to_pylist():
+            toks = tokens_of(x)
+            pairs = [f"{a} {b}" for a, b in zip(toks[:-1], toks[1:])]
+            n_bg.append(len(pairs))
+            w.append(sum(r[p] for p in pairs))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(n_bg, pa.int64()),
+                "weight_ppm": pa.array(w, pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, target_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )

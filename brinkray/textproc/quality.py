@@ -189,3 +189,57 @@ def score_documents_linear(docs_ds, concurrency: int = 4, batch_size: int = 256)
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def gopher_quality_flags(docs, min_words: int = 50, max_words: int = 100_000,
+                         min_mean_len: int = 4, max_mean_len: int = 10,
+                         min_stopwords: int = 2,
+                         text_col="text", id_col="doc_id"):
+    """Gopher-style document quality RULES (Rae et al. 2021, A1.1 —
+    adapted to this corpus's ranges so every rule discriminates): word
+    count in [min_words, max_words], mean word length in
+    [min_mean_len, max_mean_len], and >= min_stopwords distinct
+    common-word hits (the English-likeness gate). All evidence is kept
+    integer (word counts, summed word lengths, mean bounds via integer
+    cross-multiplication `lo*n <= sum_len <= hi*n`) so the flags are
+    bit-reproducible and SQL-certifiable. One stateless vectorized
+    map_batches — streams at corpus scale. Returns (doc_id, n_words,
+    sum_word_len, n_stop, ok_words, ok_mean_len, ok_stopwords, keep).
+    """
+    import numpy as np
+
+    stop = set(GOPHER_STOPWORDS)
+
+    def flags(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        n_w, s_l, n_s = [], [], []
+        for x in t[text_col].to_pylist():
+            words = x.split()
+            n_w.append(len(words))
+            s_l.append(sum(len(w) for w in words))
+            n_s.append(len(stop.intersection(words)))
+        n = np.asarray(n_w, dtype=np.int64)
+        s = np.asarray(s_l, dtype=np.int64)
+        ns = np.asarray(n_s, dtype=np.int64)
+        ok_w = (n >= min_words) & (n <= max_words)
+        ok_m = (min_mean_len * n <= s) & (s <= max_mean_len * n) & (n > 0)
+        ok_s = ns >= min_stopwords
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(n, pa.int64()),
+                "sum_word_len": pa.array(s, pa.int64()),
+                "n_stop": pa.array(ns, pa.int64()),
+                "ok_words": pa.array(ok_w),
+                "ok_mean_len": pa.array(ok_m),
+                "ok_stopwords": pa.array(ok_s),
+                "keep": pa.array(ok_w & ok_m & ok_s),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        flags, batch_format="pyarrow"
+    )

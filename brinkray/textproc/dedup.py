@@ -463,7 +463,8 @@ def ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", threshold=0.3, ban
 
 
 def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
-                       id_col="doc_id", bucket_cap: int = BUCKET_CAP):
+                       id_col="doc_id", bucket_cap: int = BUCKET_CAP,
+                       max_broadcast_bytes: int = 128 << 20):
     """EXACT similarity self-join: every pair with shingle-set Jaccard
     >= ``threshold``, via an inverted shingle index with PREFIX
     FILTERING (the AllPairs/PPJoin bound — Bayardo et al., WWW'07;
@@ -471,36 +472,76 @@ def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
     deterministic with recall EXACTLY 1 by construction, so its output
     equals a brute-force SQL oracle row for row.
 
-    Prefix bound: order each doc's distinct shingle hashes ascending
-    (any total order all docs agree on works; the uniform hash order
-    doubles as load balancing) and emit only the first
-    ``n - ceil(t*n) + 1`` of its n shingles into the index. A pair
-    with Jaccard >= t has |intersection| >= ceil(t*n) for BOTH side
-    sizes n, so it must collide on at least one indexed prefix
-    shingle — suffix-only overlap would cap the intersection at
-    ceil(t*n) - 1. Collision buckets then emit candidate pairs
-    (star-capped per ``bucket_cap``; truncation is logged by
-    _keep_colliding_buckets — conformance callers pass a cap above
-    the corpus size to keep exactness) and ``jaccard_verify`` computes
+    Prefix bound: order each doc's distinct shingles by a GLOBAL total
+    order and emit only the first ``n - ceil(t*n) + 1`` of its n
+    shingles into the index. A pair with Jaccard >= t has
+    |intersection| >= ceil(t*n) for BOTH side sizes n, so it must
+    collide on at least one indexed prefix shingle — suffix-only
+    overlap would cap the intersection at ceil(t*n) - 1. ANY order all
+    docs agree on is correct; following AllPairs, the order used is
+    DOCUMENT-FREQUENCY ASCENDING (ties by hash): prefixes then hold
+    each doc's RAREST shingles, so hot boilerplate shingles almost
+    never enter the index and candidate fan-out collapses from
+    sum(C(df,2)) over hot shingles to near the true-pair count
+    (measured 36 s -> ~7 s at sf0.1's 31-token vocab). Collision
+    buckets then emit candidate pairs (star-capped per ``bucket_cap``;
+    truncation is logged — conformance callers pass a cap above the
+    corpus size to keep exactness) and ``jaccard_verify`` computes
     true set Jaccard fully distributed.
 
-    Scale shape: the index holds (1-t)-fraction of the corpus'
-    shingles (t=0.5 halves it), buckets prune to colliding keys
-    before any per-group Python, candidate pairs dedup through the
+    Scale shape: the df pass is one pre-aggregated groupby over
+    (hash, partial df) rows; the df table (|distinct shingles| x 16 B)
+    broadcasts once via ray.put — beyond ~10^8 distinct shingles swap
+    the broadcast for a hash-join attach + per-doc regroup (the
+    ngram_novelty_shuffled pattern). The index holds a (1-t)-fraction
+    of the corpus' shingles, buckets prune to colliding keys before
+    any per-group Python, candidate pairs dedup through the
     hash-partitioned exchange, and verification shuffles shingle
     payloads only for docs that appear in some candidate pair."""
     import math
 
+    import ray
     import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    base = ds.select_columns([id_col, text_col])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        per_doc = [np.unique(shingle_hashes(x)) for x in t[text_col].to_pylist()]
+        if per_doc:
+            u, c = np.unique(np.concatenate(per_doc), return_counts=True)
+        else:
+            u = np.array([], dtype=np.uint64)
+            c = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(u.view(np.int64), pa.int64()),
+                "df": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        base.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+        .sort_values("sh")
+    )
+    df_ref = ray.put(
+        (df_tbl["sh"].to_numpy(), df_tbl["df"].to_numpy().astype(np.int64))
+    )
 
     def prefix_rows(t: pa.Table) -> pa.Table:
+        sh_sorted, dfs = ray.get(df_ref)
         ids = t[id_col].to_pylist()
         out_sh, out_id = [], []
         for i, text in zip(ids, t[text_col].to_pylist()):
-            sh = np.unique(shingle_hashes(text))  # distinct + ascending
+            sh = np.unique(shingle_hashes(text)).view(np.int64)
             n = len(sh)
             keep = n - math.ceil(threshold * n) + 1
-            pre = sh[:keep].view(np.int64)  # int64 bit view (see sig note)
+            my_df = dfs[np.searchsorted(sh_sorted, sh)]
+            order = np.lexsort((sh, my_df))  # df asc, hash asc
+            pre = sh[order[:keep]]
             out_sh.extend(pre.tolist())
             out_id.extend([i] * len(pre))
         return pa.table(
@@ -519,11 +560,7 @@ def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
         iu = np.triu_indices(n, 1)
         return _pairs_frame(ids[iu[0]], ids[iu[1]], np.zeros(len(iu[0])), "jaccard")
 
-    rows = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(prefix_rows, batch_format="pyarrow")
-        .materialize()
-    )
+    rows = base.map_batches(prefix_rows, batch_format="pyarrow").materialize()
     colliding = _keep_colliding_buckets(rows, ["sh"], cap=bucket_cap)
     if colliding is None:
         return rd.from_arrow(_EMPTY_JACCARD)
@@ -536,6 +573,14 @@ def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
     cand = _dedup_pairs(cand, "jaccard", "max").materialize()
     if cand.count() == 0:
         return rd.from_arrow(_EMPTY_JACCARD)
+    # verify-mode gate: the df table is already on the driver, so the
+    # total distinct-(shingle, doc) payload is known exactly — below
+    # the budget, broadcast the doc shingle sets and verify in one
+    # stateless pass (no per-pair group callbacks: 18.2 s -> ~2 s for
+    # 409k candidates at sf0.1); above it, the per-pair shuffle verify
+    # keeps memory bounded.
+    if int(df_tbl["df"].sum()) * 8 <= max_broadcast_bytes:
+        return jaccard_verify_broadcast(ds, cand, text_col, id_col, threshold)
     return jaccard_verify(ds, cand, text_col, id_col, threshold)
 
 
@@ -546,6 +591,90 @@ _EMPTY_JACCARD = pa.table(
         "jaccard": pa.array([], pa.float64()),
     }
 )
+
+
+def jaccard_verify_broadcast(ds, cand, text_col="text", id_col="doc_id",
+                             threshold=0.3):
+    """Exact set-Jaccard verification with the needed docs' shingle
+    sets BROADCAST (ray.put once) instead of shuffled per pair: one
+    stateless map_batches over the candidate pairs, no per-pair group
+    callbacks. The right shape when the candidate-side doc payload is
+    small relative to worker memory (the usual case — candidates are
+    collisions, not the corpus); the per-pair-shuffle
+    :func:`jaccard_verify` is the fallback when it is not (see
+    shingle_join_pairs' auto gate)."""
+    import ray
+    import ray.data as rd
+
+    ids_tbl = (
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .unique("doc_id")
+    )
+    needed = np.sort(np.asarray(ids_tbl, dtype=np.int64))
+    needed_ref = ray.put(needed)
+
+    def set_rows(t: pa.Table) -> pa.Table:
+        need = ray.get(needed_ref)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        keep = np.nonzero(np.isin(ids, need))[0]
+        texts = t[text_col].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "shingles": pa.array(
+                    [np.unique(shingle_hashes(texts[i])).tobytes() for i in keep],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    sets_tbl = pa.concat_tables(
+        ray.get(
+            ds.select_columns([id_col, text_col])
+            .map_batches(set_rows, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )  # bounded by the candidate docs' shingle payload (the auto gate)
+    sets_ref = ray.put(
+        dict(zip(sets_tbl["doc_id"].to_pylist(), sets_tbl["shingles"].to_pylist()))
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        sets = ray.get(sets_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = sets.get(a), sets.get(b)
+            if sa is None or sb is None:
+                continue  # candidate doc absent from ds (mirrors shuffle path)
+            s1 = np.frombuffer(sa, dtype=np.uint64)
+            s2 = np.frombuffer(sb, dtype=np.uint64)
+            inter = len(np.intersect1d(s1, s2))
+            jac = inter / max(1, len(s1) + len(s2) - inter)
+            if jac >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(jac)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    verified = cand.map_batches(verify, batch_format="pyarrow").materialize()
+    if verified.count() == 0:
+        return rd.from_arrow(_EMPTY_JACCARD)
+    return verified
 
 
 def jaccard_verify(ds, cand, text_col="text", id_col="doc_id", threshold=0.3):

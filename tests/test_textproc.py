@@ -405,9 +405,11 @@ def test_shingle_join_pairs_equals_bruteforce(ray_session):
     from brinkray.textproc.dedup import shingle_join_pairs
 
     texts = _randomish_corpus()
-    for t in (0.3, 0.5, 0.8):
+    for t, bb in ((0.3, 128 << 20), (0.5, 128 << 20), (0.8, 128 << 20),
+                  (0.5, 0)):  # bb=0 forces the per-pair SHUFFLE verify
         out = shingle_join_pairs(_docs_ds(texts), threshold=t,
-                                 bucket_cap=1 << 20).to_pandas()
+                                 bucket_cap=1 << 20,
+                                 max_broadcast_bytes=bb).to_pandas()
         got = sorted(
             (int(a), int(b), float(j))
             for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])

@@ -1197,20 +1197,24 @@ def test_hits_matches_dense_reference(ray_session):
         )
     )
     nodes = rd.from_arrow(pa.table({"node": pa.array(names, pa.string())}))
-    out = (
-        hits(nodes, edges, iters=2, num_partitions=4)
-        .to_pandas()
-        .sort_values("node")
-        .reset_index(drop=True)
-    )
     a = np.zeros(n, dtype=np.int64)
     h = np.ones(n, dtype=np.int64)
     A = adj.astype(np.int64)
     for _ in range(2):
         a = A.T @ h
         h = A @ a
-    assert out["auth"].tolist() == a.tolist()
-    assert out["hub"].tolist() == h.tolist()
+    # both execution paths: broadcast-scores (small graph) and the
+    # join-based large-graph shape (forced via max_broadcast_nodes=0)
+    for mbn in (2_000_000, 0):
+        out = (
+            hits(nodes, edges, iters=2, num_partitions=4,
+                 max_broadcast_nodes=mbn)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert out["auth"].tolist() == a.tolist()
+        assert out["hub"].tolist() == h.tolist()
 
 
 def test_cosine_topk_multi_matches_single(ray_session):

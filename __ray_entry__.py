@@ -2288,6 +2288,16 @@ def _q_click_minus_purchase_bag(sf_dir: str):
     return out.sort_values(["user_id", "d"]).reset_index(drop=True)
 
 
+def _q_sequence_packing(sf_dir: str):
+    """Training-sequence packing layout (512-token windows over the
+    doc_id-ordered token stream) via the corpus-wide distributed
+    prefix sum; twin = a window SUM."""
+    from brinkray.textproc.windows import sequence_packing
+
+    out = sequence_packing(_ds(sf_dir, "documents"), window=512).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher-rule quality flags (word-count band, integer mean-word-
     length band, stopword English-likeness) — all-integer evidence so
@@ -3914,6 +3924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": _q_user_event_sequences,
         "click_minus_purchase_bag": _q_click_minus_purchase_bag,
         "bigram_pmi": _q_bigram_pmi,
+        "sequence_packing": _q_sequence_packing,
         "gopher_quality": _q_gopher_quality,
         "dsir_weights": _q_dsir_weights,
         "dedup_clusters_exact": _q_dedup_clusters_exact,
@@ -5335,6 +5346,16 @@ def _oracle_sql_dict() -> dict[str, str]:
         ),
         # PMI: HUGEINT keeps n_ab*U^2*1e6 exact; floor division both
         # sides (DuckDB // == Python // for positive ints)
+        "sequence_packing": (
+            "WITH c AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "p AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) AS BIGINT) AS pre FROM c) "
+            "SELECT doc_id, n_tokens, pre // 512 AS bin, pre % 512 AS offset "
+            "FROM p ORDER BY doc_id"
+        ),
         "gopher_quality": (
             "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws "
             "FROM documents), "

@@ -236,6 +236,7 @@ def bench_queries() -> dict[str, float]:
         "bigram_pmi",
         "gopher_quality",
         "dsir_weights",
+        "sequence_packing",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

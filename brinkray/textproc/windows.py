@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = [
+    "global_prefix_sum",
+    "sequence_packing",
     "tumbling_counts",
     "tumbling_sums_fixed",
     "hopping_counts",
@@ -214,6 +216,95 @@ def running_totals(ds, key: str, ts_col: str, val_col: str, id_col: str,
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def global_prefix_sum(ds, order_col: str, val_col: str):
+    """Corpus-WIDE exclusive prefix sum over ``order_col`` order — the
+    one-giant-key running total the per-key operator (running_totals)
+    explicitly does not cover. SQL:
+    ``SUM(v) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)``.
+
+    Distributed shape (no single-task bottleneck): sort by
+    ``order_col`` (range-partitioned blocks), one metadata pass ships
+    (first_key, block_sum) per block to the driver, the driver
+    prefix-sums those into per-block offsets (block count rows, not
+    corpus rows), and a relabel pass adds offset + within-block
+    exclusive cumsum. Appends ``prefix`` to the row schema."""
+    import ray
+
+    s = ds.sort(order_col).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": pa.array([t[order_col][0].as_py()], pa.int64()),
+                "s": pa.array(
+                    [int(pc.sum(t[val_col]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    meta = (
+        s.map_batches(block_meta, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("k")
+    )
+    sums = meta["s"].to_numpy()
+    offsets = dict(zip(meta["k"], (sums.cumsum() - sums).astype(int)))
+    off_ref = ray.put(offsets)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("prefix", pa.array([], pa.int64()))
+        offs = ray.get(off_ref)
+        base = offs[t[order_col][0].as_py()]
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pre = base + np.concatenate(([0], np.cumsum(v)[:-1]))
+        return t.append_column("prefix", pa.array(pre, pa.int64()))
+
+    return s.map_batches(relabel, batch_size=None, batch_format="pyarrow")
+
+
+def sequence_packing(docs, window: int = 512, text_col="text",
+                     id_col="doc_id"):
+    """Training-sequence PACKING layout: stream the corpus in doc_id
+    order, concatenate token streams, and cut fixed ``window``-token
+    training sequences — each doc gets the bin it STARTS in and its
+    token offset inside that bin (docs may span bins; the writer that
+    materializes the packed shards follows this layout). Built on the
+    corpus-wide exclusive prefix sum over whitespace token counts, so
+    the layout is exact, deterministic, and SQL-twinnable (a window
+    SUM). Returns (doc_id, n_tokens, bin, offset)."""
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = pa.array(
+            [len(x.split()) for x in t[text_col].to_pylist()], pa.int64()
+        )
+        return pa.table({id_col: t[id_col], "n_tokens": n})
+
+    counted = docs.select_columns([id_col, text_col]).map_batches(
+        count_tokens, batch_format="pyarrow"
+    )
+    with_prefix = global_prefix_sum(counted, order_col=id_col,
+                                    val_col="n_tokens")
+
+    def finish(t: pa.Table) -> pa.Table:
+        pre = t["prefix"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_tokens"],
+                "bin": pa.array(pre // window, pa.int64()),
+                "offset": pa.array(pre % window, pa.int64()),
+            }
+        )
+
+    return with_prefix.map_batches(finish, batch_format="pyarrow")
 
 
 def collect_ordered(ds, key: str, ts_col: str, id_col: str, val_col: str,

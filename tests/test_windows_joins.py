@@ -1242,3 +1242,28 @@ def test_cosine_topk_multi_matches_single(ray_session):
         single = cosine_topk(ds, qs[j], k=7)
         got = multi[multi["qid"] == j]["vec_id"].tolist()
         assert got == single["vec_id"].to_pylist()
+
+
+def test_global_prefix_sum_matches_cumsum(ray_session):
+    """Distributed corpus-wide prefix sum == driver cumsum, across an
+    adversarial block layout (repartitioned, unsorted input)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.windows import global_prefix_sum
+
+    rng = np.random.default_rng(12)
+    order = rng.permutation(3000).astype(np.int64)
+    vals = rng.integers(0, 50, size=3000).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(order), "v": pa.array(vals)})
+    ).repartition(13)
+    out = (
+        global_prefix_sum(ds, "k", "v").to_pandas()
+        .sort_values("k").reset_index(drop=True)
+    )
+    want = np.zeros(3000, dtype=np.int64)
+    sorted_vals = vals[np.argsort(order, kind="stable")]
+    want[1:] = np.cumsum(sorted_vals)[:-1]
+    assert out["prefix"].tolist() == want.tolist()

@@ -122,6 +122,17 @@ class EngineOptions:
     # rows per wave (lexicographic order_key = FIFO order); the rest
     # are discarded — a breadth cap for sampling crawls. Default off.
     per_wave_limit: int | None = None
+    # PRIORITY-ordered frontier (north rule: "depth/priority-ordered
+    # frontier"): how per_wave_limit picks its k rows.
+    #   "fifo"      — lexicographic order_key (reference-faithful).
+    #   "domain_rr" — host-fair round-robin: every host's FIFO-first
+    #     URL before any host's second (rank-within-host, then FIFO
+    #     across equal ranks) — a skewed host can no longer monopolize
+    #     a bounded wave. Selection is a groupby(host) rank shuffle +
+    #     one sort over the frontier (the groupby(host)-aggregate-sort
+    #     shape the north star names); set-validity is unchanged
+    #     (selected rows crawl exactly as in fifo mode).
+    frontier_order: str = "fifo"
     # one crawl-wide cookie jar actor (reference: crawler.go:36); only
     # instantiated when the config carries cookies
     shared_cookie_jar: bool = True
@@ -323,6 +334,53 @@ def _mark_winners(norm_ds, target_blocks: int | None) -> "rd.Dataset":
         _block_mark_winners.remote(r, f) for r, f in zip(refs, flags)
     ]
     return rd.from_arrow_refs(marked)
+
+
+def _frontier_take(frontier, k: int, mode: str) -> "rd.Dataset":
+    """Select the k frontier rows a bounded wave will process.
+
+    ``fifo``: global lexicographic order_key (the reference's queue
+    order). ``domain_rr``: host-fair round-robin — rank rows FIFO
+    within each host (groupby(host).map_groups, host derived from the
+    raw href; unparseable hrefs rank in their own '' bucket and die at
+    normalize exactly as unbounded), then one sort by
+    (rank, order_key): every host's first URL precedes any host's
+    second, FIFO breaking ties within a rank."""
+    if mode == "fifo":
+        return frontier.sort("order_key").limit(k).materialize()
+    if mode != "domain_rr":
+        raise ValueError(f"unknown frontier_order: {mode!r}")
+
+    import pandas as pd
+
+    from ..ref.gourl import URLError
+    from ..ref.urls import scheme_and_host
+
+    def add_host(t: pa.Table) -> pa.Table:
+        hosts = []
+        for u in t["href"].to_pylist():
+            try:
+                hosts.append("://".join(scheme_and_host(u)))
+            except URLError:
+                hosts.append("")
+        return t.append_column("_host", pa.array(hosts, pa.string()))
+
+    def rank_in_host(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("order_key", kind="mergesort").reset_index(drop=True)
+        g["_rank"] = pd.Series(range(len(g)), dtype="int64")
+        return g
+
+    ranked = (
+        frontier.map_batches(add_host, batch_format="pyarrow")
+        .groupby("_host")
+        .map_groups(rank_in_host, batch_format="pandas")
+    )
+    return (
+        ranked.sort(["_rank", "order_key"])
+        .limit(k)
+        .drop_columns(["_host", "_rank"])
+        .materialize()
+    )
 
 
 def _rank_rebase(expandable) -> "rd.Dataset":
@@ -715,8 +773,8 @@ class CrawlEngine:
                 if frontier_n == 0:
                     break
             if opts.per_wave_limit is not None and frontier_n > opts.per_wave_limit:
-                frontier = (
-                    frontier.sort("order_key").limit(opts.per_wave_limit).materialize()
+                frontier = _frontier_take(
+                    frontier, opts.per_wave_limit, opts.frontier_order
                 )
                 frontier_n = opts.per_wave_limit
             if opts.ordering == "scale":

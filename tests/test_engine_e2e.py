@@ -215,3 +215,84 @@ def test_events_sink_resume_skips_sunk_waves(ray_session, tmp_path):
         got.sort_values(key).reset_index(drop=True)
         .equals(want.sort_values(key).reset_index(drop=True))
     )
+
+
+def test_frontier_domain_rr_selection_policy(ray_session):
+    """_frontier_take(domain_rr) == the brute-force round-robin
+    reference: every host's i-th FIFO URL before any host's (i+1)-th,
+    FIFO across equal ranks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.engine.crawl import _frontier_take
+
+    rows = []  # (href, order_key) — host A dominates the FIFO head
+    for i in range(6):
+        rows.append((f"https://site-a.test/p/{i}", f"00{i}"))
+    for i in range(3):
+        rows.append((f"https://site-b.test/p/{i}", f"10{i}"))
+    rows.append(("bogus href", "200"))
+    t = pa.table(
+        {
+            "href": pa.array([r[0] for r in rows], pa.string()),
+            "linked_from": pa.array(["x"] * len(rows), pa.string()),
+            "target": pa.array([""] * len(rows), pa.string()),
+            "order_key": pa.array([r[1] for r in rows], pa.string()),
+            "wave": pa.array([1] * len(rows), pa.int32()),
+        }
+    )
+    got = _frontier_take(rd.from_arrow(t), 6, "domain_rr").to_pandas()
+    # brute reference: rank within host by order_key, sort (rank, key)
+    import pandas as pd
+
+    df = t.to_pandas()
+    df["host"] = df["href"].str.extract(r"^(https://[^/]+)").fillna("")
+    df["rank"] = df.groupby("host")["order_key"].rank(method="first").astype(int) - 1
+    want = df.sort_values(["rank", "order_key"]).head(6)["href"].tolist()
+    assert got["href"].tolist() == want
+    # fairness shape: both real hosts appear in the first 2 rows
+    assert {h.split("/p/")[0] for h in got["href"].tolist()[:2]} == {
+        "https://site-a.test", "https://site-b.test"
+    }
+
+
+def test_frontier_domain_rr_crawl_valid_and_fairer(ray_session):
+    """Bounded crawl with domain_rr: every fetched page is a page the
+    unbounded crawl fetches (set validity), nothing fetched twice, and
+    the first bounded wave covers MORE distinct hosts than fifo on the
+    host-skewed fixture."""
+    cfg = site_config()
+    table = build_site(60)
+    full = _oracle_for(table, cfg)
+
+    def run(mode):
+        eng = CrawlEngine(
+            cfg,
+            EngineOptions(seen_shards=2, per_wave_limit=6,
+                          frontier_order=mode, max_waves=6),
+        )
+        eng.set_pages(table)
+        return eng.run()
+
+    rr, ff = run("domain_rr"), run("fifo")
+    for res in (rr, ff):
+        fetched = [
+            (u, s, b) for (_, u, s, b, c) in _engine_events(res) if not c
+        ]
+        assert len(fetched) == len(set(fetched))  # no double fetch
+        want = {(e.url, e.status, e.body) for e in full.events if not e.cached}
+        assert set(fetched) <= want  # validity: a subset of the full crawl
+
+    def host_imbalance(res, wave):
+        """max-min of per-host fetch counts in the wave (0 = fair)."""
+        t = res.events_table()
+        df = t.select(["wave", "url", "cached"]).to_pandas()
+        df = df[(df["wave"] == wave) & (~df["cached"])]
+        counts = df["url"].str.extract(r"^(https://[^/]+)")[0].value_counts()
+        return (counts.max() - counts.min()) if len(counts) else 0
+
+    # the fixture's 2:1 host skew: round-robin waves must never be less
+    # balanced than fifo's, and strictly more balanced somewhere
+    ws = [1, 2, 3]
+    assert all(host_imbalance(rr, w) <= host_imbalance(ff, w) for w in ws)
+    assert any(host_imbalance(rr, w) < host_imbalance(ff, w) for w in ws)

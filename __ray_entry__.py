@@ -2288,6 +2288,15 @@ def _q_click_minus_purchase_bag(sf_dir: str):
     return out.sort_values(["user_id", "d"]).reset_index(drop=True)
 
 
+def _q_dup_span_scrub(sf_dir: str):
+    """Exact-substring dedup REWRITE: tokens covered by any cross-doc
+    duplicated 12-token window are removed; md5-keyed both sides."""
+    from brinkray.textproc.dedup import dup_span_scrub
+
+    out = dup_span_scrub(_ds(sf_dir, "documents"), k=12).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_sequence_packing(sf_dir: str):
     """Training-sequence packing layout (512-token windows over the
     doc_id-ordered token stream) via the corpus-wide distributed
@@ -3924,6 +3933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": _q_user_event_sequences,
         "click_minus_purchase_bag": _q_click_minus_purchase_bag,
         "bigram_pmi": _q_bigram_pmi,
+        "dup_span_scrub": _q_dup_span_scrub,
         "sequence_packing": _q_sequence_packing,
         "gopher_quality": _q_gopher_quality,
         "dsir_weights": _q_dsir_weights,
@@ -5346,6 +5356,35 @@ def _oracle_sql_dict() -> dict[str, str]:
         ),
         # PMI: HUGEINT keeps n_ab*U^2*1e6 exact; floor division both
         # sides (DuckDB // == Python // for positive ints)
+        # span-REMOVAL twin: positions covered by shared windows are
+        # re-derived in SQL (window join + position unnest), survivors
+        # re-joined in position order
+        "dup_span_scrub": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 10)) AS i "
+            "FROM toks WHERE len(t) >= 12), "
+            "wins AS (SELECT doc_id, i, "
+            "md5(array_to_string(t[i:i+11], ' ')) AS w FROM idx), "
+            "shared AS (SELECT w FROM (SELECT DISTINCT doc_id, w FROM wins) "
+            "GROUP BY w HAVING COUNT(*) >= 2), "
+            "cover AS (SELECT DISTINCT wins.doc_id, "
+            "unnest(generate_series(wins.i, wins.i + 11)) AS p "
+            "FROM wins JOIN shared USING (w)), "
+            "tokpos AS (SELECT doc_id, t[p] AS tok, p FROM "
+            "(SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p "
+            "FROM toks)), "
+            "kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp "
+            "LEFT JOIN cover c ON c.doc_id = tp.doc_id AND c.p = tp.p "
+            "WHERE c.p IS NULL), "
+            "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+            "string_agg(tok, ' ' ORDER BY p) AS txt FROM kept GROUP BY doc_id), "
+            "nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks) "
+            "SELECT nt.doc_id, nt.n_tokens, "
+            "nt.n_tokens - CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed, "
+            "COALESCE(agg.txt, '') AS text_scrubbed "
+            "FROM nt LEFT JOIN agg ON agg.doc_id = nt.doc_id ORDER BY nt.doc_id"
+        ),
         "sequence_packing": (
             "WITH c AS (SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "

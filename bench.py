@@ -237,6 +237,7 @@ def bench_queries() -> dict[str, float]:
         "gopher_quality",
         "dsir_weights",
         "sequence_packing",
+        "dup_span_scrub",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

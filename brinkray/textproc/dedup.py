@@ -311,6 +311,121 @@ def dup_span_counts(ds, k: int = 12, text_col: str = "text",
     )
 
 
+def dup_span_scrub(ds, k: int = 12, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Exact-substring dedup with REMOVAL (the rewrite stage of
+    Lee et al. 2022's suffix-array dedup, at k-token window
+    granularity): every token covered by a k-token window that occurs
+    in >= 2 distinct documents is dropped; the survivors are re-joined
+    with single spaces. Returns (doc_id, n_tokens, n_removed,
+    text_scrubbed) — md5-keyed like :func:`dup_span_counts`, so the
+    whole rewrite is SQL-certifiable.
+
+    Scale shape: the shared-window set is found exactly as in
+    dup_span_counts (per-doc distinct digests, one low-cardinality
+    bucket exchange, run-length >= 2-doc filter) and comes back as
+    digest rows only (16 B/window), broadcast once via ray.put into a
+    stateless scrub pass. Like paragraph_dedup, a boilerplate-heavy
+    corpus whose shared-window set is corpus-proportional would swap
+    the broadcast for the hash-join fallback
+    (paragraph_dedup_shuffled's shape); the set is the number of
+    CROSS-DOC duplicated windows, small on a deduplicated corpus."""
+    import re
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    n_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        w_hi: list[int] = []
+        w_lo: list[int] = []
+        for doc_id, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = tok_re.findall(text.lower())
+            if len(toks) < k:
+                continue
+            seen = {
+                hashlib.md5(" ".join(toks[i:i + k]).encode()).digest()
+                for i in range(len(toks) - k + 1)
+            }
+            for d in seen:
+                v = int.from_bytes(d, "big")
+                ids.append(doc_id)
+                w_hi.append((v >> 64) - (1 << 63))
+                w_lo.append((v & ((1 << 64) - 1)) - (1 << 63))
+        hi = np.array(w_hi, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "w_hi": pa.array(hi, pa.int64()),
+                "w_lo": pa.array(np.array(w_lo, dtype=np.int64), pa.int64()),
+                "_wb": pa.array(
+                    (hi.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def shared_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        hi = g["w_hi"].to_numpy()
+        lo = g["w_lo"].to_numpy()
+        order = np.lexsort((lo, hi))
+        hi, lo = hi[order], lo[order]
+        new = np.concatenate(([True], (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])))
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        keep = new & (run_len[run_id] >= 2)  # one row per shared window
+        return pd.DataFrame(
+            {"w_hi": pd.Series(hi[keep], dtype="int64"),
+             "w_lo": pd.Series(lo[keep], dtype="int64")}
+        )
+
+    shared_df = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(shared_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    shared = {
+        (int(h) + (1 << 63)).to_bytes(8, "big")
+        + (int(l) + (1 << 63)).to_bytes(8, "big")
+        for h, l in zip(shared_df["w_hi"], shared_df["w_lo"])
+    }
+    ref = ray.put(shared)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        sh = ray.get(ref)
+        ids = t[id_col].to_pylist()
+        n_tok, n_rem, out_tx = [], [], []
+        for text in t[text_col].to_pylist():
+            toks = tok_re.findall(text.lower())
+            n = len(toks)
+            covered = np.zeros(n, dtype=bool)
+            if n >= k and sh:
+                for i in range(n - k + 1):
+                    d = hashlib.md5(" ".join(toks[i:i + k]).encode()).digest()
+                    if d in sh:
+                        covered[i:i + k] = True
+            kept = [tk for tk, c in zip(toks, covered) if not c]
+            n_tok.append(n)
+            n_rem.append(int(covered.sum()))
+            out_tx.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_removed": pa.array(n_rem, pa.int64()),
+                "text_scrubbed": pa.array(out_tx, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
 def dedup_incremental(new_docs, corpus_docs, prefix_tokens: int | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
                       num_partitions: int = 16):

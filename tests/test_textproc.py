@@ -484,3 +484,26 @@ def test_ivf_topk_pruned_equals_bruteforce(ray_session):
     pruned = ivf_topk_pruned(ds, q, k=10, n_centroids=8, nprobe=2)
     assert pruned["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
     assert pruned["cosine"].to_pylist() == exact["cosine"].to_pylist()
+
+
+def test_dup_span_scrub_removes_planted_span(ray_session):
+    """A 12-token span planted in two docs is removed from BOTH; unique
+    text survives; short docs pass through untouched."""
+    from brinkray.textproc.dedup import dup_span_scrub
+
+    span = " ".join(f"w{i}" for i in range(12))
+    texts = [
+        f"alpha beta {span} gamma delta",
+        f"{span} epsilon zeta eta theta iota kappa",
+        "tiny doc",
+        "completely unique text with many words but no shared window here ok",
+    ]
+    out = (
+        dup_span_scrub(_docs_ds(texts), k=12).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[0, "text_scrubbed"] == "alpha beta gamma delta"
+    assert out.loc[0, "n_removed"] == 12
+    assert out.loc[1, "text_scrubbed"].startswith("epsilon")
+    assert out.loc[2, "n_removed"] == 0 and out.loc[2, "text_scrubbed"] == "tiny doc"
+    assert out.loc[3, "n_removed"] == 0

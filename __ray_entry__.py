@@ -1970,17 +1970,20 @@ def _q_kmeans_clusters(sf_dir: str):
 
 
 def _q_cms_heavy_hitter_counts(sf_dir: str):
-    """Count-min estimates for the corpus's exact top-20 tokens. The
-    probe set comes from the SQL-certified exact sibling
-    (heavy_hitters), so the whole row set is deterministic; the CMS
-    estimate itself is non-SQL (keyed blake2b + fixed row params) —
-    rows-only driver check, overestimate bound pinned in pytest."""
+    """Count-min estimates for the corpus's exact top-20 tokens,
+    restructured driver-visible: with the md5 row hash
+    (md5_number_lower('j:tok') % w) the ENTIRE d x w counter table —
+    and therefore every min-over-rows estimate — is independently
+    re-derivable by the SQL twin. The probe set comes from the
+    SQL-certified exact sibling (heavy_hitters); the overestimate
+    bound stays pinned in pytest."""
     from brinkray.textproc.curation import heavy_hitters
     from brinkray.textproc.sketch import cms_token_counts
 
     docs = _ds(sf_dir, "documents")
     probe = heavy_hitters(docs, k=20).to_pandas()["token"].tolist()
-    return cms_token_counts(docs, probe).to_pandas()
+    out = cms_token_counts(docs, probe, hash_kind="md5").to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
 
 
 def _q_totalprice_quantiles(sf_dir: str):
@@ -2011,14 +2014,17 @@ def _q_distinct_tokens_exact(sf_dir: str):
 
 
 def _q_hll_distinct_tokens(sf_dir: str):
-    """HyperLogLog sketch (approximate, deterministic: keyed blake2b
-    hashes => bit-stable across runs and block layouts). No SQL twin
-    BY NATURE — the exact sibling distinct_tokens_exact is the
-    oracle-certified query; tests/test_sketch.py ties the two within
-    the sketch's standard error."""
-    from brinkray.textproc.sketch import hll_distinct_tokens
+    """Corpus-wide distinct-token HLL, restructured driver-visible:
+    emits the REGISTER table (reg, rank) under the md5_number_lower
+    token hash, so the SQL twin re-derives the full sketch state
+    (same construction as hll_users_per_event_type, p=14). The
+    estimate stays pytest-tied to distinct_tokens_exact."""
+    from brinkray.textproc.sketch import hll_token_registers
 
-    return hll_distinct_tokens(_ds(sf_dir, "documents")).to_pandas()
+    out = hll_token_registers(
+        _ds(sf_dir, "documents"), p=14, hash_kind="md5"
+    ).to_pandas()
+    return out.sort_values("reg").reset_index(drop=True)
 
 
 def _q_cluster_components_exact(sf_dir: str):
@@ -4884,6 +4890,39 @@ def _oracle_sql_dict() -> dict[str, str]:
         # low 52 bits + 1 — computed with exact bin()-string length
         # (floor(log2(2^k-1)) rounds UP at k >= 49; measured), max-
         # merged per (event_type, reg). Pins the sketch state itself.
+        # distinct-token HLL register table (p=14; top-14 bits = reg,
+        # leading zeros of the low 50 + 1 = rank via exact bin() length)
+        "hll_distinct_tokens": (
+            "WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS tok FROM documents), "
+            "h AS (SELECT md5_number_lower(tok)::UBIGINT AS h FROM tk), "
+            "r AS (SELECT CAST(h >> 50 AS BIGINT) AS reg, "
+            "CASE WHEN w = 0 THEN 51 "
+            "ELSE 51 - length(ltrim(bin(w), '0')) END AS rk "
+            "FROM (SELECT h, h & 1125899906842623::UBIGINT AS w FROM h)) "
+            "SELECT reg, CAST(MAX(rk) AS BIGINT) AS \"rank\" FROM r "
+            "GROUP BY reg ORDER BY reg"
+        ),
+        # count-min: the twin rebuilds the d x w counter table from the
+        # md5 row hashes and probes min-over-rows for the exact top-20
+        "cms_heavy_hitter_counts": (
+            "WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS tok FROM documents), "
+            "cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok), "
+            "probe AS (SELECT tok AS token FROM cnt "
+            "ORDER BY c DESC, tok LIMIT 20), "
+            "rws AS (SELECT unnest(generate_series(0, 3)) AS j), "
+            "cells AS (SELECT rws.j, "
+            "md5_number_lower(CAST(rws.j AS VARCHAR) || ':' || cnt.tok)"
+            "::UBIGINT % 8192 AS b, SUM(cnt.c) AS n "
+            "FROM cnt, rws GROUP BY 1, 2) "
+            "SELECT p.token, CAST(MIN(cells.n) AS BIGINT) AS n_est "
+            "FROM probe p JOIN rws ON TRUE "
+            "JOIN cells ON cells.j = rws.j AND cells.b = "
+            "md5_number_lower(CAST(rws.j AS VARCHAR) || ':' || p.token)"
+            "::UBIGINT % 8192 "
+            "GROUP BY p.token ORDER BY p.token"
+        ),
         "hll_users_per_event_type": (
             "WITH h AS (SELECT event_type, "
             "md5_number_lower(CAST(user_id AS VARCHAR))::UBIGINT AS h "

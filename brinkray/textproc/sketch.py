@@ -28,6 +28,7 @@ __all__ = [
     "hll_distinct_tokens",
     "hll_grouped",
     "hll_grouped_registers",
+    "hll_token_registers",
     "distinct_tokens_exact",
     "hll_estimate",
     "cms_token_counts",
@@ -118,6 +119,46 @@ def hll_distinct_tokens(docs, p: int = 14, text_col="text"):
     return rd.from_arrow(pa.table({"n_estimate": pa.array([est], pa.int64())}))
 
 
+def hll_token_registers(docs, p: int = 14, text_col="text",
+                        hash_kind: str = "md5"):
+    """Corpus-wide distinct-token HLL REGISTER table (reg, rank) — the
+    driver-visible sketch STATE (cf. hll_grouped_registers): with the
+    md5_number_lower token hash every register is independently
+    re-derivable by the SQL oracle. Same exchange as
+    hll_distinct_tokens: per-batch register partials, one
+    groupby(reg).max, <= 2^p rows total."""
+    from ray.data.aggregate import Max
+
+    from .hashing import md5_lower64
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t[text_col].to_pylist():
+            toks.extend(tokens_of(x))
+        if hash_kind == "md5":
+            h = np.fromiter(
+                (md5_lower64(tk) for tk in toks), dtype=np.uint64,
+                count=len(toks),
+            )
+        else:
+            h = _hash_tokens_u64(toks)
+        regs = _registers_of(h, p)
+        nz = np.nonzero(regs)[0]
+        return pa.table(
+            {
+                "reg": pa.array(nz.astype(np.int64), pa.int64()),
+                "rank": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    return (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+
+
 def distinct_tokens_exact(docs, text_col="text"):
     """Exact corpus-wide DISTINCT-token count as one (n) row — the
     heavy-hitters shuffle shape (per-batch unique partials, one
@@ -159,7 +200,7 @@ def _cms_buckets(h: np.ndarray, d: int, w: int) -> np.ndarray:
 
 
 def cms_token_counts(docs, probe_tokens: list[str], d: int = 4, w: int = 8192,
-                     text_col="text"):
+                     text_col="text", hash_kind: str = "blake"):
     """Count-min sketch (Cormode & Muthukrishnan 2005) estimate of each
     probe token's TOTAL occurrence count — "how often does this token
     appear in 100 TB" without shuffling the token stream. Guarantees
@@ -177,8 +218,23 @@ def cms_token_counts(docs, probe_tokens: list[str], d: int = 4, w: int = 8192,
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    from .hashing import md5_lower64
+
     if d > _CMS_MAX_D:
         raise ValueError(f"d <= {_CMS_MAX_D}")
+
+    def buckets(tokens: list[str]) -> np.ndarray:
+        """(d, n) bucket indices. ``hash_kind="md5"``: row j's bucket =
+        md5_number_lower('j:tok') % w — DuckDB-reproducible, so the
+        ENTIRE counter table (and every estimate) is SQL-derivable;
+        "blake" keeps the faster keyed pairwise-independent rows."""
+        if hash_kind == "md5":
+            return np.array(
+                [[md5_lower64(f"{j}:{t}") % w for t in tokens]
+                 for j in range(d)],
+                dtype=np.int64,
+            )
+        return _cms_buckets(_hash_tokens_u64(tokens), d, w)
 
     def partial(t: pa.Table) -> pa.Table:
         toks: list[str] = []
@@ -187,12 +243,18 @@ def cms_token_counts(docs, probe_tokens: list[str], d: int = 4, w: int = 8192,
         if not toks:
             return pa.table({"cell": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        h = _hash_tokens_u64(toks)
-        bk = _cms_buckets(h, d, w)  # (d, n)
+        # hash DISTINCT tokens, weight by occurrence count (md5 per
+        # occurrence would be needless string hashing)
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        bk = buckets(list(uniq))  # (d, n_uniq)
         cells = (np.arange(d, dtype=np.int64)[:, None] * w + bk).ravel()
-        u, c = np.unique(cells, return_counts=True)
+        weights = np.tile(counts.astype(np.int64), d)
+        u, inv = np.unique(cells, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, weights)
         return pa.table({"cell": pa.array(u, pa.int64()),
-                         "n": pa.array(c.astype(np.int64), pa.int64())})
+                         "n": pa.array(acc, pa.int64())})
 
     merged = (
         docs.select_columns([text_col])
@@ -205,8 +267,7 @@ def cms_token_counts(docs, probe_tokens: list[str], d: int = 4, w: int = 8192,
     for r in merged:
         table[int(r["cell"])] = int(r["n"])
     table = table.reshape(d, w)
-    ph = _hash_tokens_u64(list(probe_tokens))
-    pb = _cms_buckets(ph, d, w)  # (d, n_probe)
+    pb = buckets(list(probe_tokens))  # (d, n_probe)
     est = table[np.arange(d)[:, None], pb].min(axis=0)
     return rd.from_arrow(
         pa.table(

@@ -313,3 +313,50 @@ def test_hll_grouped_md5_estimate_within_bound(ray_session):
     est = hll_estimate(regs, 12)
     exact = df["v"].nunique()
     assert abs(est - exact) / exact < 4 * 1.04 / np.sqrt(1 << 12)
+
+
+def test_cms_md5_estimates_bound_exact_counts(ray_session):
+    """md5-mode CMS (the driver-visible variant): estimate >= exact
+    always, and == exact for heavy tokens on a small-vocab corpus
+    (few collisions at w=8192)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.sketch import cms_token_counts
+
+    texts = ["the cat sat on the mat"] * 30 + ["dog runs fast"] * 10
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    out = cms_token_counts(ds, ["the", "cat", "dog", "absent"],
+                           hash_kind="md5").to_pandas().set_index("token")
+    assert out.loc["the", "n_est"] >= 60
+    assert out.loc["cat", "n_est"] >= 30
+    assert out.loc["dog", "n_est"] >= 10
+    # tiny vocab, wide table: no collisions -> estimates exact
+    assert out.loc["the", "n_est"] == 60
+    assert out.loc["absent", "n_est"] == 0
+
+
+def test_hll_token_registers_estimate_ties_exact(ray_session):
+    """Estimate rebuilt from the md5 register table tracks the exact
+    distinct-token count within the p=14 bound."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.sketch import (
+        distinct_tokens_exact,
+        hll_estimate,
+        hll_token_registers,
+    )
+
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(f"tok{rng.integers(0, 4000)}" for _ in range(40))
+        for _ in range(400)
+    ]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    regs_df = hll_token_registers(ds, p=14).to_pandas()
+    regs = np.zeros(1 << 14, dtype=np.int64)
+    regs[regs_df["reg"].to_numpy()] = regs_df["rank"].to_numpy()
+    est = hll_estimate(regs, 14)
+    exact = int(distinct_tokens_exact(ds).to_pandas()["n"][0])
+    assert abs(est - exact) / exact < 4 * 1.04 / np.sqrt(1 << 14)

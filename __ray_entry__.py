@@ -476,7 +476,12 @@ def _q_crawl_seen(sf_dir: str):
 
 
 def _q_crawl_events(sf_dir: str):
+    """The FULL strict-FIFO handler-event log — now driver-twinned: the
+    oracle re-derives every (wave, order_key, linked_from, url, status,
+    cached) row by unrolling the BFS wave loop in SQL (see
+    _crawl_events_sql)."""
     res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
     return res.events_table().select(
         ["wave", "order_key", "linked_from", "url", "status", "cached"]
     )
@@ -4079,6 +4084,117 @@ def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
     )
 
 
+def _crawl_events_sql(levels: int = 14) -> str:
+    """FULL FIFO event-log twin — the strongest crawl oracle: re-derive
+    every handler event (wave, order_key, linked_from, url, status,
+    cached) by unrolling the BFS wave loop in SQL.
+
+    Key facts making this exact:
+    * order_key is a PATH label: parent key + '/' + zero-padded link
+      position, where positions count the links the extractor EMITS
+      (post-absolutize, pre-normalize — links that later die at
+      normalize still consume a position). The ``num`` CTE numbers
+      kept-level links per page in document order via the
+      zip-unnest-with-ordinality idiom.
+    * in the sandbox world every fetch gate (known host / err path /
+      allowed domain / content length) is a pure function of the CANON,
+      so a gate-failing canon NEVER produces events and a gate-passing
+      occurrence always does — fetched for the global FIFO-first
+      occurrence, cached replay for every other.
+    * expansion applies only to status-200, small, non-admin pages —
+      the same ``expandable`` predicate as the reachability CTE.
+    """
+    head = _CRAWL_CTE_TEMPLATE.format(path=_CRAWL_PAGES_PATH)
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so 14
+    # chained wave levels would expand the shared pages/idx/val trees
+    # exponentially (observed as "Too many open files" on the parquet
+    # source); materializing shared + per-level CTEs keeps the plan
+    # linear in `levels`
+    head = head.replace("pages AS (", "pages AS MATERIALIZED (")
+    head = head.replace("idx AS (", "idx AS MATERIALIZED (")
+    # reuse pages/idx from the template head; rebuild link derivation
+    # WITH positions (the template's edges/reach tail is unused here
+    # but harmless — DuckDB prunes unreferenced CTEs)
+    base = head + """
+, exp2 AS (SELECT canon, regexp_extract(canon, '^(https?://[^/?#]+)', 1)
+           AS hostpfx, html FROM idx),
+tg2 AS (SELECT canon, hostpfx,
+        unnest(regexp_extract_all(html, '<a(?:>|[ \t\n][^>]*>)', 0)) AS tag,
+        unnest(generate_series(1,
+            len(regexp_extract_all(html, '<a(?:>|[ \t\n][^>]*>)', 0)))) AS ti
+        FROM exp2),
+raw2 AS (SELECT canon, hostpfx, ti,
+         regexp_extract(tag, 'href="([^"]*)"', 1) AS href0 FROM tg2),
+kept2 AS (SELECT canon, hostpfx, ti, trim(href0, ' ') AS href1 FROM raw2
+          WHERE href0 <> 'javascript:;' AND NOT starts_with(href0, '#')
+          AND trim(href0, ' ') <> ''),
+num AS (SELECT canon AS parent,
+        CASE WHEN starts_with(href1, '//') THEN 'https://' || href1
+             WHEN starts_with(href1, '/') THEN hostpfx || href1
+             ELSE href1 END AS href,
+        row_number() OVER (PARTITION BY canon ORDER BY ti) - 1 AS pos
+        FROM kept2),
+cn AS (SELECT parent, pos, href,
+       CASE WHEN regexp_matches(href, '^https?://[^/?#]+') THEN
+         (CASE WHEN len(list_filter(str_split(split_part(href, '?', 2), '&'),
+                t -> t <> '' AND split_part(t, '=', 1) <> 'session')) = 0
+               THEN split_part(href, '?', 1)
+               ELSE split_part(href, '?', 1) || '?' || array_to_string(
+                    list_sort(list_filter(str_split(split_part(href, '?', 2),
+                    '&'), t -> t <> '' AND split_part(t, '=', 1) <> 'session')),
+                    '&') END)
+       ELSE NULL END AS child FROM num),
+val AS MATERIALIZED (SELECT c.parent, c.pos, c.href, c.child,
+        (c.child IS NOT NULL
+         AND regexp_extract(c.child, '^(https?://[^/?#]+)', 1)
+             IN ('https://site-a.test', 'https://site-b.test')
+         AND NOT starts_with(
+             regexp_replace(c.child, '^https?://[^/?#]+', ''), '/err/')
+         AND (i.canon IS NULL OR i.blen <= 8192)) AS ok
+        FROM cn c LEFT JOIN idx i ON i.canon = c.child),
+expok AS MATERIALIZED (SELECT canon FROM idx WHERE status = 200 AND blen <= 8192
+          AND NOT contains(regexp_replace(canon, '^https?://[^/?#]+', ''),
+                           'admin/')),
+w0 AS (SELECT 'https://site-a.test' AS canon, '000000' AS okey,
+       'start' AS lf, 'https://site-a.test' AS href_raw),
+ev0 AS (SELECT 0 AS wave, w0.okey, w0.lf, w0.canon,
+        COALESCE(i.status, 404) AS status, FALSE AS cached
+        FROM w0 LEFT JOIN idx i ON i.canon = w0.canon),
+fetched0 AS (SELECT canon, okey, href_raw FROM w0),
+seen0 AS (SELECT canon FROM w0)"""
+    steps = []
+    for k in range(1, levels + 1):
+        p = k - 1
+        steps.append(f"""
+, occ{k} AS (SELECT f.okey || '/' || lpad(CAST(v.pos AS VARCHAR), 6, '0')
+            AS okey, f.href_raw AS lf, v.href AS href_raw,
+            v.child AS canon, v.ok
+            FROM fetched{p} f JOIN expok e ON e.canon = f.canon
+            JOIN val v ON v.parent = f.canon),
+vok{k} AS MATERIALIZED (SELECT okey, lf, href_raw, canon FROM occ{k} WHERE ok),
+new{k} AS MATERIALIZED (SELECT canon, MIN(okey) AS wokey FROM vok{k}
+           WHERE canon NOT IN (SELECT canon FROM seen{p}) GROUP BY canon),
+fetched{k} AS MATERIALIZED (SELECT n.canon, n.wokey AS okey, o.href_raw
+               FROM new{k} n JOIN vok{k} o
+               ON o.canon = n.canon AND o.okey = n.wokey),
+seen{k} AS MATERIALIZED (SELECT canon FROM seen{p}
+            UNION ALL SELECT canon FROM fetched{k}),
+ev{k} AS MATERIALIZED (SELECT {k} AS wave, o.okey, o.lf, o.canon,
+          COALESCE(i.status, 404) AS status,
+          (n.canon IS NULL OR o.okey <> n.wokey) AS cached
+          FROM vok{k} o LEFT JOIN idx i ON i.canon = o.canon
+          LEFT JOIN new{k} n ON n.canon = o.canon)""")
+    union = " UNION ALL ".join(
+        [f"SELECT * FROM ev{k}" for k in range(0, levels + 1)]
+    )
+    return (
+        base + "".join(steps)
+        + f" SELECT CAST(wave AS BIGINT) AS wave, okey AS order_key, "
+        f"lf AS linked_from, canon AS url, CAST(status AS BIGINT) AS status, "
+        f"cached FROM ({union}) ORDER BY wave, order_key"
+    )
+
+
 def _wave_sizes_sql(levels: int = 24) -> str:
     """BFS-depth histogram twin: unroll the reachability CTE level by
     level (l0 = seed, l_k = children(l_{k-1})) and take MIN(level) per
@@ -4155,6 +4271,7 @@ def oracle_sql() -> dict[str, str]:
     # quantity — it shares the broadcast path's twin verbatim
     d["paragraph_dedup_shuffled"] = d["paragraph_dedup"]
     d["crawl_wave_sizes"] = _wave_sizes_sql()
+    d["crawl_events"] = _crawl_events_sql()
     d["crawl_robots_seen"] = (
         _CRAWL_ROBOTS_CTE
         + "SELECT r.canon AS url, CAST(COALESCE(i.status, 404) AS BIGINT) "

@@ -3770,6 +3770,200 @@ def _q_crawl_url_features(sf_dir: str):
     )
 
 
+# shared pages dump for the web-graph queries (the driver runs the Ray
+# query before its SQL twin, so the dump is the oracle's input)
+_ANCHOR_PAGES_PATH = "/tmp/brinkray_anchor_pages.parquet"
+_CAPTURE_PAGES_PATH = "/tmp/brinkray_capture_pages.parquet"
+
+
+def _anchor_pages_ds(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from brinkray.pipelines import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=500)
+    pq.write_table(pages.select(["url", "html"]), _ANCHOR_PAGES_PATH)
+    return rd.from_arrow(pages.select(["url", "html"])).repartition(8)
+
+
+def _q_anchor_text_index(sf_dir: str):
+    """Anchor-text index over the synthesized pages: per link TARGET,
+    reference count, distinct anchor-text count, lexicographic first
+    anchor (webgraph.anchor_text_stats). The extraction regex set is
+    RE2-compatible and shared verbatim with the DuckDB twin; the
+    absolutizer CASE mirrors the crawl extractor's oracle-pinned gate
+    order (urls.go:96-101 then 47-67)."""
+    from brinkray.textproc.webgraph import anchor_text_stats
+
+    out = anchor_text_stats(_anchor_pages_ds(sf_dir)).to_pandas()
+    out["n_refs"] = out["n_refs"].astype("int64")
+    out["n_anchor_texts"] = out["n_anchor_texts"].astype("int64")
+    return out.sort_values("href").reset_index(drop=True)
+
+
+def _q_pld_link_graph(sf_dir: str):
+    """Pay-level-domain link graph: page-level links grouped to
+    (src_pld, dst_pld) exact edge weights — the Common-Crawl domain
+    -graph aggregation (per-batch combine, one exchange). The PLD
+    reduction (last two labels, cc-SLD exceptions) runs identically in
+    the SQL twin via list slicing."""
+    from brinkray.textproc.webgraph import pld_link_graph
+
+    out = pld_link_graph(_anchor_pages_ds(sf_dir)).to_pandas()
+    out["n_links"] = out["n_links"].astype("int64")
+    return out.sort_values(["src_pld", "dst_pld"]).reset_index(drop=True)
+
+
+def _q_recrawl_latest(sf_dir: str):
+    """Recrawl capture consolidation (WARC dedup): the base snapshot
+    plus a deterministic half-recrawl (md5-last-nibble < 8 selection,
+    warc_ts + 7 days, text suffixed) collapse to one latest capture
+    per url via the exchange-bounded latest_per_key. Output proves
+    which capture won (capture, n_chars)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from brinkray.pipelines import pages_from_documents
+    from brinkray.textproc.webgraph import consolidate_captures
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=500)
+    base = pages.select(["url", "warc_ts", "text"])
+    pq.write_table(base, _CAPTURE_PAGES_PATH)
+
+    week_us = 7 * 86_400 * 1_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        sel = pa.array(
+            [int(hashlib.md5(u.encode()).hexdigest()[-1], 16) < 8 for u in urls]
+        )
+        b = pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "capture": pa.array([0] * len(urls), pa.int64()),
+                "text": t["text"],
+            }
+        )
+        r = t.filter(sel)
+        rec = pa.table(
+            {
+                "url": r["url"],
+                "warc_ts": pc.add(
+                    r["warc_ts"], pa.scalar(week_us, pa.duration("us"))
+                ),
+                "capture": pa.array([1] * r.num_rows, pa.int64()),
+                "text": pc.binary_join_element_wise(
+                    r["text"], pa.scalar(" [recrawl]"), ""
+                ),
+            }
+        )
+        return pa.concat_tables([b, rec])
+
+    caps = rd.from_arrow(base).repartition(8).map_batches(
+        expand, batch_format="pyarrow"
+    )
+    out = consolidate_captures(caps).to_pandas()
+    out["n_chars"] = out["text"].str.len().astype("int64")
+    out["capture"] = out["capture"].astype("int64")
+    out = out.rename(columns={"warc_ts": "latest_ts"})
+    return (
+        out[["url", "latest_ts", "capture", "n_chars"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic training-epoch shuffle: global permutation key =
+    md5(doc_id || ':1'); emit the first 500 (pos, doc_id, key). Each
+    batch pre-prunes to its 500 smallest keys so the final sort sees
+    k rows per block, not the corpus; the 100-TB epoch shuffle
+    materializes the SAME keys into md5-bucket shards (pack_shards) —
+    this query pins the permutation itself against SQL."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    k = 500
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keys = [hashlib.md5(f"{i}:1".encode()).hexdigest() for i in ids]
+        df = pd.DataFrame({"doc_id": ids, "skey": keys})
+        df = df.sort_values("skey").head(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "skey": pa.array(df["skey"], pa.string()),
+            }
+        )
+
+    out = (
+        _ds(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort("skey")
+        .limit(k)
+        .to_pandas()
+    )
+    out["pos"] = pd.RangeIndex(1, len(out) + 1).astype("int64")
+    return out[["pos", "doc_id", "skey"]]
+
+
+def _q_dedup_keep_best(sf_dir: str):
+    """End-to-end near-dedup survivor corpus: exact Jaccard>=0.5 pair
+    graph -> distributed connected components -> per-cluster
+    keep-highest-quality representative (n_chars DESC, doc_id ASC) ->
+    survivors = representatives + unclustered docs. Membership joins
+    quality via the native hash join; the per-cluster argmax is
+    latest_per_key (one candidate per (cluster, block)); unclustered
+    docs come from the distributed anti_join — no driver-side set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.joins import (
+        anti_join,
+        cluster_pairs,
+        default_join_partitions,
+    )
+    from brinkray.textproc.windows import latest_per_key
+
+    clusters = cluster_pairs(_exact_jaccard_pairs(sf_dir)).materialize()
+    docs = _ds(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    joined = clusters.join(
+        docs,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("doc_id",),
+    )
+
+    def negid(t: pa.Table) -> pa.Table:
+        return t.append_column("neg_id", pc.negate(t["doc_id"]))
+
+    reps = latest_per_key(
+        joined.map_batches(negid, batch_format="pyarrow"),
+        key="cluster",
+        order_cols=["n_chars", "neg_id"],
+        payload_cols=["doc_id"],
+    ).select_columns(["doc_id"]).materialize()  # barrier: keep the two
+    # native joins (membership join above, anti_join below) in separate
+    # streaming executions — two concurrent hash-shuffle joins can
+    # deadlock a small cluster's aggregator pools (NOTES round-3)
+    rest = anti_join(docs, clusters, on="doc_id").select_columns(["doc_id"])
+    out = reps.union(rest).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -3951,6 +4145,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_exact": _q_dedup_clusters_exact,
         "ann_multi_topk": _q_ann_multi_topk,
         "link_degree_histogram": _q_link_degree_histogram,
+        # web-graph / corpus-construction family (round 4)
+        "anchor_text_index": _q_anchor_text_index,
+        "pld_link_graph": _q_pld_link_graph,
+        "recrawl_latest_capture": _q_recrawl_latest,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "dedup_keep_best": _q_dedup_keep_best,
     }
 
 
@@ -5954,5 +6154,127 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(SUM(n_events - 1) AS BIGINT) AS n_cached, "
             "CAST(COUNT(*) AS BIGINT) AS n_fetched "
             "FROM occ GROUP BY 1"
+        ),
+        # anchor-text index: RE2 re-extraction of <a ...>text</a>
+        # elements from the dumped pages, absolutizer CASE in the
+        # crawl extractor's oracle-pinned gate order.
+        "anchor_text_index": (
+            f"WITH pages AS (SELECT url, decode(html) AS html "
+            f"FROM read_parquet('{_ANCHOR_PAGES_PATH}')), "
+            "elems AS (SELECT url, "
+            "regexp_extract(url, '^(https?://[^/]+)', 1) AS hostpfx, "
+            "unnest(regexp_extract_all(html, "
+            "'<a(?:>|[ \t\n][^>]*>)[^<]*</a>', 0)) AS elem FROM pages), "
+            "raw AS (SELECT hostpfx, "
+            "regexp_extract(elem, 'href=\"([^\"]*)\"', 1) AS href0, "
+            "regexp_extract(elem, '>([^<]*)</a>$', 1) AS anchor FROM elems), "
+            "kept AS (SELECT hostpfx, trim(href0, ' ') AS href1, anchor "
+            "FROM raw WHERE href0 <> 'javascript:;' "
+            "AND NOT starts_with(href0, '#')), "
+            "ab AS (SELECT CASE WHEN starts_with(href1, '//') "
+            "THEN 'https://' || href1 "
+            "WHEN starts_with(href1, '/') THEN hostpfx || href1 "
+            "ELSE href1 END AS href, anchor FROM kept WHERE href1 <> '') "
+            "SELECT href, CAST(COUNT(*) AS BIGINT) AS n_refs, "
+            "CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchor_texts, "
+            "MIN(anchor) AS first_anchor FROM ab GROUP BY href ORDER BY href"
+        ),
+        # PLD link graph: same extraction, hosts reduced to pay-level
+        # domains by last-two-labels slicing (cc-SLD exceptions take
+        # three) — mirrored from webgraph.pld_of_host.
+        "pld_link_graph": (
+            f"WITH pages AS (SELECT url, decode(html) AS html "
+            f"FROM read_parquet('{_ANCHOR_PAGES_PATH}')), "
+            "elems AS (SELECT url, "
+            "regexp_extract(url, '^(https?://[^/]+)', 1) AS hostpfx, "
+            "unnest(regexp_extract_all(html, "
+            "'<a(?:>|[ \t\n][^>]*>)[^<]*</a>', 0)) AS elem FROM pages), "
+            "raw AS (SELECT url, hostpfx, "
+            "regexp_extract(elem, 'href=\"([^\"]*)\"', 1) AS href0 FROM elems), "
+            "kept AS (SELECT url, hostpfx, trim(href0, ' ') AS href1 "
+            "FROM raw WHERE href0 <> 'javascript:;' "
+            "AND NOT starts_with(href0, '#')), "
+            "ab AS (SELECT url, CASE WHEN starts_with(href1, '//') "
+            "THEN 'https://' || href1 "
+            "WHEN starts_with(href1, '/') THEN hostpfx || href1 "
+            "ELSE href1 END AS href FROM kept WHERE href1 <> ''), "
+            "hosts AS (SELECT "
+            "regexp_extract(url, '^https?://([^/]+)', 1) AS sh, "
+            "regexp_extract(href, '^https?://([^/]+)', 1) AS dh FROM ab), "
+            "h2 AS (SELECT sh, dh FROM hosts WHERE dh <> ''), "
+            "plds AS (SELECT "
+            "CASE WHEN len(string_split(sh, '.')) <= 2 THEN sh "
+            "WHEN string_split(sh, '.')[-2] || '.' || string_split(sh, '.')[-1] "
+            "IN ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br','co.in') "
+            "THEN string_split(sh, '.')[-3] || '.' || "
+            "string_split(sh, '.')[-2] || '.' || string_split(sh, '.')[-1] "
+            "ELSE string_split(sh, '.')[-2] || '.' || string_split(sh, '.')[-1] "
+            "END AS src_pld, "
+            "CASE WHEN len(string_split(dh, '.')) <= 2 THEN dh "
+            "WHEN string_split(dh, '.')[-2] || '.' || string_split(dh, '.')[-1] "
+            "IN ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br','co.in') "
+            "THEN string_split(dh, '.')[-3] || '.' || "
+            "string_split(dh, '.')[-2] || '.' || string_split(dh, '.')[-1] "
+            "ELSE string_split(dh, '.')[-2] || '.' || string_split(dh, '.')[-1] "
+            "END AS dst_pld FROM h2) "
+            "SELECT src_pld, dst_pld, CAST(COUNT(*) AS BIGINT) AS n_links "
+            "FROM plds GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # recrawl consolidation: union the deterministic half-recrawl
+        # (md5 last nibble < 8, +7 days, suffixed text), keep-latest
+        # per url by (warc_ts, capture).
+        "recrawl_latest_capture": (
+            f"WITH base AS (SELECT url, warc_ts, text, "
+            f"CAST(0 AS BIGINT) AS capture "
+            f"FROM read_parquet('{_CAPTURE_PAGES_PATH}')), "
+            "rec AS (SELECT url, warc_ts + INTERVAL 7 DAY AS warc_ts, "
+            "text || ' [recrawl]' AS text, CAST(1 AS BIGINT) AS capture "
+            "FROM base WHERE substr(md5(url), 32, 1) < '8'), "
+            "caps AS (SELECT * FROM base UNION ALL SELECT * FROM rec), "
+            "r AS (SELECT url, warc_ts, capture, text, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, capture DESC) AS rn "
+            "FROM caps) "
+            "SELECT url, warc_ts AS latest_ts, capture, "
+            "CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM r WHERE rn = 1 ORDER BY url"
+        ),
+        # deterministic epoch-shuffle permutation: md5(doc_id || ':1')
+        # global order, first 500 positions.
+        "epoch_shuffle": (
+            "WITH k AS (SELECT doc_id, "
+            "md5(CAST(doc_id AS VARCHAR) || ':1') AS skey FROM documents), "
+            "r AS (SELECT doc_id, skey, "
+            "row_number() OVER (ORDER BY skey) AS pos FROM k) "
+            "SELECT CAST(pos AS BIGINT) AS pos, doc_id, skey FROM r "
+            "WHERE pos <= 500 ORDER BY pos"
+        ),
+        # near-dedup survivor corpus: components over the brute-force
+        # Jaccard>=0.5 edges (same CTE as dedup_clusters_exact), one
+        # representative per cluster by (n_chars DESC, doc_id ASC),
+        # plus every unclustered doc.
+        "dedup_keep_best": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s FROM toks), "
+            "p AS (SELECT a.doc_id AS u, b.doc_id AS v "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) "
+            "/ greatest(len(list_distinct(a.s || b.s)), 1) >= 0.5), "
+            "e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p), "
+            "nodes AS (SELECT DISTINCT u AS node FROM e), "
+            "lbl AS (SELECT node, node AS l FROM nodes "
+            "UNION SELECT e.v, lbl.l FROM lbl JOIN e ON e.u = lbl.node "
+            "WHERE lbl.l < e.v), "
+            "comp AS (SELECT node AS doc_id, MIN(l) AS cluster "
+            "FROM lbl GROUP BY node), "
+            "best AS (SELECT c.cluster, d.doc_id, row_number() OVER ("
+            "PARTITION BY c.cluster ORDER BY d.n_chars DESC, d.doc_id) AS rn "
+            "FROM comp c JOIN documents d ON d.doc_id = c.doc_id) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM best WHERE rn = 1 "
+            "UNION ALL SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM comp) ORDER BY doc_id"
         ),
     }

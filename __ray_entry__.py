@@ -3964,6 +3964,233 @@ def _q_dedup_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_url_variant_counts(sf_dir: str):
+    """URL canonicalization audit: how many RAW absolutized href
+    variants collapse onto each canonical frontier key (the seen-set
+    key of urls.go:111-155) — the dedup pressure the normalizer
+    creates (session params, param-order variants, valueless params).
+    Extraction = the engine's own link-extract stage over the dumped
+    pages; canonicalization = ref.urls.normalize_parts (the ported
+    normalizer); the twin re-derives both with the oracle-pinned CASE
+    + param-sort SQL from the crawl CTE."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from brinkray.engine.stages import make_extract_links_fn
+    from brinkray.fixtures.sitegen import site_config
+    from brinkray.pipelines import pages_from_documents
+    from brinkray.ref.urls import normalize_parts
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=500)
+    pq.write_table(pages.select(["url", "html"]), _EXTRACT_PAGES_PATH)
+    src = pa.table(
+        {
+            "href": pages["url"],
+            "linked_from": pages["url"],
+            "target": pa.array([""] * pages.num_rows, pa.string()),
+            "order_key": pa.array(
+                [f"{i:06d}" for i in range(pages.num_rows)], pa.string()
+            ),
+            "wave": pa.array([0] * pages.num_rows, pa.int32()),
+            "body": pages["html"],
+        }
+    )
+    links = (
+        rd.from_arrow(src)
+        .repartition(8)
+        .map_batches(make_extract_links_fn(), batch_format="pyarrow")
+    )
+    ignored = frozenset(site_config().ignored_get_params)
+
+    def canonize(t: pa.Table) -> pa.Table:
+        canons, raws = [], []
+        for h in t["href"].to_pylist():
+            try:
+                canon, _scheme, host, _path = normalize_parts(h, ignored)
+            except Exception:
+                continue  # bare relative => dies at normalize (brink.go:76-81)
+            if not host:
+                continue  # the https://// quirk: empty host, dropped
+            canons.append(canon)
+            raws.append(h)
+        part = (
+            pd.DataFrame({"canon": canons, "raw": raws})
+            .groupby(["canon", "raw"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "canon": pa.array(part["canon"], pa.string()),
+                "raw": pa.array(part["raw"], pa.string()),
+                "n": pa.array(part["n"], pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": [g["canon"].iloc[0]],
+                "n_variants": [g["raw"].nunique()],
+                "n_refs": [int(g["n"].sum())],
+            }
+        )
+
+    out = (
+        links.map_batches(canonize, batch_format="pyarrow")
+        .groupby("canon")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_variants"] = out["n_variants"].astype("int64")
+    out["n_refs"] = out["n_refs"].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _q_host_freshness(sf_dir: str):
+    """Per-host capture freshness over the Common-Crawl-shaped pages
+    table: page count and newest/oldest warc_ts (as int64 epoch-us so
+    the aggregate is exactly hashable) — the recrawl-scheduling signal
+    a 10^10-URL frontier prioritizes by. Per-batch combine, one
+    exchange over <= hosts x blocks partial rows."""
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from brinkray.pipelines import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=500)
+    pq.write_table(
+        pages.select(["url", "warc_ts", "text"]), _CAPTURE_PAGES_PATH
+    )
+    host_re = re.compile(r"^https?://([^/]+)")
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = [
+            (host_re.match(u).group(1) if host_re.match(u) else "")
+            for u in t["url"].to_pylist()
+        ]
+        us = pc.cast(t["warc_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"host": hosts, "us": us})
+        part = df.groupby("host", sort=False)["us"].agg(
+            ["count", "min", "max"]
+        ).reset_index()
+        return pa.table(
+            {
+                "host": pa.array(part["host"], pa.string()),
+                "n": pa.array(part["count"], pa.int64()),
+                "lo": pa.array(part["min"], pa.int64()),
+                "hi": pa.array(part["max"], pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "n_pages": [int(g["n"].sum())],
+                "oldest_us": [int(g["lo"].min())],
+                "newest_us": [int(g["hi"].max())],
+            }
+        )
+
+    out = (
+        rd.from_arrow(pages.select(["url", "warc_ts"]))
+        .repartition(8)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n_pages", "oldest_us", "newest_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _q_scd2_history(sf_dir: str):
+    """SCD-type-2 dimension build from the event stream: each user's
+    ordered events become validity intervals [valid_from, valid_to)
+    with valid_to = next event's ts (sentinel 2100-01-01 for the open
+    row) — the warehouse temporal-table operator. One groupby(user)
+    exchange; the per-user body is a vectorized sort + shift."""
+    import pandas as pd
+
+    sentinel = pd.Timestamp("2100-01-01")
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "valid_from": g["ts"].to_numpy(),
+                "valid_to": g["ts"].shift(-1).fillna(sentinel).to_numpy(),
+            }
+        )
+        return out
+
+    out = (
+        _ds(sf_dir, "events")
+        .select_columns(["user_id", "event_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(build, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(
+        ["user_id", "valid_from", "event_type"]
+    ).reset_index(drop=True)
+
+
+def _q_per_source_quota(sf_dir: str):
+    """Per-domain document quota (the C4-style balance cap): keep at
+    most 50 docs per source, selected by the deterministic md5(doc_id)
+    order — reuses the curation top_k_per_group primitive (per-batch
+    local top-k, <= k rows per (group, block) reach the exchange)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from brinkray.textproc.curation import top_k_per_group
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": t["source"],
+                "skey": pa.array(
+                    [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                    pa.string(),
+                ),
+            }
+        )
+
+    ds = (
+        _ds(sf_dir, "documents")
+        .select_columns(["doc_id", "source"])
+        .map_batches(keyed, batch_format="pyarrow")
+    )
+    out = top_k_per_group(
+        ds, by="source", score_col="skey", k=50, id_col="doc_id",
+        descending=False,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["source", "doc_id"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -4151,6 +4378,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_latest_capture": _q_recrawl_latest,
         "epoch_shuffle": _q_epoch_shuffle,
         "dedup_keep_best": _q_dedup_keep_best,
+        "url_variant_counts": _q_url_variant_counts,
+        "host_freshness": _q_host_freshness,
+        "scd2_history": _q_scd2_history,
+        "per_source_quota": _q_per_source_quota,
     }
 
 
@@ -6276,5 +6507,62 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM best WHERE rn = 1 "
             "UNION ALL SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id NOT IN (SELECT doc_id FROM comp) ORDER BY doc_id"
+        ),
+        # canonicalization audit: RE2 re-extraction + the crawl CTE's
+        # oracle-pinned absolutize/param-sort canonicalization, grouped
+        # by canon with raw-variant counts.
+        "url_variant_counts": (
+            f"WITH pages AS (SELECT url, decode(html) AS html "
+            f"FROM read_parquet('{_EXTRACT_PAGES_PATH}')), "
+            "tags AS (SELECT url, "
+            "regexp_extract(url, '^(https?://[^/]+)', 1) AS hostpfx, "
+            "unnest(regexp_extract_all(html, '<a(?:>|[ \t\n][^>]*>)', 0)) "
+            "AS tag FROM pages), "
+            "raw AS (SELECT hostpfx, "
+            "regexp_extract(tag, 'href=\"([^\"]*)\"', 1) AS href0 FROM tags), "
+            "kept AS (SELECT hostpfx, trim(href0, ' ') AS href1 FROM raw "
+            "WHERE href0 <> 'javascript:;' AND NOT starts_with(href0, '#')), "
+            "absd AS (SELECT CASE WHEN starts_with(href1, '//') "
+            "THEN 'https://' || href1 "
+            "WHEN starts_with(href1, '/') THEN hostpfx || href1 "
+            "ELSE href1 END AS href FROM kept WHERE href1 <> ''), "
+            "canond AS (SELECT href, split_part(href, '?', 1) AS base, "
+            "list_sort(list_filter(str_split(split_part(href, '?', 2), '&'), "
+            "t -> t <> '' AND split_part(t, '=', 1) <> 'session')) AS toks "
+            "FROM absd WHERE regexp_matches(href, '^https?://[^/?#]+')), "
+            "cand AS (SELECT href, CASE WHEN len(toks) = 0 THEN base "
+            "ELSE base || '?' || array_to_string(toks, '&') END AS canon "
+            "FROM canond) "
+            "SELECT canon AS url, "
+            "CAST(COUNT(DISTINCT href) AS BIGINT) AS n_variants, "
+            "CAST(COUNT(*) AS BIGINT) AS n_refs "
+            "FROM cand GROUP BY canon ORDER BY canon"
+        ),
+        # per-host capture freshness (recrawl-scheduling signal);
+        # epoch-us ints so min/max are exactly hashable.
+        "host_freshness": (
+            f"WITH p AS (SELECT url, warc_ts "
+            f"FROM read_parquet('{_CAPTURE_PAGES_PATH}')) "
+            "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pages, "
+            "CAST(epoch_us(MIN(warc_ts)) AS BIGINT) AS oldest_us, "
+            "CAST(epoch_us(MAX(warc_ts)) AS BIGINT) AS newest_us "
+            "FROM p GROUP BY 1 ORDER BY 1"
+        ),
+        # SCD-2 validity intervals per user (open row -> sentinel).
+        "scd2_history": (
+            "SELECT user_id, event_type, ts AS valid_from, "
+            "COALESCE(LEAD(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), TIMESTAMP '2100-01-01') AS valid_to "
+            "FROM events ORDER BY user_id, valid_from, event_type"
+        ),
+        # per-source quota: first 50 docs per source in md5(doc_id)
+        # order (the C4-style domain balance cap).
+        "per_source_quota": (
+            "SELECT source, doc_id FROM ("
+            "SELECT source, doc_id, row_number() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 50 ORDER BY source, doc_id"
         ),
     }

@@ -3964,6 +3964,91 @@ def _q_dedup_keep_best(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_TEXT_PAGES_PATH = "/tmp/brinkray_text_pages.parquet"
+
+
+def _q_crawl_extracted_text(sf_dir: str):
+    """Driver-visible form of the north rule's per-url text invariant:
+    for every 200-status page the crawl fetched, the ENGINE-extracted
+    text (carried through the distributed fetch+extract stages) equals
+    an independent per-page recomputation — emitted as (url, n_bytes,
+    text_md5) and certified by the BFS-fixpoint oracle joining the
+    dumped pages' text column (built by the same ref.text.extract_text
+    the byte-identity e2e suites pin)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from brinkray.pipelines import pages_from_documents
+
+    res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=800)
+    pq.write_table(pages.select(["url", "text"]), _TEXT_PAGES_PATH)
+
+    ev = res.events_table()
+    ev = ev.filter(
+        pc.and_(pc.equal(ev["cached"], False), pc.equal(ev["status"], 200))
+    )
+    rows = [
+        (u, len(t.encode()), hashlib.md5(t.encode()).hexdigest())
+        for u, t in zip(ev["url"].to_pylist(), ev["text"].to_pylist())
+    ]
+    df = pd.DataFrame(rows, columns=["url", "n_bytes", "text_md5"])
+    df["n_bytes"] = df["n_bytes"].astype("int64")
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def _q_crawl_cached_per_wave(sf_dir: str):
+    """Per-wave dedup pressure: handler events split into first-fetch
+    vs cached-replay per BFS wave — the frontier-collapse accounting a
+    10^10-URL crawl watches. Twin: aggregate over the full unrolled
+    FIFO event-log oracle (_crawl_events_sql)."""
+    import pandas as pd
+
+    res = _crawl_result(sf_dir)
+    _dump_crawl_pages(sf_dir)
+    ev = res.events_table().select(["wave", "cached"]).to_pandas()
+    g = ev.groupby("wave")["cached"].agg(["count", "sum"]).reset_index()
+    return pd.DataFrame(
+        {
+            "wave": g["wave"].astype("int64"),
+            "n_events": g["count"].astype("int64"),
+            "n_cached": g["sum"].astype("int64"),
+        }
+    )
+
+
+def _q_crawl_multi_seed(sf_dir: str):
+    """Multi-seed crawl (S5) under a driver oracle: two seeds, depth
+    capped at 3 waves, final seen set = the union of both seeds'
+    3-level BFS neighborhoods — re-derived in SQL by unrolling the
+    level-limited fixpoint from both seeds over the same dumped
+    pages."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from brinkray.engine.crawl import EngineOptions
+    from brinkray.pipelines import pages_from_documents, run_crawl
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=800)
+    pq.write_table(pages.select(["url", "html"]), _CRAWL_PAGES_PATH)
+    res = run_crawl(
+        pages,
+        options=EngineOptions(seen_shards=2, max_waves=3),
+        seeds=["https://site-a.test", "https://site-b.test/p/2"],
+    )
+    items = sorted(res.seen.items())
+    return pd.DataFrame(
+        {
+            "url": [u for u, _ in items],
+            "status": pd.Series([s for _, s in items], dtype="int64"),
+        }
+    )
+
+
 def _q_url_variant_counts(sf_dir: str):
     """URL canonicalization audit: how many RAW absolutized href
     variants collapse onto each canonical frontier key (the seen-set
@@ -4382,6 +4467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_freshness": _q_host_freshness,
         "scd2_history": _q_scd2_history,
         "per_source_quota": _q_per_source_quota,
+        "crawl_extracted_text": _q_crawl_extracted_text,
+        "crawl_cached_per_wave": _q_crawl_cached_per_wave,
+        "crawl_multi_seed": _q_crawl_multi_seed,
     }
 
 
@@ -4710,6 +4798,40 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY url"
     )
     d["link_hits"] = _hits_sql(iters=2)
+    # engine-extracted text equals a per-page recomputation for every
+    # fetched 200 page (driver-visible byte-identity invariant)
+    d["crawl_extracted_text"] = (
+        _CRAWL_CTE
+        + f"SELECT p.url, CAST(octet_length(encode(p.text)) AS BIGINT) AS n_bytes, "
+        f"md5(p.text) AS text_md5 "
+        f"FROM read_parquet('{_TEXT_PAGES_PATH}') p "
+        "JOIN reach r ON r.canon = p.url "
+        "JOIN idx i ON i.canon = p.url WHERE i.status = 200 ORDER BY p.url"
+    )
+    # per-wave fetched-vs-cached accounting over the full FIFO event
+    # log oracle
+    d["crawl_cached_per_wave"] = (
+        "SELECT wave, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(COUNT(*) FILTER (WHERE cached) AS BIGINT) AS n_cached "
+        "FROM (" + _crawl_events_sql() + ") GROUP BY wave ORDER BY wave"
+    )
+    # multi-seed, depth-capped seen set: 3-level BFS union from both
+    # seeds (the engine runs max_waves=3 with the same two seeds)
+    d["crawl_multi_seed"] = (
+        _CRAWL_CTE
+        + ", s0 AS (SELECT unnest(['https://site-a.test', "
+        "'https://site-b.test/p/2']) AS canon), "
+        "l1 AS (SELECT DISTINCT e.child AS canon FROM edges e "
+        "JOIN s0 p ON e.parent = p.canon), "
+        "l2 AS (SELECT DISTINCT e.child AS canon FROM edges e "
+        "JOIN l1 p ON e.parent = p.canon), "
+        "allr AS (SELECT DISTINCT canon FROM ("
+        "SELECT canon FROM s0 UNION ALL SELECT canon FROM l1 "
+        "UNION ALL SELECT canon FROM l2)) "
+        "SELECT r.canon AS url, CAST(COALESCE(i.status, 404) AS BIGINT) "
+        "AS status FROM allr r LEFT JOIN idx i ON i.canon = r.canon "
+        "ORDER BY url"
+    )
     return d
 
 

@@ -238,6 +238,19 @@ def bench_queries() -> dict[str, float]:
         "dsir_weights",
         "sequence_packing",
         "dup_span_scrub",
+        # round-4 continuation: web-graph / corpus-construction family
+        "anchor_text_index",
+        "pld_link_graph",
+        "recrawl_latest_capture",
+        "epoch_shuffle",
+        "dedup_keep_best",
+        "url_variant_counts",
+        "host_freshness",
+        "scd2_history",
+        "per_source_quota",
+        "crawl_extracted_text",
+        "crawl_cached_per_wave",
+        "crawl_multi_seed",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -113,6 +113,17 @@ class EngineOptions:
     index_nparts: int = 8
     robots_enabled: bool = False
     robots_agent: str = "*"
+    # Honor robots.txt Crawl-delay as a per-host WAVE-rate limit: host
+    # h with delay d gets at most max(1, floor(crawl_delay_wave_seconds
+    # / d)) NOVEL fetches per wave, surplus deferred to the next wave
+    # (the per_host_wave_limit machinery with per-host values — final
+    # seen SET unchanged, ordering shifts). A batch-BFS engine has no
+    # per-request pacing clock, so the honest mapping is requests per
+    # wave-period; crawl_delay_wave_seconds is that period estimate.
+    # Requires robots_enabled and ordering='strict' (deterministic
+    # frontier-ordered admission).
+    respect_crawl_delay: bool = False
+    crawl_delay_wave_seconds: float = 1.0
     extract_fast: bool = True
     store_body: bool = True
     store_text: bool = True  # bench/huge runs can drop the text column
@@ -445,9 +456,12 @@ def _make_seen_check_fn(actors: list, nshards: int):
     return fn
 
 
-def _make_politeness_fn(actors: list, nshards: int, wave_limit: int | None):
+def _make_politeness_fn(actors: list, nshards: int, wave_limit: int | None,
+                        host_limits: dict[str, int] | None = None):
     """Per-domain admission in frontier order; one actor call per
-    domain per wave => deterministic token consumption."""
+    domain per wave => deterministic token consumption. ``host_limits``
+    (robots Crawl-delay) overrides the global ``wave_limit`` for the
+    hosts it names."""
 
     def fn(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -455,7 +469,8 @@ def _make_politeness_fn(actors: list, nshards: int, wave_limit: int | None):
         g = group.sort_by("order_key")
         domain = g["domain"][0].as_py()
         n = g.num_rows
-        n_now = n if wave_limit is None else min(n, wave_limit)
+        lim = (host_limits or {}).get(domain, wave_limit)
+        n_now = n if lim is None else min(n, lim)
         client = PolitenessClient(nshards, actors=actors)
         k = client.take(domain, n_now)
         disposition = ["admit"] * k + ["drop"] * (n_now - k) + ["defer"] * (n - n_now)
@@ -565,6 +580,17 @@ class CrawlEngine:
             self.opts.seen_shards, self.opts.seen_capacity_per_shard,
             retain_canon=self.opts.retain_canon,
         )
+        if self.opts.respect_crawl_delay:
+            if not self.opts.robots_enabled:
+                raise ValueError("respect_crawl_delay requires robots_enabled")
+            if self.opts.ordering != "strict":
+                raise ValueError(
+                    "respect_crawl_delay requires ordering='strict' "
+                    "(deterministic frontier-ordered admission)"
+                )
+        # Crawl-delay limits are derived per run from the robots policy
+        # (the bodies live in the pages index) — see _run_waves
+        self._crawl_delay_limits: dict[str, int] | None = None
         self._politeness_on = (
             self.opts.per_host_budget is not None
             or self.opts.per_host_wave_limit is not None
@@ -752,6 +778,12 @@ class CrawlEngine:
                 self.index.robots_bodies or {}, opts.robots_agent
             )
             robots_gate = make_robots_filter(policy)
+            if opts.respect_crawl_delay and policy.crawl_delays:
+                self._crawl_delay_limits = {
+                    d: max(1, int(opts.crawl_delay_wave_seconds // delay))
+                    for d, delay in policy.crawl_delays.items()
+                }
+                self._politeness_on = True
         normalize_fn = make_normalize_fn(self.cfg)
         extract_links_fn = make_extract_links_fn(fast=opts.extract_fast)
         forbidden_gate = make_forbidden_filter(self.cfg)
@@ -857,6 +889,7 @@ class CrawlEngine:
                     self.politeness_actors,
                     opts.politeness_shards,
                     opts.per_host_wave_limit,
+                    self._crawl_delay_limits,
                 )
                 disp = novel.groupby("domain").map_groups(
                     admit_fn, batch_format="pyarrow"

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-__all__ = ["Rule", "parse_robots", "RobotsPolicy"]
+__all__ = ["Rule", "parse_robots", "parse_crawl_delay", "RobotsPolicy"]
 
 
 @dataclass(frozen=True)
@@ -65,21 +65,66 @@ def parse_robots(text: str, agent: str = "*") -> list[Rule]:
     return groups.get("*", [])
 
 
+def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
+    """``Crawl-delay`` seconds for ``agent`` (same group-selection
+    semantics as :func:`parse_robots`: exact agent token, else ``*``).
+    Not part of RFC 9309 but the de-facto politeness extension most
+    large sites ship; invalid / non-positive values are ignored."""
+    delays: dict[str, float] = {}
+    current_agents: list[str] = []
+    last_was_agent = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                current_agents = []
+            current_agents.append(value.lower())
+            last_was_agent = True
+        elif key == "crawl-delay":
+            last_was_agent = False
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d > 0:
+                for a in current_agents:
+                    delays[a] = d
+        else:
+            last_was_agent = False
+    al = agent.lower()
+    if al in delays:
+        return delays[al]
+    return delays.get("*")
+
+
 @dataclass
 class RobotsPolicy:
-    """domain -> rules; built once, shipped into task closures (small)."""
+    """domain -> rules (+ Crawl-delay seconds); built once, shipped
+    into task closures (small)."""
 
     rules: dict[str, tuple[Rule, ...]] = field(default_factory=dict)
     agent: str = "*"
+    crawl_delays: dict[str, float] = field(default_factory=dict)
 
     @classmethod
     def from_pages(cls, robots_bodies: dict[str, str], agent: str = "*") -> "RobotsPolicy":
+        delays = {}
+        for d, txt in robots_bodies.items():
+            cd = parse_crawl_delay(txt, agent)
+            if cd is not None:
+                delays[d] = cd
         return cls(
             rules={
                 d: tuple(parse_robots(txt, agent))
                 for d, txt in robots_bodies.items()
             },
             agent=agent,
+            crawl_delays=delays,
         )
 
     def allowed(self, domain: str, path: str) -> bool:

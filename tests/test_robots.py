@@ -99,3 +99,112 @@ def test_robots_crawl_engine_matches_oracle(ray_session):
     want = [(e.linked_from, e.url, e.status, e.cached) for e in oracle.events]
     assert got == want
     assert result.seen == oracle.seen
+
+
+# ---------------------------------------------------------- Crawl-delay
+
+
+def test_parse_crawl_delay():
+    from brinkray.engine.robots import parse_crawl_delay
+
+    text = (
+        "User-agent: fastbot\n"
+        "Crawl-delay: 0.25\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /x/\n"
+        "Crawl-delay: 2\n"
+    )
+    assert parse_crawl_delay(text, "fastbot") == 0.25
+    assert parse_crawl_delay(text, "otherbot") == 2.0
+    assert parse_crawl_delay(text) == 2.0
+    # invalid / non-positive values are ignored; absent => None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -1\n") is None
+    assert parse_crawl_delay("User-agent: *\nDisallow: /\n") is None
+
+
+def test_crawl_delay_policy_and_validation():
+    import pytest
+
+    from brinkray.engine.crawl import CrawlEngine, EngineOptions
+    from brinkray.engine.robots import RobotsPolicy
+    from brinkray.fixtures import site_config
+
+    pol = RobotsPolicy.from_pages(
+        {"https://site-b.test": "User-agent: *\nCrawl-delay: 0.5\n"}
+    )
+    assert pol.crawl_delays == {"https://site-b.test": 0.5}
+
+    with pytest.raises(ValueError, match="robots_enabled"):
+        CrawlEngine(site_config(), EngineOptions(respect_crawl_delay=True))
+    with pytest.raises(ValueError, match="strict"):
+        CrawlEngine(
+            site_config(),
+            EngineOptions(
+                respect_crawl_delay=True, robots_enabled=True, ordering="scale"
+            ),
+        )
+
+
+def _replace_robots(table, domain_body: dict[str, str]):
+    import pyarrow as pa
+
+    urls = table["url"].to_pylist()
+    htmls = table["html"].to_pylist()
+    for dom, body in domain_body.items():
+        htmls[urls.index(f"{dom}/robots.txt")] = body.encode()
+    cols = {name: table[name] for name in table.schema.names}
+    cols["html"] = pa.array(htmls, pa.binary())
+    return pa.table(cols)
+
+
+def test_crawl_delay_limits_novel_fetches_per_wave(ray_session):
+    """Crawl-delay 0.5 with a 1-second wave period => at most 2 NOVEL
+    site-b fetches per wave, surplus deferred; the final seen set is
+    unchanged (deferral completeness)."""
+    import pandas as pd
+
+    from brinkray.engine.crawl import CrawlEngine, EngineOptions
+    from brinkray.fixtures import build_site, site_config
+
+    table = _replace_robots(
+        build_site(60, with_robots=True),
+        {"https://site-b.test": "User-agent: *\nCrawl-delay: 0.5\nDisallow: /status/\n"},
+    )
+    cfg = site_config()
+
+    base = CrawlEngine(cfg, EngineOptions(seen_shards=2, robots_enabled=True))
+    base.set_pages(table)
+    r0 = base.run()
+
+    eng = CrawlEngine(
+        cfg,
+        EngineOptions(
+            seen_shards=2,
+            robots_enabled=True,
+            respect_crawl_delay=True,
+            crawl_delay_wave_seconds=1.0,
+        ),
+    )
+    eng.set_pages(table)
+    r1 = eng.run()
+
+    assert r1.seen == r0.seen
+
+    def novel_b_per_wave(res) -> list[int]:
+        ev = res.events_table()
+        df = pd.DataFrame(
+            {
+                "wave": ev["wave"].to_pylist(),
+                "url": ev["url"].to_pylist(),
+                "cached": ev["cached"].to_pylist(),
+            }
+        )
+        df = df[~df["cached"] & df["url"].str.startswith("https://site-b.test")]
+        return df.groupby("wave").size().tolist()
+
+    limited = novel_b_per_wave(r1)
+    assert limited and max(limited) <= 2
+    # the limit actually bit: the unlimited run exceeds it somewhere
+    assert max(novel_b_per_wave(r0)) > 2

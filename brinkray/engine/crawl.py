@@ -124,6 +124,11 @@ class EngineOptions:
     # frontier-ordered admission).
     respect_crawl_delay: bool = False
     crawl_delay_wave_seconds: float = 1.0
+    # Fault-injection hook (chaos tests / failure drills): a marker
+    # path; the first fetch task to atomically claim it hard-kills its
+    # worker process mid-batch (os._exit) — exactly once per marker.
+    # Production runs leave this None.
+    chaos_kill_marker: str | None = None
     extract_fast: bool = True
     store_body: bool = True
     store_text: bool = True  # bench/huge runs can drop the text column
@@ -941,6 +946,7 @@ class CrawlEngine:
                         self.seen_actors,
                         opts.seen_shards,
                         cookie_jar=self.cookie_jar,
+                        chaos_marker=opts.chaos_kill_marker,
                     ),
                     batch_format="pyarrow",
                     batch_size=opts.fetch_batch_size,
@@ -1135,6 +1141,7 @@ class CrawlEngine:
             politeness_actors=pol_actors,
             politeness_shards=opts.politeness_shards,
             cookie_jar=self.cookie_jar,
+            chaos_marker=opts.chaos_kill_marker,
         )
         # exec 1: normalize -> reserve/fetch/mark -> inline text + link
         # extraction, then (steps-1) chained inner waves — ONE streaming

@@ -14,6 +14,8 @@ marked, never emitted.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -836,6 +838,7 @@ def make_fetcher_fn(
     politeness_actors: list | None = None,
     politeness_shards: int = 0,
     cookie_jar=None,
+    chaos_marker: str | None = None,
 ):
     """Stateless-task variant of the fetch stage with per-worker-process
     state caching: Ray worker processes persist across executions, so
@@ -862,6 +865,20 @@ def make_fetcher_fn(
         key = f"{key}:{seen_actors[0]._actor_id.hex()}"
 
     def fetch_fn(batch: pa.Table) -> pa.Table:
+        # fault-injection hook (chaos tests): when a marker path is
+        # configured, the FIRST task to claim it hard-kills its worker
+        # process mid-batch — exactly once per marker ("x" create is
+        # atomic). Exercises the path a preempted/OOM-killed node takes
+        # in production: Ray retries the task, the dead attempt's shard
+        # reservations are orphan-swept at the execution barrier, and
+        # the requeued rows claim in the next wave.
+        if chaos_marker:
+            try:
+                open(chaos_marker, "x").close()
+            except FileExistsError:
+                pass
+            else:
+                os._exit(1)
         f = _WORKER_FETCHERS.get(key)
         if f is None:
             f = cls(

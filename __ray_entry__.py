@@ -4276,6 +4276,91 @@ def _q_per_source_quota(sf_dir: str):
     )
 
 
+def _q_salted_event_revenue(sf_dir: str):
+    """Skew-defeating salted hash join under oracle: the events stream
+    (5 extremely hot event_type keys — the worst-case skew shape)
+    joins a small per-type dim through joins.salted_join (big side
+    salted, small side replicated per salt, composite-key exchange —
+    a hot key occupies `salts` partitions instead of one straggler),
+    then exact fixed-point weighted sums. Result provably equals the
+    unsalted join — the twin is the plain SQL join."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.joins import salted_join
+
+    ev = _ds(sf_dir, "events").select_columns(["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    e = ev.map_batches(cents, batch_format="pyarrow")
+    dim = (
+        ev.select_columns(["event_type"])
+        .groupby("event_type")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "mult": pc.cast(
+                        pc.utf8_length(t["event_type"]), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = salted_join(e, dim, on="event_type")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "w": pc.multiply(t["cents"], t["mult"]).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        part = df.groupby("event_type", sort=False)["w"].agg(
+            ["sum", "count"]
+        ).reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(part["event_type"], pa.string()),
+                "s": pa.array(part["sum"], pa.int64()),
+                "c": pa.array(part["count"], pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "weighted_cents": [int(g["s"].sum())],
+                "n": [int(g["c"].sum())],
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out["weighted_cents"] = out["weighted_cents"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -4470,6 +4555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extracted_text": _q_crawl_extracted_text,
         "crawl_cached_per_wave": _q_crawl_cached_per_wave,
         "crawl_multi_seed": _q_crawl_multi_seed,
+        "salted_event_revenue": _q_salted_event_revenue,
     }
 
 
@@ -6677,6 +6763,19 @@ def _oracle_sql_dict() -> dict[str, str]:
             "COALESCE(LEAD(ts) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id), TIMESTAMP '2100-01-01') AS valid_to "
             "FROM events ORDER BY user_id, valid_from, event_type"
+        ),
+        # salted hot-key join == plain join (salting only changes the
+        # partitioning): plain SQL join is the oracle.
+        "salted_event_revenue": (
+            "WITH dim AS (SELECT DISTINCT event_type, "
+            "CAST(length(event_type) AS BIGINT) AS mult FROM events), "
+            "e AS (SELECT event_type, "
+            "CAST(floor(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT e.event_type, "
+            "CAST(SUM(e.cents * d.mult) AS BIGINT) AS weighted_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM e JOIN dim d ON d.event_type = e.event_type "
+            "GROUP BY e.event_type ORDER BY e.event_type"
         ),
         # per-source quota: first 50 docs per source in md5(doc_id)
         # order (the C4-style domain balance cap).

@@ -251,6 +251,7 @@ def bench_queries() -> dict[str, float]:
         "crawl_extracted_text",
         "crawl_cached_per_wave",
         "crawl_multi_seed",
+        "salted_event_revenue",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

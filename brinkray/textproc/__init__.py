@@ -11,6 +11,9 @@ driver-side loops over rows):
                 approximate variant (the scale path)
   quality     — language-ID (stopword profiles), quality signals,
                 token counting, rolling-hash document fingerprints
-  media       — multimodal (binary-column) stage plumbing with stubbed
-                codecs
+  media       — multimodal (binary-column) stage plumbing with real
+                numpy/stdlib codecs (BMP / PCM-WAV / frame container)
+  webgraph    — anchor-text index, PLD link graph, recrawl capture
+                consolidation (the web-corpus construction steps
+                downstream of the crawl loop)
 """

@@ -1221,3 +1221,54 @@ def bfs_distances(edges_ds, seed_nodes: list[int], max_depth: int = 6,
         frontier = new
 
     return dist
+
+
+def salted_join(big_ds, small_ds, on: str, salts: int | None = None,
+                num_partitions: int | None = None):
+    """Skew-defeating equi-join (INNER, small side must be unique on
+    ``on``): a plain hash join sends EVERY row of a hot key to one
+    partition — one straggler aggregator does all the work. Salting
+    spreads it: each big-side row gets a deterministic salt in
+    [0, salts), the small side is replicated once per salt value, and
+    the join runs on the composite (key, salt) — a key with 10^9
+    occurrences now occupies ``salts`` partitions instead of one.
+
+    Use when BOTH sides are too large to broadcast and the key
+    distribution is skewed; when the small side fits in the object
+    store, a ``ray.put`` broadcast lookup (the repo-wide default) beats
+    any shuffle join. Result equality to the unsalted join is exact:
+    every big row matches exactly its own salt's replica. Salts default
+    to the cluster CPU count (one straggler's work split across the
+    whole cluster).
+    """
+    import ray
+
+    if salts is None:
+        salts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def salt_big(t: pa.Table) -> pa.Table:
+        # deterministic per-block: block content is deterministic under
+        # task retries, so the salt assignment (and thus the join
+        # output) is reproducible
+        return t.append_column(
+            "_salt", pa.array(np.arange(t.num_rows, dtype=np.int64) % salts)
+        )
+
+    def replicate_small(t: pa.Table) -> pa.Table:
+        reps = [
+            t.append_column(
+                "_salt", pa.array(np.full(t.num_rows, s, dtype=np.int64))
+            )
+            for s in range(salts)
+        ]
+        return pa.concat_tables(reps)
+
+    joined = big_ds.map_batches(salt_big, batch_format="pyarrow").join(
+        small_ds.map_batches(replicate_small, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on, "_salt"),
+    )
+    return joined.drop_columns(["_salt"])

@@ -1267,3 +1267,46 @@ def test_global_prefix_sum_matches_cumsum(ray_session):
     sorted_vals = vals[np.argsort(order, kind="stable")]
     want[1:] = np.cumsum(sorted_vals)[:-1]
     assert out["prefix"].tolist() == want.tolist()
+
+
+def test_salted_join_equals_plain_join(ray_session):
+    """Salting only changes the partitioning: result must equal the
+    unsalted inner join, including dropped (unmatched) keys, on a
+    deliberately skewed big side."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.joins import salted_join
+
+    # 10k rows, 90% one hot key
+    keys = ["hot" if i % 10 != 9 else f"cold{i % 7}" for i in range(10_000)]
+    big = pa.table(
+        {
+            "k": pa.array(keys, pa.string()),
+            "v": pa.array(list(range(10_000)), pa.int64()),
+        }
+    )
+    small = pa.table(
+        {
+            "k": pa.array(["hot", "cold1", "cold3", "unmatched"], pa.string()),
+            "m": pa.array([2, 3, 5, 7], pa.int64()),
+        }
+    )
+    out = (
+        salted_join(
+            rd.from_arrow(big).repartition(8), rd.from_arrow(small), on="k",
+            salts=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge(big.to_pandas(), small.to_pandas(), on="k", how="inner")
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["k", "v", "m"]], want[["k", "v", "m"]]
+    )

@@ -4361,6 +4361,63 @@ def _q_salted_event_revenue(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_pushdown_filtered_read(sf_dir: str):
+    """Prune at the READ: the lang='en' row filter is pushed into the
+    parquet scan (pyarrow dataset expression — row groups whose lang
+    statistics exclude 'en' never leave storage) and only the two
+    needed columns are projected; the filter column itself is not even
+    read into the Dataset. The first rule of 100-TB pipelines, as an
+    oracle-certified operator."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "n_chars"],
+        filter=(pads.field("lang") == "en"),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        part = df.groupby("source", sort=False)["n_chars"].agg(
+            ["count", "sum"]
+        ).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(part["source"], pa.string()),
+                "c": pa.array(part["count"], pa.int64()),
+                "s": pa.array(part["sum"], pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [int(g["c"].sum())],
+                "total_chars": [int(g["s"].sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -4556,6 +4613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_cached_per_wave": _q_crawl_cached_per_wave,
         "crawl_multi_seed": _q_crawl_multi_seed,
         "salted_event_revenue": _q_salted_event_revenue,
+        "pushdown_filtered_read": _q_pushdown_filtered_read,
     }
 
 
@@ -6763,6 +6821,12 @@ def _oracle_sql_dict() -> dict[str, str]:
             "COALESCE(LEAD(ts) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id), TIMESTAMP '2100-01-01') AS valid_to "
             "FROM events ORDER BY user_id, valid_from, event_type"
+        ),
+        # read-pushdown scan: WHERE + projection at the parquet reader
+        "pushdown_filtered_read": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"
         ),
         # salted hot-key join == plain join (salting only changes the
         # partitioning): plain SQL join is the oracle.

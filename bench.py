@@ -252,6 +252,7 @@ def bench_queries() -> dict[str, float]:
         "crawl_cached_per_wave",
         "crawl_multi_seed",
         "salted_event_revenue",
+        "pushdown_filtered_read",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

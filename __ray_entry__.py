@@ -4418,6 +4418,80 @@ def _q_pushdown_filtered_read(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _q_negative_samples(sf_dir: str):
+    """Deterministic contrastive negative sampling: docs are placed on
+    the md5 ring (exact distributed row_number via range_rank over the
+    md5_number_lower-compatible uint64 key), and each doc draws k=3
+    negatives at fixed ring offsets (rank + off) mod n — one
+    rank-arithmetic hash join, no randomness, repartition-stable.
+    The hash ring makes the negatives corpus-position-independent (the
+    property random negatives approximate)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.hashing import md5_lower64
+    from brinkray.textproc.joins import default_join_partitions
+    from brinkray.textproc.relagg import range_rank
+
+    docs = _ds(sf_dir, "documents").select_columns(["doc_id"])
+    n = docs.count()  # parquet metadata, no scan
+    offsets = [(1, 1), (2, 7), (3, 42)]
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(
+                    [md5_lower64(str(i)) for i in ids], pa.uint64()
+                ),
+            }
+        )
+
+    ranked = range_rank(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        key_col="h",
+        id_col="doc_id",
+    ).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rk = t["rank"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        outs = []
+        for slot, off in offsets:
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "slot": pa.array(
+                            np.full(len(ids), slot, dtype=np.int64)
+                        ),
+                        "nrk": pa.array((rk + off) % n, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def as_neg(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"neg_id": t["doc_id"], "nrk": pc.cast(t["rank"], pa.int64())}
+        )
+
+    pairs = ranked.map_batches(explode, batch_format="pyarrow").join(
+        ranked.map_batches(as_neg, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("nrk",),
+    )
+    out = pairs.select_columns(["doc_id", "slot", "neg_id"]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "slot"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -4614,6 +4688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_multi_seed": _q_crawl_multi_seed,
         "salted_event_revenue": _q_salted_event_revenue,
         "pushdown_filtered_read": _q_pushdown_filtered_read,
+        "negative_samples": _q_negative_samples,
     }
 
 
@@ -6821,6 +6896,21 @@ def _oracle_sql_dict() -> dict[str, str]:
             "COALESCE(LEAD(ts) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id), TIMESTAMP '2100-01-01') AS valid_to "
             "FROM events ORDER BY user_id, valid_from, event_type"
+        ),
+        # md5-ring negative sampling: exact row_number over the same
+        # uint64 hash key (md5_number_lower == hashing.md5_lower64,
+        # verified bit-identical), offsets joined back by rank.
+        "negative_samples": (
+            "WITH r AS (SELECT doc_id, row_number() OVER ("
+            "ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) - 1 "
+            "AS rk FROM documents), "
+            "n AS (SELECT COUNT(*) AS cnt FROM documents), "
+            "o(slot, off) AS (VALUES (1, 1), (2, 7), (3, 42)), "
+            "p AS (SELECT r.doc_id, o.slot, (r.rk + o.off) % n.cnt AS nrk "
+            "FROM r, n, o) "
+            "SELECT p.doc_id, CAST(p.slot AS BIGINT) AS slot, "
+            "b.doc_id AS neg_id FROM p JOIN r b ON b.rk = p.nrk "
+            "ORDER BY 1, 2"
         ),
         # read-pushdown scan: WHERE + projection at the parquet reader
         "pushdown_filtered_read": (

@@ -253,6 +253,7 @@ def bench_queries() -> dict[str, float]:
         "crawl_multi_seed",
         "salted_event_revenue",
         "pushdown_filtered_read",
+        "negative_samples",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -4418,6 +4418,43 @@ def _q_pushdown_filtered_read(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def _q_crawl_refresh_seen(sf_dir: str):
+    """Recrawl/refresh under oracle: crawl, EXPIRE an md5-selected half
+    of the seen urls (CrawlEngine.expire_urls — the freshness-driven
+    re-crawl primitive), then re-run the SAME engine seeding exactly
+    the expired urls. The refreshed state must land back on the
+    original BFS fixpoint — the twin is crawl_seen_set's oracle
+    verbatim. A fresh engine is used (never the memoized shared crawl,
+    whose state other queries read)."""
+    import hashlib
+
+    import pandas as pd
+
+    from brinkray.engine.crawl import CrawlEngine, EngineOptions
+    from brinkray.fixtures import site_config
+    from brinkray.pipelines import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=800)
+    _dump_crawl_pages(sf_dir)
+    eng = CrawlEngine(site_config(), EngineOptions(seen_shards=2))
+    eng.set_pages(pages)
+    eng.run()
+    stale = [
+        u
+        for u in eng.seen.all_items()
+        if int(hashlib.md5(u.encode()).hexdigest()[-1], 16) < 8
+    ]
+    assert eng.expire_urls(stale) == len(stale)
+    eng.run(seeds=stale)
+    items = sorted(eng.seen.all_items().items())
+    return pd.DataFrame(
+        {
+            "url": [u for u, _ in items],
+            "status": pd.Series([s for _, s in items], dtype="int64"),
+        }
+    )
+
+
 def _q_negative_samples(sf_dir: str):
     """Deterministic contrastive negative sampling: docs are placed on
     the md5 ring (exact distributed row_number via range_rank over the
@@ -4689,6 +4726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_event_revenue": _q_salted_event_revenue,
         "pushdown_filtered_read": _q_pushdown_filtered_read,
         "negative_samples": _q_negative_samples,
+        "crawl_refresh_seen": _q_crawl_refresh_seen,
     }
 
 
@@ -5017,6 +5055,14 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY url"
     )
     d["link_hits"] = _hits_sql(iters=2)
+    # refresh lands back on the same fixpoint => same oracle as
+    # crawl_seen_set
+    d["crawl_refresh_seen"] = (
+        _CRAWL_CTE
+        + "SELECT r.canon AS url, CAST(COALESCE(i.status, 404) AS BIGINT) "
+        "AS status FROM reach r LEFT JOIN idx i ON i.canon = r.canon "
+        "ORDER BY url"
+    )
     # engine-extracted text equals a per-page recomputation for every
     # fetched 200 page (driver-visible byte-identity invariant)
     d["crawl_extracted_text"] = (

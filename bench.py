@@ -254,6 +254,7 @@ def bench_queries() -> dict[str, float]:
         "salted_event_revenue",
         "pushdown_filtered_read",
         "negative_samples",
+        "crawl_refresh_seen",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

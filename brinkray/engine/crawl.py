@@ -629,6 +629,27 @@ class CrawlEngine:
         wave-boundary rebalancing (seen.rebalance_shard) is visible."""
         return self.seen.actors
 
+    def expire_urls(self, urls: list[str]) -> int:
+        """Recrawl/refresh primitive: expire the given urls from the
+        seen state so the NEXT ``run()`` — seeding them directly, or
+        rediscovering them through links — fetches them fresh while
+        everything else replays cached. Urls normalize to the same
+        canonical keys the crawl marks; unparseable entries are
+        skipped (they can never have been marked). Returns how many
+        existed. Works with ``retain_canon=False`` (digest-keyed)."""
+        from ..ref.gourl import URLError
+        from ..ref.urls import normalize_url
+
+        canons = []
+        for u in urls:
+            try:
+                canons.append(
+                    normalize_url(u, self.cfg.ignored_get_params, self.cfg.fuzzy)
+                )
+            except URLError:
+                continue
+        return self.seen.forget(canons) if canons else 0
+
     # ---------------------------------------------------------------- setup
     def set_pages(self, pages) -> None:
         """Build the page index (Dataset or pyarrow Table in)."""

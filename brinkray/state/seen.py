@@ -146,6 +146,22 @@ class SeenShard:
             del self.reserved[d]
         return len(stale)
 
+    def forget(self, digests: list[bytes]) -> int:
+        """Expire entries (recrawl/refresh): the url becomes novel again
+        and the next discovery re-fetches it. The cuckoo fingerprint is
+        deliberately left in place — cuckoo deletes can evict a
+        DIFFERENT key's identical fingerprint (correctness hazard);
+        a stale fingerprint only costs the dict probe that already
+        backs every filter hit (``check``), and re-marking re-adds at
+        most one duplicate fingerprint."""
+        n = 0
+        for d in digests:
+            if self.status.pop(d, None) is not None:
+                self.canon.pop(d, None)
+                n += 1
+            self.reserved.pop(d, None)
+        return n
+
     def size(self) -> int:
         return len(self.status)
 
@@ -261,6 +277,19 @@ class ShardedSeenSet:
             ]
         )
 
+    def forget_digests(self, digests: list[bytes]) -> int:
+        """Expire entries shard-wise (recrawl/refresh); returns the
+        number that existed."""
+        groups = self._group(digests)
+        return sum(
+            ray.get(
+                [
+                    self.actors[s].forget.remote([digests[i] for i in idxs])
+                    for s, idxs in groups.items()
+                ]
+            )
+        )
+
     # -- canon-based API ---------------------------------------------------
     def check(self, canons: list[str]) -> list[int]:
         """Batched status lookup; -1 = novel."""
@@ -274,6 +303,9 @@ class ShardedSeenSet:
 
     def release(self, canons: list[str]) -> None:
         self.release_digests(digests_of(canons))
+
+    def forget(self, canons: list[str]) -> int:
+        return self.forget_digests(digests_of(canons))
 
     def size(self) -> int:
         return sum(ray.get([a.size.remote() for a in self.actors]))

@@ -208,3 +208,54 @@ def test_engine_scale_run_with_retain_canon_off(ray_session, tmp_path):
         .sort_values(key).reset_index(drop=True)
     )
     assert got.equals(exp)
+
+
+# ------------------------------------------------------ recrawl/refresh
+
+
+def test_seen_forget_roundtrip(ray_session):
+    from brinkray.state.seen import ShardedSeenSet
+
+    s = ShardedSeenSet(2)
+    s.mark(["https://a.test/p/1", "https://a.test/p/2"], [200, 404])
+    assert s.check(["https://a.test/p/1", "https://a.test/p/2"]) == [200, 404]
+    assert s.forget(["https://a.test/p/1", "https://a.test/p/9"]) == 1
+    # expired url is novel again; the other is untouched
+    assert s.check(["https://a.test/p/1", "https://a.test/p/2"]) == [-1, 404]
+    # re-mark after forget works (stale cuckoo fingerprint is harmless)
+    s.mark(["https://a.test/p/1"], [503])
+    assert s.check(["https://a.test/p/1"]) == [503]
+    assert s.size() == 2
+
+
+def test_recrawl_refreshes_expired_urls(ray_session):
+    """expire_urls + a second run() on the same engine: the expired
+    urls fetch FRESH (cached=False) while their rediscovered neighbors
+    replay cached; final seen set identical to the first crawl."""
+    from brinkray.engine.crawl import CrawlEngine, EngineOptions
+    from brinkray.fixtures import build_site, site_config
+
+    table = build_site(50)
+    eng = CrawlEngine(site_config(), EngineOptions(seen_shards=2))
+    eng.set_pages(table)
+    first = eng.run()
+    stale = ["https://site-a.test/p/1", "https://site-b.test/p/2"]
+    assert all(u in first.seen for u in stale)
+
+    assert eng.expire_urls(stale) == 2
+    second = eng.run(seeds=stale)
+
+    ev = second.events_table()
+    rows = {
+        u: c for u, c in zip(ev["url"].to_pylist(), ev["cached"].to_pylist())
+        if u in stale
+    }
+    assert rows == {u: False for u in stale}  # re-fetched fresh
+    # everything rediscovered beyond the stale seeds replays cached
+    others = [
+        c for u, c in zip(ev["url"].to_pylist(), ev["cached"].to_pylist())
+        if u not in stale
+    ]
+    assert others and all(others)
+    # the refresh restored the original statuses => identical seen set
+    assert eng.seen.all_items() == first.seen

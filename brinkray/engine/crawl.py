@@ -1332,7 +1332,9 @@ class CrawlEngine:
         with open(os.path.join(d, "state", "politeness.pkl"), "wb") as f:
             pickle.dump(pol.dump(), f)
         with open(os.path.join(d, "metrics.json"), "w") as f:
-            json.dump(m, f)
+            # per-partition metrics (north rule): seen-set size per
+            # shard — the skew signal rebalance_shard acts on
+            json.dump(dict(m, seen_shard_sizes=self.seen.shard_sizes()), f)
         lineage = {
             "wave": wave,
             "in_frontier_rows": m["frontier"],

@@ -71,3 +71,30 @@ def test_resume_with_budget_state(ray_session, tmp_path):
     eng2.set_pages(table)
     full = eng2.run(resume=True)
     assert full.seen == oracle.seen
+
+
+def test_checkpoint_metrics_carry_per_partition_sizes(ray_session, tmp_path):
+    """Every completed wave's metrics.json records the per-shard seen
+    sizes (the skew signal rebalance_shard acts on), and their sum
+    equals the wave's seen_total."""
+    import json
+    import os
+
+    from brinkray.engine.crawl import CrawlEngine, EngineOptions
+    from brinkray.fixtures import build_site, site_config
+
+    ckpt = str(tmp_path / "ckpt_m")
+    eng = CrawlEngine(
+        site_config(), EngineOptions(seen_shards=3, checkpoint_dir=ckpt)
+    )
+    eng.set_pages(build_site(40))
+    eng.run()
+
+    waves = [n for n in sorted(os.listdir(ckpt)) if n.startswith("wave_")]
+    assert waves
+    for name in waves:
+        with open(os.path.join(ckpt, name, "metrics.json")) as f:
+            m = json.load(f)
+        sizes = m["seen_shard_sizes"]
+        assert len(sizes) == 3
+        assert sum(sizes) == m["seen_total"]

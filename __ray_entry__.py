@@ -4529,6 +4529,127 @@ def _q_negative_samples(sf_dir: str):
     return out.sort_values(["doc_id", "slot"]).reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# TPC-H-shaped relational suite (brinkray/textproc/tpch.py) — classic query
+# shapes adapted to the reduced schema (no partsupp / commit dates)
+# --------------------------------------------------------------------------
+
+
+def _q_unshipped_order_revenue(sf_dir: str):
+    from brinkray.textproc.tpch import top_unshipped_orders
+
+    return top_unshipped_orders(_ds(sf_dir, "lineitem"), _ds(sf_dir, "orders"))
+
+
+def _q_forecast_revenue_delta(sf_dir: str):
+    from brinkray.textproc.tpch import forecast_revenue_delta
+
+    return forecast_revenue_delta(_ds(sf_dir, "lineitem"))
+
+
+def _q_nation_trade_volumes(sf_dir: str):
+    from brinkray.textproc.tpch import nation_trade_volumes
+
+    return nation_trade_volumes(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "orders"),
+        _ds(sf_dir, "customer"), _ds(sf_dir, "supplier"),
+        _ds(sf_dir, "nation"), "NATION_3", "NATION_7",
+    )
+
+
+def _q_market_share_yearly(sf_dir: str):
+    from brinkray.textproc.tpch import market_share_yearly
+
+    return market_share_yearly(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "orders"),
+        _ds(sf_dir, "customer"), _ds(sf_dir, "supplier"),
+        _ds(sf_dir, "nation"), _ds(sf_dir, "region"),
+        "NATION_3", "EUROPE",
+    )
+
+
+def _q_profit_by_nation_year(sf_dir: str):
+    from brinkray.textproc.tpch import profit_by_nation_year
+
+    return profit_by_nation_year(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "part"),
+        _ds(sf_dir, "supplier"), _ds(sf_dir, "nation"),
+    )
+
+
+def _q_important_parts(sf_dir: str):
+    from brinkray.textproc.tpch import important_parts
+
+    return important_parts(_ds(sf_dir, "lineitem"))
+
+
+def _q_returnflag_priority_counts(sf_dir: str):
+    from brinkray.textproc.tpch import returnflag_priority_counts
+
+    return returnflag_priority_counts(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "orders")
+    )
+
+
+def _q_promo_revenue_share(sf_dir: str):
+    from brinkray.textproc.tpch import promo_revenue_share
+
+    return promo_revenue_share(_ds(sf_dir, "lineitem"), _ds(sf_dir, "part"))
+
+
+def _q_top_supplier_revenue(sf_dir: str):
+    from brinkray.textproc.tpch import top_supplier_revenue
+
+    return top_supplier_revenue(_ds(sf_dir, "lineitem"), _ds(sf_dir, "supplier"))
+
+
+def _q_large_volume_customers(sf_dir: str):
+    from brinkray.textproc.tpch import large_volume_customers
+
+    return large_volume_customers(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "orders"), _ds(sf_dir, "customer")
+    )
+
+
+def _q_disjunctive_brand_revenue(sf_dir: str):
+    from brinkray.textproc.tpch import disjunctive_brand_revenue
+
+    return disjunctive_brand_revenue(_ds(sf_dir, "lineitem"), _ds(sf_dir, "part"))
+
+
+def _q_dominant_part_suppliers(sf_dir: str):
+    from brinkray.textproc.tpch import dominant_part_suppliers
+
+    return dominant_part_suppliers(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "supplier")
+    )
+
+
+def _q_waiting_order_suppliers(sf_dir: str):
+    from brinkray.textproc.tpch import waiting_order_suppliers
+
+    return waiting_order_suppliers(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "supplier")
+    )
+
+
+def _q_returned_item_customers(sf_dir: str):
+    from brinkray.textproc.tpch import returned_item_customers
+
+    return returned_item_customers(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "orders"),
+        _ds(sf_dir, "customer"), _ds(sf_dir, "nation"),
+    )
+
+
+def _q_min_cost_supplier_per_part(sf_dir: str):
+    from brinkray.textproc.tpch import min_cost_supplier_per_part
+
+    return min_cost_supplier_per_part(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "part"), _ds(sf_dir, "supplier")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -4727,7 +4848,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_filtered_read": _q_pushdown_filtered_read,
         "negative_samples": _q_negative_samples,
         "crawl_refresh_seen": _q_crawl_refresh_seen,
+        # TPC-H-shaped relational suite (reduced schema)
+        "unshipped_order_revenue": _q_unshipped_order_revenue,
+        "forecast_revenue_delta": _q_forecast_revenue_delta,
+        "nation_trade_volumes": _q_nation_trade_volumes,
+        "market_share_yearly": _q_market_share_yearly,
+        "profit_by_nation_year": _q_profit_by_nation_year,
+        "important_parts": _q_important_parts,
+        "returnflag_priority_counts": _q_returnflag_priority_counts,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "large_volume_customers": _q_large_volume_customers,
+        "disjunctive_brand_revenue": _q_disjunctive_brand_revenue,
+        "dominant_part_suppliers": _q_dominant_part_suppliers,
+        "waiting_order_suppliers": _q_waiting_order_suppliers,
+        "returned_item_customers": _q_returned_item_customers,
+        "min_cost_supplier_per_part": _q_min_cost_supplier_per_part,
     }
+
+
+# lineitem revenue in exact int64 centi-cents (matches tpch._rev_cc):
+# both ROUND()s are exact for the 2-decimal synthetic inputs.
+_REV_CC_SQL = (
+    "CAST(ROUND(l.l_extendedprice*100) AS BIGINT) "
+    "* (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))"
+)
 
 
 def _sql_set(lang: str) -> str:
@@ -6985,5 +7130,189 @@ def _oracle_sql_dict() -> dict[str, str]:
             "PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 50 ORDER BY source, doc_id"
+        ),
+        # ------------------------------------------------------------------
+        # TPC-H-shaped suite: revenue fixed point is
+        #   rev_cc = round(ep*100) * (100 - round(disc*100))   (centi-cents)
+        # exact for the 2-decimal inputs, so Ray's int64 sums match DuckDB's
+        # bit-for-bit regardless of distribution order.
+        # ------------------------------------------------------------------
+        "unshipped_order_revenue": (
+            "SELECT l.l_orderkey, CAST(SUM("
+            f"{_REV_CC_SQL}) AS BIGINT) AS rev_cc, "
+            "o.o_orderdate, o.o_orderpriority "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+            "ORDER BY rev_cc DESC, l.l_orderkey LIMIT 10"
+        ),
+        "forecast_revenue_delta": (
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) "
+            "* CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_delta FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 5"
+        ),
+        "nation_trade_volumes": (
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            f"CAST(SUM({_REV_CC_SQL}) AS BIGINT) AS rev_cc "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation ns ON s.s_nationkey = ns.n_nationkey "
+            "JOIN nation nc ON c.c_nationkey = nc.n_nationkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7') "
+            "OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')) "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "market_share_yearly": (
+            "WITH rows_ AS (SELECT "
+            "CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+            f"{_REV_CC_SQL} AS rev, "
+            f"CASE WHEN ns.n_name = 'NATION_3' THEN {_REV_CC_SQL} "
+            "ELSE 0 END AS nrev "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation nc ON c.c_nationkey = nc.n_nationkey "
+            "JOIN region r ON nc.n_regionkey = r.r_regionkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation ns ON s.s_nationkey = ns.n_nationkey "
+            "WHERE r.r_name = 'EUROPE') "
+            "SELECT o_year, CAST(SUM(nrev) AS BIGINT) AS nation_cc, "
+            "CAST(SUM(rev) AS BIGINT) AS total_cc, "
+            "CAST(SUM(nrev) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS share "
+            "FROM rows_ GROUP BY o_year ORDER BY o_year"
+        ),
+        "profit_by_nation_year": (
+            "SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            f"CAST(SUM({_REV_CC_SQL}) AS BIGINT) AS rev_cc "
+            "FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE p.p_name LIKE '%widget%' "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "important_parts": (
+            "WITH v AS (SELECT l_partkey, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM lineitem GROUP BY l_partkey) "
+            "SELECT l_partkey, value_cents FROM v "
+            "WHERE 2 * value_cents * (SELECT COUNT(*) FROM v) "
+            "> 3 * (SELECT SUM(value_cents) FROM v) "
+            "ORDER BY value_cents DESC, l_partkey"
+        ),
+        "returnflag_priority_counts": (
+            "SELECT l.l_returnflag, "
+            "CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o.o_orderpriority NOT IN "
+            "('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS low_line_count "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "promo_revenue_share": (
+            "SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN "
+            f"{_REV_CC_SQL} ELSE 0 END) AS BIGINT) AS promo_cc, "
+            f"CAST(SUM({_REV_CC_SQL}) AS BIGINT) AS total_cc, "
+            "100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN "
+            f"{_REV_CC_SQL} ELSE 0 END) AS DOUBLE) "
+            f"/ CAST(SUM({_REV_CC_SQL}) AS DOUBLE) AS promo_share "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' "
+            "AND l.l_shipdate < TIMESTAMP '1997-10-01'"
+        ),
+        "top_supplier_revenue": (
+            "WITH r AS (SELECT l_suppkey, "
+            f"CAST(SUM({_REV_CC_SQL.replace('l.l_', 'l_')}) AS BIGINT) "
+            "AS total_rev FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s.s_name, r.total_rev "
+            "FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey "
+            "WHERE r.total_rev = (SELECT MAX(total_rev) FROM r) "
+            "ORDER BY s.s_suppkey"
+        ),
+        "large_volume_customers": (
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, "
+            "CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS o_total_cents, "
+            "CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1, 2, 3, 4, 5 HAVING SUM(l.l_quantity) > 300 "
+            "ORDER BY o_total_cents DESC, o.o_orderkey"
+        ),
+        "disjunctive_brand_revenue": (
+            f"SELECT CAST(SUM({_REV_CC_SQL}) AS BIGINT) AS rev_cc "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10 "
+            "AND l.l_quantity BETWEEN 1 AND 3) "
+            "OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 15 "
+            "AND l.l_quantity BETWEEN 2 AND 5) "
+            "OR (p.p_brand = 'Brand#8' AND p.p_size BETWEEN 1 AND 20 "
+            "AND l.l_quantity BETWEEN 4 AND 8)"
+        ),
+        "dominant_part_suppliers": (
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "CAST(SUM(l_quantity) AS BIGINT) AS qty "
+            "FROM lineitem GROUP BY 1, 2), "
+            "tot AS (SELECT l_partkey, SUM(qty) AS tq, COUNT(*) AS ns "
+            "FROM ps GROUP BY 1) "
+            "SELECT s.s_suppkey, s.s_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n_parts_dominated "
+            "FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey "
+            "JOIN supplier s ON ps.l_suppkey = s.s_suppkey "
+            "WHERE ps.qty * tot.ns > 2 * tot.tq "
+            "GROUP BY 1, 2 ORDER BY 1"
+        ),
+        "waiting_order_suppliers": (
+            "WITH ps AS (SELECT l_orderkey, l_suppkey, "
+            "MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r "
+            "FROM lineitem GROUP BY 1, 2), "
+            "o AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r "
+            "FROM ps GROUP BY 1) "
+            "SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM ps JOIN o ON ps.l_orderkey = o.l_orderkey "
+            "JOIN supplier s ON ps.l_suppkey = s.s_suppkey "
+            "WHERE o.n_supp > 1 AND o.n_r = 1 AND ps.has_r = 1 "
+            "GROUP BY 1, 2 ORDER BY numwait DESC, s.s_suppkey"
+        ),
+        "returned_item_customers": (
+            "WITH rev AS (SELECT o.o_custkey, "
+            f"CAST(SUM({_REV_CC_SQL}) AS BIGINT) AS rev_cc "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= TIMESTAMP '1997-10-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1) "
+            "SELECT c.c_custkey, c.c_name, n.n_name, rev.rev_cc "
+            "FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "ORDER BY rev.rev_cc DESC, c.c_custkey LIMIT 20"
+        ),
+        "min_cost_supplier_per_part": (
+            "WITH u AS (SELECT l.l_partkey, l.l_suppkey, "
+            "MIN(CAST(ROUND(l.l_extendedprice*100) AS BIGINT) * 840 "
+            "// CAST(l.l_quantity AS BIGINT)) AS unit_scaled "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_size = 10 GROUP BY 1, 2), "
+            "r AS (SELECT l_partkey, l_suppkey, unit_scaled, "
+            "ROW_NUMBER() OVER (PARTITION BY l_partkey "
+            "ORDER BY unit_scaled, l_suppkey) AS rn FROM u) "
+            "SELECT r.l_partkey, p.p_name, s.s_suppkey, s.s_name, "
+            "r.unit_scaled FROM r "
+            "JOIN part p ON r.l_partkey = p.p_partkey "
+            "JOIN supplier s ON r.l_suppkey = s.s_suppkey "
+            "WHERE r.rn = 1 ORDER BY r.l_partkey"
         ),
     }

@@ -560,6 +560,84 @@ def run_scaling() -> dict:
     }
 
 
+# Queries kept inline in the final stdout line; everything else is
+# summarized (count/total/max) with the full per-query map in the
+# sidecar.  Chosen to span the operator families: crawl engine, dedup,
+# quality, ANN, curation, web-clean, graph, relational.
+HEADLINE_QUERIES = [
+    "crawl",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "token_counts",
+    "quality_signals",
+    "ann_cosine_topk",
+    "corpus_curation",
+    "paragraph_dedup",
+    "pii_scrub",
+    "link_pagerank",
+    "pricing_summary",
+    "revenue_by_nation",
+    "crawl_extracted_text",
+    "pack_shards",
+    "decontamination",
+    "running_totals",
+]
+
+
+def compact_payload(payload: dict) -> dict:
+    """Shrink run_once()'s payload to ONE stdout line safely under 2000
+    chars.  The round driver keeps only the LAST 2000 characters of
+    bench output and json-parses the final line: round 3's line grew to
+    ~3.5 kB (143 inline secondaries) and the driver recorded
+    ``parsed: null`` — the numbers existed but were invisible.  The
+    full payload (every secondary's seconds, per-run loads) goes to a
+    sidecar file whose path is included in the line."""
+    full_path = os.environ.get(
+        "BRINKRAY_BENCH_FULL", "/tmp/brinkray_bench_full.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f)
+    except OSError:
+        full_path = None
+    q = payload.get("queries", {})
+    sec = [v for k, v in q.items() if k != "crawl"]
+    out = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": {k: q[k] for k in HEADLINE_QUERIES if k in q},
+        "sf": payload["sf"],
+        "num_cpus": payload["num_cpus"],
+        "crawl": payload.get("crawl"),
+        "crawl_runs_sec": payload.get("crawl_runs_sec"),
+        "secondaries": {
+            "n": len(sec),
+            "total_sec": round(sum(sec), 1),
+            "max_sec": round(max(sec), 2) if sec else None,
+        },
+        "child_crashes": payload.get("child_crashes"),
+        "load_avg_before": payload.get("load_avg_before"),
+        "full_payload": full_path,
+    }
+    rec = payload.get("dedup_recall")
+    if rec:
+        out["dedup_recall"] = {
+            k: rec[k]
+            for k in (
+                "minhash_recall",
+                "simhash_recall",
+                "verified_recall",
+                "verified_precision",
+            )
+            if k in rec
+        }
+    # hard guard — never hand the driver an unparseable-by-truncation line
+    while len(json.dumps(out)) > 1800 and out["queries"]:
+        out["queries"].pop(next(reversed(out["queries"])))
+    return out
+
+
 if __name__ == "__main__":
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
@@ -568,4 +646,4 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_once()))
+        print(json.dumps(compact_payload(run_once())))

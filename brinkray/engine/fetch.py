@@ -198,6 +198,70 @@ class Fetcher:
         )
         return status, body
 
+    @property
+    def _known_set(self) -> frozenset:
+        ks = getattr(self, "_known_set_cache", None)
+        if ks is None:
+            ks = frozenset(self._known_hosts.to_pylist())
+            self._known_set_cache = ks
+        return ks
+
+    def _redirect_subst(self, batch: pa.Table, hs):
+        """Redirect chains (ref/redirects.py; Go client.Do follows them
+        inside the request): substitute the FINAL url's canon as the
+        index-lookup key for redirect-path rows, leaving the batch's
+        original canon/domain/path untouched for every OTHER use (seen
+        key, link absolutization, domain + forbidden gates — all keyed
+        to the ORIGINAL url per brink.go:104-116,205-215).
+
+        Returns (batch_for_join, hs_for_join, ok_extra) where ok_extra
+        is None when the batch has no redirect rows (two starts_with
+        kernels — the only cost on the hot path) or a bool mask that is
+        False for failed resolutions (hop budget exhausted, unknown hop
+        host, /err/ landing) — transport errors, silently dropped like
+        any other. Resolution itself is per-row Python over ONLY the
+        redirect rows; vectorizing it would buy nothing (redirects are
+        a thin slice of real frontiers and each chain is data-dependent
+        iteration)."""
+        import numpy as np
+
+        from ..ref.errors import TransportError
+        from ..ref.redirects import resolve_chain
+        from ..state.cuckoo import sha1_64
+
+        paths = batch["path"]
+        redir = pc.or_(
+            pc.starts_with(paths, "/redir/"), pc.starts_with(paths, "/xredir/")
+        )
+        if not pc.any(redir).as_py():
+            return batch, hs, None
+        mask = redir.to_numpy(zero_copy_only=False).astype(bool)
+        idxs = np.nonzero(mask)[0]
+        canons = batch["canon"].to_pylist()
+        domains = batch["domain"].to_pylist()
+        pl = paths.to_pylist()
+        known = self._known_set
+        new_canons = list(canons)
+        ok_extra = np.ones(batch.num_rows, dtype=bool)
+        hs2 = None if hs is None else hs.copy()
+        for i in idxs:
+            scheme, host = domains[i].split("://", 1)
+            try:
+                fs, fh, fp = resolve_chain(scheme, host, pl[i], known)
+            except TransportError:
+                ok_extra[i] = False
+                continue
+            if fp.startswith("/err/"):
+                ok_extra[i] = False  # the landing request itself fails
+                continue
+            qsuffix = canons[i][len(domains[i]) + len(pl[i]):]
+            new_canons[i] = f"{fs}://{fh}{fp}{qsuffix}"
+            if hs2 is not None:
+                hs2[i] = sha1_64(new_canons[i])
+        ci = batch.schema.get_field_index("canon")
+        batch2 = batch.set_column(ci, "canon", pa.array(new_canons, pa.string()))
+        return batch2, hs2, pa.array(ok_extra)
+
     def _lookup_and_gate(self, batch: pa.Table, hs=None):
         """Fetch's gate order (brink.go:166-229) vectorized: returns
         (status, body, ok_mask) for the batch; ~ok rows are the silent
@@ -226,8 +290,15 @@ class Fetcher:
         err_path = pc.starts_with(batch["path"], "/err/")
         transport_ok = pc.and_(domain_known, pc.invert(err_path))
 
+        # (b) redirect chains resolve inside the request: the join key
+        # becomes the final url's canon; failed chains are transport
+        # errors (ref/redirects.py)
+        join_batch, join_hs, redirect_ok = self._redirect_subst(batch, hs)
+        if redirect_ok is not None:
+            transport_ok = pc.and_(transport_ok, redirect_ok)
+
         # the lookup-join (J1): canon -> (status, html); miss => 404, b""
-        status, body = self._join(batch, hs)
+        status, body = self._join(join_batch, join_hs)
 
         # (e) domain gate after the request (NotAllowed discards status)
         allowed = pc.is_in(batch["domain"], value_set=self._allowed)

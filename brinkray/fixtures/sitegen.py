@@ -120,6 +120,7 @@ def build_site(
     texts: list[str] | None = None,
     fanout: int = 3,
     with_robots: bool = False,
+    with_redirects: bool = False,
     row_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Build the pages table. Page 0 is the root (path-less URL on
@@ -187,6 +188,40 @@ def build_site(
             anchors.append(_a(f"/status/503/{i}", "unavailable"))
         if i % 31 == 0:
             anchors.append(_a(f"/admin/{i}", "forbidden path"))
+        if with_redirects:
+            # path-encoded redirect chains (ref/redirects.py conventions;
+            # opt-in so the redirect-free conformance fixtures and their
+            # SQL twins are untouched)
+            other = HOST_B if host == HOST_A else HOST_A
+            if i % 41 == 0:
+                # 2 same-host hops; lands on /p/{t} — which 404s when
+                # t's real page lives on the other host
+                anchors.append(_a(f"/redir/2/p/{t}", "redirect chain"))
+            if i % 43 == 0:
+                # needs 12 hops > Go's request budget => silent drop
+                anchors.append(_a(f"/redir/12/p/{t}", "redirect too deep"))
+            if i % 47 == 0:
+                # cross-host hop: final body served from the OTHER host,
+                # links in it absolutized against THIS url (brink quirk)
+                anchors.append(_a(f"/xredir/{other[8:]}/p/{t}", "cross redirect"))
+            if i % 53 == 0:
+                # allowed-domain gate checks the ORIGINAL url only =>
+                # the blocked host's body leaks through the redirect
+                anchors.append(
+                    _a(f"/xredir/blocked.test/p/{i % n_blocked}", "blocked leak")
+                )
+                # unresolvable hop host => client.Do fails => drop
+                anchors.append(
+                    _a(f"/xredir/nowhere.invalid/x/{i}", "redirect unknown host")
+                )
+            if i % 59 == 0:
+                # exactly at the budget boundary: 9 hops = 10 requests, OK
+                anchors.append(_a(f"/redir/9/p/{t}", "nine hops"))
+            if i % 61 == 0:
+                # composed: 2 same-host hops landing on a cross-host hop
+                anchors.append(
+                    _a(f"/redir/2/xredir/{other[8:]}/p/{t}", "composed redirect")
+                )
 
         extra = "<script>var x = 1 < 2;</script>" if i % 37 == 0 else ""
         lang = "de" if i % 31 == 7 else "en"

@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 from .config import CrawlConfig
 from .errors import ContentTooLarge, NotAllowed, TransportError
 from .gourl import URLError
+from .redirects import is_redirect_path, resolve_chain
 from .urls import normalize_url, scheme_and_host
 
 _STATUS_RE = re.compile(r"^/status/(\d{3})(?:/|$)")
@@ -107,10 +108,21 @@ def fetch(
         path = _path_of(canon)
     except URLError:
         path = ""
+
+    # (b) redirect chains happen INSIDE the request (Go client.Do
+    # follows them; ref/redirects.py conventions + request budget).
+    # The lookup key becomes the FINAL url's canon; every later gate
+    # except content-length stays on the ORIGINAL url.
+    lookup = canon
+    if is_redirect_path(path):
+        f_scheme, f_host, f_path = resolve_chain(scheme, host, path, known_hosts)
+        qsuffix = canon[len(f"{scheme}://{host}{path}"):]
+        lookup = f"{f_scheme}://{f_host}{f_path}{qsuffix}"
+        path = f_path
     if path.startswith("/err/"):
         raise TransportError(f"get failed: connection reset {canon}")
 
-    entry = index.get(canon)
+    entry = index.get(lookup)
     if entry is None:
         status, body = 404, b""
     else:

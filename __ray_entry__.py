@@ -4650,6 +4650,32 @@ def _q_min_cost_supplier_per_part(sf_dir: str):
     )
 
 
+def _q_late_order_priority_counts(sf_dir: str):
+    from brinkray.textproc.tpch import late_order_priority_counts
+
+    return late_order_priority_counts(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "orders")
+    )
+
+
+def _q_local_supplier_volume(sf_dir: str):
+    from brinkray.textproc.tpch import local_supplier_volume
+
+    return local_supplier_volume(
+        _ds(sf_dir, "lineitem"), _ds(sf_dir, "orders"),
+        _ds(sf_dir, "customer"), _ds(sf_dir, "supplier"),
+        _ds(sf_dir, "nation"), _ds(sf_dir, "region"),
+    )
+
+
+def _q_customer_order_distribution(sf_dir: str):
+    from brinkray.textproc.tpch import customer_order_distribution
+
+    return customer_order_distribution(
+        _ds(sf_dir, "orders"), _ds(sf_dir, "customer")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -4864,6 +4890,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_order_suppliers": _q_waiting_order_suppliers,
         "returned_item_customers": _q_returned_item_customers,
         "min_cost_supplier_per_part": _q_min_cost_supplier_per_part,
+        "late_order_priority_counts": _q_late_order_priority_counts,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "customer_order_distribution": _q_customer_order_distribution,
     }
 
 
@@ -7314,5 +7343,40 @@ def _oracle_sql_dict() -> dict[str, str]:
             "JOIN part p ON r.l_partkey = p.p_partkey "
             "JOIN supplier s ON r.l_suppkey = s.s_suppkey "
             "WHERE r.rn = 1 ORDER BY r.l_partkey"
+        ),
+        "late_order_priority_counts": (
+            "WITH m AS (SELECT l_orderkey, MAX(l_shipdate) AS ms "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+            "FROM orders o JOIN m ON o.o_orderkey = m.l_orderkey "
+            "WHERE o.o_orderdate >= TIMESTAMP '1997-07-01' "
+            "AND o.o_orderdate < TIMESTAMP '1997-10-01' "
+            "AND m.ms > o.o_orderdate + INTERVAL 30 DAY "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "local_supplier_volume": (
+            f"SELECT n.n_name, CAST(SUM({_REV_CC_SQL}) AS BIGINT) AS rev_cc "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'EUROPE' "
+            "AND c.c_nationkey = s.s_nationkey "
+            "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1 ORDER BY rev_cc DESC, n.n_name"
+        ),
+        "customer_order_distribution": (
+            "WITH per_cust AS (SELECT c.c_custkey, "
+            "COUNT(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT OUTER JOIN orders o "
+            "ON c.c_custkey = o.o_custkey "
+            "AND o.o_orderpriority <> '1-URGENT' GROUP BY 1) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "CAST(COUNT(*) AS BIGINT) AS custdist "
+            "FROM per_cust GROUP BY 1 "
+            "ORDER BY custdist DESC, c_count DESC"
         ),
     }

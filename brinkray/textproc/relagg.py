@@ -36,6 +36,7 @@ __all__ = [
     "pair_cooccurrence",
     "table_profile",
     "bucketed_group_sums",
+    "bucketed_group_maxes",
 ]
 
 
@@ -932,6 +933,65 @@ def bucketed_group_sums(ds, key_col: str, sum_cols: list[str],
 
     return (
         ds.select_columns([key_col, *sum_cols])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def bucketed_group_maxes(ds, key_col: str, max_cols: list[str],
+                         n_buckets: int | None = None):
+    """``bucketed_group_sums``'s MAX sibling: exact int64 per-key
+    maxima for HIGH-cardinality integer keys (per-order max shipdate,
+    per-host latest capture...). Same two-level shape — per-block
+    np.maximum.at combiner over stable-argsort run ids, then ONE
+    low-cardinality bucket groupby — max is associative/idempotent, so
+    the result is exact regardless of block order or retry replays.
+    """
+    import ray
+
+    if n_buckets is None:
+        n_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+
+    _NEG = np.int64(-(1 << 62))
+
+    def _combine(k: np.ndarray, vals: list[np.ndarray]):
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        new = np.concatenate(([True], k[1:] != k[:-1])) if len(k) else \
+            np.zeros(0, dtype=bool)
+        rid = np.cumsum(new) - 1
+        n_groups = int(rid[-1]) + 1 if len(rid) else 0
+        outs = []
+        for v in vals:
+            acc = np.full(n_groups, _NEG, dtype=np.int64)
+            np.maximum.at(acc, rid, v[order])
+            outs.append(acc)
+        return k[new], outs
+
+    def local(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = [t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in max_cols]
+        ku, accs = _combine(k, vals)
+        h = (ku.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        cols = {key_col: pa.array(ku, pa.int64())}
+        for c, acc in zip(max_cols, accs):
+            cols[c] = pa.array(acc, pa.int64())
+        cols["_b"] = pa.array((h % np.uint64(n_buckets)).astype(np.int32))
+        return pa.table(cols)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        vals = [g[c].to_numpy() for c in max_cols]
+        ku, accs = _combine(k, vals)
+        out = {key_col: ku}
+        for c, acc in zip(max_cols, accs):
+            out[c] = acc
+        return pd.DataFrame(out)
+
+    return (
+        ds.select_columns([key_col, *max_cols])
         .map_batches(local, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(final, batch_format="pandas")

@@ -51,6 +51,9 @@ __all__ = [
     "waiting_order_suppliers",
     "returned_item_customers",
     "min_cost_supplier_per_part",
+    "late_order_priority_counts",
+    "local_supplier_volume",
+    "customer_order_distribution",
 ]
 
 _PAIR_BITS = 24  # suppkey fits 2^24 alongside orderkey/partkey in int64
@@ -1024,3 +1027,227 @@ def min_cost_supplier_per_part(lineitem_ds, part_ds, supplier_ds,
     out["p_name"] = out["l_partkey"].map(pname)
     out = out.sort_values("l_partkey").reset_index(drop=True)
     return out[["l_partkey", "p_name", "s_suppkey", "s_name", "unit_scaled"]]
+
+
+# ---------------------------------------------------------------------------
+# Q4: order-priority checking (EXISTS late-line semi-join)
+# ---------------------------------------------------------------------------
+
+
+def late_order_priority_counts(lineitem_ds, orders_ds,
+                               lo: str = "1997-07-01", hi: str = "1997-10-01",
+                               late_days: int = 30,
+                               num_partitions: int | None = None):
+    """TPC-H Q4 shape (no commit/receipt dates in the reduced schema,
+    so "late" = any line shipped more than ``late_days`` after the
+    order date): count one quarter's orders per priority where EXISTS
+    a late lineitem. The EXISTS collapses to per-order MAX(l_shipdate)
+    — one bucketed max-combine exchange over lineitem (never ships
+    line-level rows into the join), ONE native hash join against the
+    date-filtered orders, then a tiny priority groupby."""
+    from ray.data.aggregate import Count
+
+    from .joins import default_join_partitions
+    from .relagg import bucketed_group_maxes
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    lo_ts, hi_ts = _ts(lo), _ts(hi)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+        })
+
+    per_order = bucketed_group_maxes(
+        lineitem_ds.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_prep, batch_format="pyarrow"),
+        key_col="l_orderkey",
+        max_cols=["ship_us"],
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo_ts)),
+            pc.less(t["o_orderdate"], pa.scalar(hi_ts)),
+        ))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "od_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    ords = orders_ds.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+
+    joined = ords.join(
+        per_order, join_type="inner", num_partitions=num_partitions,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+
+    def late_filter(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["ship_us"],
+                          pc.add(t["od_us"], pa.scalar(late_us, pa.int64())))
+        return t.filter(keep).select(["o_orderpriority"])
+
+    out = (
+        joined.map_batches(late_filter, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+        .to_pandas()
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q5: local-supplier volume (customer and supplier in the same nation)
+# ---------------------------------------------------------------------------
+
+
+def local_supplier_volume(lineitem_ds, orders_ds, customer_ds, supplier_ds,
+                          nation_ds, region_ds, region: str = "EUROPE",
+                          lo: str = "1997-01-01", hi: str = "1998-01-01",
+                          num_partitions: int | None = None):
+    """TPC-H Q5 shape: revenue per nation from lines where the customer
+    and the supplier share the nation, customers in ``region``, one
+    order-year. Supplier nation resolves by broadcast and PRE-FILTERS
+    lineitem to the region's nations before any shuffle; the two big
+    joins (⋈orders date-filtered, ⋈customer) run in separate
+    executions per the chained-join rule; the final groupby is
+    |nations|-sized."""
+    from ray.data.aggregate import Sum
+
+    from .joins import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    lo_ts, hi_ts = _ts(lo), _ts(hi)
+    sk, snat, _, nat = _supplier_maps(supplier_ds, nation_ds)
+    region_keys = {
+        int(r["r_regionkey"]) for r in region_ds.take_all()
+        if r["r_name"] == region
+    }
+    name_of = {k: v[0] for k, v in nat.items()}
+    keep_keys = np.fromiter(
+        (k for k, v in nat.items() if v[1] in region_keys),
+        dtype=np.int64,
+    )
+    import ray
+    ref = ray.put((sk, snat))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        keys, nk = ray.get(ref)
+        ls = _np(t["l_suppkey"])
+        hit, pos = _lookup_i64(keys, ls)
+        snk = np.where(hit, nk[np.minimum(pos, max(len(nk) - 1, 0))], -1)
+        keep = np.isin(snk, keep_keys)
+        t2 = t.filter(pa.array(keep))
+        return pa.table({
+            "l_orderkey": t2["l_orderkey"],
+            "supp_nk": pa.array(snk[keep], pa.int64()),
+            "rev_cc": _rev_cc(t2),
+        })
+
+    li = lineitem_ds.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo_ts)),
+            pc.less(t["o_orderdate"], pa.scalar(hi_ts)),
+        ))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    ords = orders_ds.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+
+    j1 = li.join(
+        ords, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).materialize()
+
+    j2 = j1.join(
+        customer_ds.select_columns(["c_custkey", "c_nationkey"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def local_filter(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.cast(t["c_nationkey"], pa.int64()), t["supp_nk"])
+        t = t.filter(keep)
+        return t.select(["supp_nk", "rev_cc"])
+
+    agg = (
+        j2.map_batches(local_filter, batch_format="pyarrow")
+        .groupby("supp_nk")
+        .aggregate(Sum("rev_cc", alias_name="rev_cc"))
+        .to_pandas()
+    )
+    agg["n_name"] = [name_of[int(k)] for k in agg["supp_nk"]]
+    out = agg[["n_name", "rev_cc"]].sort_values(
+        ["rev_cc", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution (LEFT OUTER count-of-counts)
+# ---------------------------------------------------------------------------
+
+
+def customer_order_distribution(orders_ds, customer_ds,
+                                exclude_priority: str = "1-URGENT",
+                                num_partitions: int | None = None):
+    """TPC-H Q13 shape (``o_orderpriority <> x`` standing in for the
+    NOT-LIKE comment filter): how many customers placed exactly N
+    qualifying orders, INCLUDING the zero-order customers the LEFT
+    OUTER join preserves. Orders pre-aggregate per custkey in one
+    bucketed combine (the only corpus-scale exchange over orders),
+    customer⋈per-cust is ONE native left-outer hash join, and the
+    count-of-counts groupby is |distinct N|-sized."""
+    from ray.data.aggregate import Count
+
+    from .joins import default_join_partitions
+    from .relagg import bucketed_group_sums
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"],
+                                  pa.scalar(exclude_priority)))
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    per_cust = bucketed_group_sums(
+        orders_ds.select_columns(["o_custkey", "o_orderpriority"])
+        .map_batches(o_prep, batch_format="pyarrow"),
+        key_col="o_custkey",
+        sum_cols=["one"],
+    )
+
+    joined = customer_ds.select_columns(["c_custkey"]).join(
+        per_cust, join_type="left_outer", num_partitions=num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.cast(pc.fill_null(t["one"], 0), pa.int64()),
+        })
+
+    out = (
+        joined.map_batches(fill, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+        .to_pandas()
+    )
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]).reset_index(drop=True)

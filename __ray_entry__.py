@@ -4676,6 +4676,30 @@ def _q_customer_order_distribution(sf_dir: str):
     )
 
 
+def _q_doc_similarity_tfidf(sf_dir: str):
+    from brinkray.textproc.curation import doc_similarity_tfidf
+
+    return doc_similarity_tfidf(
+        _ds(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).to_pandas()
+
+
+def _q_bpe_merge_candidates(sf_dir: str):
+    from brinkray.textproc.curation import bpe_merge_candidates
+
+    return bpe_merge_candidates(
+        _ds(sf_dir, "documents").select_columns(["text"])
+    )
+
+
+def _q_mixture_weights(sf_dir: str):
+    from brinkray.textproc.curation import mixture_weights
+
+    return mixture_weights(
+        _ds(sf_dir, "documents").select_columns(["source", "text"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl-operator analogues over the shared testdata views
@@ -4893,6 +4917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_order_priority_counts": _q_late_order_priority_counts,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_order_distribution": _q_customer_order_distribution,
+        "doc_similarity_tfidf": _q_doc_similarity_tfidf,
+        "bpe_merge_candidates": _q_bpe_merge_candidates,
+        "mixture_weights": _q_mixture_weights,
     }
 
 
@@ -7378,5 +7405,57 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS custdist "
             "FROM per_cust GROUP BY 1 "
             "ORDER BY custdist DESC, c_count DESC"
+        ),
+        # sparse tf-idf cosine self-join: integer weights (tf*1e4)//df
+        # over the df band [2, 100]; the cos^2 compare is HUGEINT here,
+        # Python big-int on the Ray side — exact on both.
+        "doc_similarity_tfidf": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM t GROUP BY 1, 2), "
+            "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY 1), "
+            "w AS (SELECT tf.doc_id, tf.token, (tf.tf*10000)//df.df AS w "
+            "FROM tf JOIN df USING (token) WHERE df.df BETWEEN 2 AND 100), "
+            "nrm AS (SELECT doc_id, SUM(w*w) AS nn FROM w GROUP BY 1), "
+            "dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "SUM(a.w*b.w) AS dot_w FROM w a JOIN w b "
+            "ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT dt.doc_a, dt.doc_b, CAST(dt.dot_w AS BIGINT) AS dot_w, "
+            "CAST(CAST(dt.dot_w AS HUGEINT)*dt.dot_w*1000000 "
+            "// (CAST(na.nn AS HUGEINT)*nb.nn) AS BIGINT) AS cos2_ppm "
+            "FROM dt JOIN nrm na ON dt.doc_a = na.doc_id "
+            "JOIN nrm nb ON dt.doc_b = nb.doc_id "
+            "WHERE CAST(dt.dot_w AS HUGEINT)*dt.dot_w*1000000 "
+            ">= 90000 * CAST(na.nn AS HUGEINT)*nb.nn "
+            "ORDER BY doc_a, doc_b"
+        ),
+        "bpe_merge_candidates": (
+            "WITH wt AS (SELECT "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
+            "FROM documents), "
+            "p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair FROM wt, "
+            "UNNEST(generate_series(1, length(w)-1)) AS t(i) "
+            "WHERE length(w) >= 2) "
+            "SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p "
+            "GROUP BY 1 ORDER BY n DESC, pair LIMIT 30"
+        ),
+        # isqrt via float sqrt + exact +/-1 correction (float sqrt of a
+        # BIGINT is within one ULP, so one step lands on floor(sqrt)).
+        "mixture_weights": (
+            "WITH s AS (SELECT source, CAST(SUM(len(regexp_extract_all("
+            "lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY 1), "
+            "r0 AS (SELECT source, n_tokens, "
+            "CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS r "
+            "FROM s), "
+            "r1 AS (SELECT source, n_tokens, r "
+            "+ (CASE WHEN (r+1)*(r+1) <= n_tokens THEN 1 ELSE 0 END) "
+            "- (CASE WHEN r*r > n_tokens THEN 1 ELSE 0 END) AS w FROM r0) "
+            "SELECT source, n_tokens, w AS w_isqrt, "
+            "CAST(w * 1000000 // (SELECT SUM(w) FROM r1) AS BIGINT) "
+            "AS share_ppm FROM r1 ORDER BY source"
         ),
     }

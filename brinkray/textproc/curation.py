@@ -56,6 +56,10 @@ __all__ = [
     "apply_changes",
     "write_text_shards",
     "read_text_manifest",
+    "dsir_weights",
+    "doc_similarity_tfidf",
+    "bpe_merge_candidates",
+    "mixture_weights",
 ]
 
 
@@ -1687,3 +1691,343 @@ def dsir_weights(docs, target_col: str = "lang", target_value: str = "en",
     return docs.select_columns([id_col, target_col, text_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def doc_similarity_tfidf(docs, threshold_cos2_ppm: int = 90_000,
+                         df_min: int = 2, df_max: int = 100,
+                         scale: int = 10_000, broadcast_cap: int = 5_000_000,
+                         text_col="text", id_col="doc_id",
+                         norms: str = "auto"):
+    """Sparse TF-IDF cosine document-similarity self-join — the exact
+    all-pairs similarity search shape (Bayardo et al. 2007 "Scaling Up
+    All Pairs Similarity Search"): every unordered doc pair sharing at
+    least one df-banded token, scored by the cosine of their
+    integer-weighted tf-idf vectors and kept when
+    ``cos^2 * 1e6 >= threshold_cos2_ppm``. Weights are the repo's
+    rational-exact integers ``w = (tf * scale) // df`` restricted to
+    tokens with ``df_min <= df <= df_max`` (the df band is BOTH the
+    idf-meaningfulness filter and the blocking bound: a token
+    contributes at most C(df_max, 2) pairs, so pair fan-out is
+    corpus-linear, never corpus-quadratic). Returns
+    (doc_a, doc_b, dot_w, cos2_ppm), doc_a < doc_b.
+
+    Stages: (1) the tf_df_scores df pass (token-hash partials, ONE
+    groupby, sorted-array broadcast); (2) a stateless posting/norm pass
+    — each doc's banded weights and its norm are fully determined by
+    its own row plus the broadcast df table, so NO exchange builds
+    norms; (3) postings bucket by token hash, each bucket emits
+    per-token triu pair dot-contributions (vectorized np.add.at
+    combine) packed as ``a << 32 | b`` int64 keys into ONE
+    bucketed_group_sums exchange — dot products are exact int64;
+    (4) norms attach by sorted-array broadcast when the doc count is
+    under ``broadcast_cap``, else by two native hash joins
+    (materialized between, the chained-join rule) — ``norms=`` forces
+    either path, both pinned equal in pytest; (5) the threshold
+    compare is exact big-int arithmetic (dot^2 * 1e6 vs t * na * nb
+    overflows int64 by design — Python ints here, HUGEINT in the
+    DuckDB twin). Token identity through the pipeline is the 64-bit
+    blake2b hash (collision birthday-bounded, same contract as
+    tf_df_scores).
+    """
+    import ray
+    from .hashing import _token_hash
+    from .relagg import bucketed_group_sums
+
+    if norms not in ("auto", "broadcast", "join"):
+        raise ValueError(f"norms must be auto|broadcast|join, got {norms!r}")
+    from ray.data.aggregate import Sum
+
+    n_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+
+    def _doc_vectors(t: pa.Table):
+        """(doc_id, token-hash, tf) triples for every doc in the batch."""
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        per_doc = [tokens_of(x) for x in t[text_col].to_pylist()]
+        out_i, out_h, out_tf = [], [], []
+        for i, toks in zip(ids, per_doc):
+            if not toks:
+                continue
+            codes, uniq = pd.factorize(np.asarray(toks, dtype=object),
+                                       sort=False)
+            hu = np.fromiter((_token_hash(s) for s in uniq),
+                             dtype=np.uint64, count=len(uniq))
+            tf = np.bincount(codes).astype(np.int64)
+            out_i.append(np.full(len(uniq), i, dtype=np.int64))
+            out_h.append(hu)
+            out_tf.append(tf)
+        if not out_i:
+            z = np.array([], dtype=np.int64)
+            return z, z.view(np.uint64), z
+        return (np.concatenate(out_i), np.concatenate(out_h),
+                np.concatenate(out_tf))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        _, h, _ = _doc_vectors(t)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u.view(np.int64), pa.int64()),
+                         "nd": pa.array(c.astype(np.int64))})
+
+    df_tbl = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("nd", alias_name="df"))
+        .to_pandas()
+    )
+    dfv = df_tbl["df"].to_numpy().astype(np.int64)
+    band = (dfv >= df_min) & (dfv <= df_max)
+    hs = df_tbl["h"].to_numpy().astype(np.int64)[band]
+    order = np.argsort(hs)
+    ref = ray.put((hs[order], dfv[band][order]))
+
+    def _banded_weights(t: pa.Table):
+        sh, sdf = ray.get(ref)
+        i, h, tf = _doc_vectors(t)
+        hi = h.view(np.int64)
+        pos = np.searchsorted(sh, hi)
+        pos_c = np.minimum(pos, max(len(sh) - 1, 0))
+        hit = (sh[pos_c] == hi) if len(sh) else np.zeros(len(hi), bool)
+        i, hi, tf, pos_c = i[hit], hi[hit], tf[hit], pos_c[hit]
+        w = (tf * scale) // sdf[pos_c] if len(hi) else tf
+        return i, hi, w
+
+    def postings(t: pa.Table) -> pa.Table:
+        i, hi, w = _banded_weights(t)
+        if len(i) and (i < 0).any() or len(i) and i.max() >= (1 << 32):
+            raise ValueError("doc ids must fit uint32 for pair packing")
+        b = (hi.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(33)) % np.uint64(n_buckets)
+        return pa.table({"h": pa.array(hi, pa.int64()),
+                         "i": pa.array(i, pa.int64()),
+                         "w": pa.array(w, pa.int64()),
+                         "_b": pa.array(b.astype(np.int32))})
+
+    def norm_rows(t: pa.Table) -> pa.Table:
+        i, _, w = _banded_weights(t)
+        if len(i):
+            order_ = np.argsort(i, kind="stable")
+            i_s, w_s = i[order_], w[order_]
+            new = np.concatenate(([True], i_s[1:] != i_s[:-1]))
+            rid = np.cumsum(new) - 1
+            nn = np.zeros(int(rid[-1]) + 1, dtype=np.int64)
+            np.add.at(nn, rid, w_s * w_s)
+            return pa.table({"doc": pa.array(i_s[new], pa.int64()),
+                             "nn": pa.array(nn, pa.int64())})
+        return pa.table({"doc": pa.array([], pa.int64()),
+                         "nn": pa.array([], pa.int64())})
+
+    base = docs.select_columns([id_col, text_col])
+    post_ds = base.map_batches(postings, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        i = g["i"].to_numpy()
+        w = g["w"].to_numpy()
+        order_ = np.lexsort((i, h))
+        h, i, w = h[order_], i[order_], w[order_]
+        new = np.concatenate(([True], h[1:] != h[:-1])) if len(h) else \
+            np.zeros(0, dtype=bool)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(h))
+        keys, dots = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ii, ww = i[s:e], w[s:e]
+            a_idx, b_idx = np.triu_indices(m, k=1)
+            keys.append((ii[a_idx] << np.int64(32)) | ii[b_idx])
+            dots.append(ww[a_idx] * ww[b_idx])
+        if not keys:
+            return pd.DataFrame({"pk": np.array([], dtype=np.int64),
+                                 "dot": np.array([], dtype=np.int64)})
+        pk = np.concatenate(keys)
+        dot = np.concatenate(dots)
+        u, inv = np.unique(pk, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, dot)
+        return pd.DataFrame({"pk": u, "dot": acc})
+
+    pair_dots = bucketed_group_sums(
+        post_ds.groupby("_b").map_groups(bucket_pairs,
+                                         batch_format="pandas"),
+        key_col="pk", sum_cols=["dot"],
+    )
+
+    norm_ds = base.map_batches(norm_rows, batch_format="pyarrow")
+    n_docs = base.count()
+    use_broadcast = norms == "broadcast" or (
+        norms == "auto" and n_docs <= broadcast_cap
+    )
+
+    def _emit(df: pd.DataFrame, na: np.ndarray, nb: np.ndarray
+              ) -> pd.DataFrame:
+        a = (df["pk"].to_numpy() >> np.int64(32)).astype(np.int64)
+        b = (df["pk"].to_numpy() & np.int64((1 << 32) - 1)).astype(np.int64)
+        dot = df["dot"].to_numpy()
+        keep, cos2 = [], []
+        t = int(threshold_cos2_ppm)
+        for d, x, y in zip(dot.tolist(), na.tolist(), nb.tolist()):
+            num = d * d * 1_000_000
+            den = x * y
+            ok = num >= t * den
+            keep.append(ok)
+            cos2.append(num // den if ok else 0)
+        keep = np.asarray(keep, dtype=bool)
+        out = pd.DataFrame({
+            "doc_a": a[keep], "doc_b": b[keep],
+            "dot_w": dot[keep],
+            "cos2_ppm": np.asarray(cos2, dtype=np.int64)[keep],
+        })
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    if use_broadcast:
+        nt = norm_ds.to_pandas()
+        dn = nt["doc"].to_numpy().astype(np.int64)
+        nn = nt["nn"].to_numpy().astype(np.int64)
+        order_ = np.argsort(dn)
+        dn, nn = dn[order_], nn[order_]
+        nref = ray.put((dn, nn))
+
+        def attach(t: pa.Table) -> pd.DataFrame:
+            d_s, n_s = ray.get(nref)
+            df = t.to_pandas()
+            a = (df["pk"].to_numpy() >> np.int64(32)).astype(np.int64)
+            b = (df["pk"].to_numpy() & np.int64((1 << 32) - 1)).astype(np.int64)
+            na = n_s[np.searchsorted(d_s, a)]
+            nb = n_s[np.searchsorted(d_s, b)]
+            return _emit(df, na, nb)
+
+        return pair_dots.map_batches(attach, batch_format="pyarrow")
+
+    # join path: pairs ⋈ norms on doc_a, materialize, ⋈ norms on doc_b
+    def split_key(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t["pk"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "pk": t["pk"], "dot": t["dot"],
+            "doc_a": pa.array(pk >> np.int64(32), pa.int64()),
+            "doc_b": pa.array(pk & np.int64((1 << 32) - 1), pa.int64()),
+        })
+
+    from .joins import default_join_partitions
+    np_parts = default_join_partitions()
+    norm_a = norm_ds.map_batches(
+        lambda t: pa.table({"doc": t["doc"], "na": t["nn"]}),
+        batch_format="pyarrow")
+    norm_b = norm_ds.map_batches(
+        lambda t: pa.table({"doc": t["doc"], "nb": t["nn"]}),
+        batch_format="pyarrow")
+    j1 = pair_dots.map_batches(split_key, batch_format="pyarrow").join(
+        norm_a, join_type="inner", num_partitions=np_parts,
+        on=("doc_a",), right_on=("doc",),
+    ).materialize()
+    j2 = j1.join(
+        norm_b, join_type="inner", num_partitions=np_parts,
+        on=("doc_b",), right_on=("doc",),
+    )
+
+    def finish(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "pk": t["pk"].to_pandas(), "dot": t["dot"].to_pandas()})
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _emit(df, na, nb)
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def bpe_merge_candidates(docs, k: int = 30, text_col="text"):
+    """First-iteration BPE merge statistics (Sennrich et al. 2016):
+    the corpus-wide count of every adjacent character pair INSIDE the
+    canonical ``[a-z0-9]+`` words (pairs never span a word boundary —
+    exactly the word-internal merges byte-pair tokenizer training
+    counts on its first step). Returns the top ``k`` (pair, n) merge
+    candidates, ties broken by pair text.
+
+    Vectorized end-to-end: each batch NUL-joins its words into one
+    string, views the UTF-32 encoding as a uint32 codepoint array, and
+    counts boundary-masked adjacent pairs with one np.unique — no
+    per-character Python. The exchange carries per-batch (pair, n)
+    partials bounded by the pair alphabet (36^2 for the canonical
+    word charset), ONE tiny groupby sums them, and only k rows reach
+    the driver. Later BPE iterations re-run the same count with the
+    winning pair collapsed — the stage shape is iteration-invariant.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for x in t[text_col].to_pylist():
+            words.extend(tokens_of(x))
+        if not words:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        blob = "\x00" + "\x00".join(words)
+        cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        a, b = cp[:-1].astype(np.int64), cp[1:].astype(np.int64)
+        m = (a != 0) & (b != 0)
+        pk = (a[m] << np.int64(21)) | b[m]
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    pk = agg["pk"].to_numpy().astype(np.int64)
+    pairs = [chr(int(x) >> 21) + chr(int(x) & ((1 << 21) - 1)) for x in pk]
+    out = pd.DataFrame({"pair": pairs, "n": agg["n"].astype("int64")})
+    out = out.sort_values(["n", "pair"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)
+
+
+def mixture_weights(docs, alpha_sqrt: bool = True, by: str = "source",
+                    text_col="text"):
+    """Domain-mixture sampling weights for multi-source training-data
+    blending (the temperature-resampling step of multilingual /
+    multi-domain corpus recipes, e.g. the T=2 sampling in mC4/PaLM
+    data mixes): per-source token totals, an alpha=0.5 temperature
+    weight — kept EXACT as ``isqrt(n_tokens)`` integers rather than a
+    float pow — and the normalized sampling share in ppm
+    (``w * 1e6 // sum(w)``). Returns (source, n_tokens, w_isqrt,
+    share_ppm) ordered by source.
+
+    One streaming pass: per-batch (source, token-count) partials, ONE
+    |sources|-bounded groupby, and the isqrt/share arithmetic runs on
+    the driver over |sources| rows. ``alpha_sqrt=False`` degenerates
+    to proportional weights (w = n_tokens) for an alpha=1 mix.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t[by].to_pylist()
+        n = np.fromiter((len(tokens_of(x)) for x in t[text_col].to_pylist()),
+                        dtype=np.int64, count=t.num_rows)
+        d = pd.DataFrame({by: src, "n": n}).groupby(by, sort=False)["n"].sum()
+        return pa.table({by: pa.array(d.index.to_list(), pa.string()),
+                         "n_tokens": pa.array(d.to_numpy(), pa.int64())})
+
+    agg = (
+        docs.select_columns([by, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    n = agg["n_tokens"].astype("int64")
+    w = (np.fromiter((math.isqrt(int(x)) for x in n), dtype=np.int64,
+                     count=len(n))
+         if alpha_sqrt else n.to_numpy())
+    tot = int(w.sum())
+    share = (w.astype(object) * 1_000_000 // tot).astype(np.int64) \
+        if tot else np.zeros(len(w), dtype=np.int64)
+    out = pd.DataFrame({by: agg[by], "n_tokens": n,
+                        "w_isqrt": w, "share_ppm": share})
+    return out.sort_values(by).reset_index(drop=True)

@@ -682,3 +682,121 @@ def test_dsir_weights_prefer_target_like_docs(ray_session):
     assert out.loc[2, "weight_ppm"] == 0
     w3 = out.loc[3, "weight_ppm"]  # one 'alpha beta' (800000) + 'beta omega' (0? en count) + 'omega psi'
     assert w3 >= 800000  # contains at least the en-heavy bigram
+
+
+def _tfidf_bruteforce(texts, threshold_ppm=90_000, df_min=2, df_max=100,
+                      scale=10_000):
+    """Pure-Python tf-idf cosine pairs in exact big-int arithmetic."""
+    import re
+    from collections import Counter
+
+    tok = re.compile(r"[a-z0-9]+")
+    tfs = [Counter(tok.findall(t.lower())) for t in texts]
+    df = Counter()
+    for c in tfs:
+        df.update(c.keys())
+    w = [
+        {t: (n * scale) // df[t] for t, n in c.items()
+         if df_min <= df[t] <= df_max}
+        for c in tfs
+    ]
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            na = sum(x * x for x in w[a].values())
+            nb = sum(x * x for x in w[b].values())
+            if dot * dot * 1_000_000 >= threshold_ppm * na * nb:
+                out[(a, b)] = (dot, (dot * dot * 1_000_000) // (na * nb))
+    return out
+
+
+def test_doc_similarity_tfidf_matches_bruteforce(ray_session):
+    from brinkray.textproc.curation import doc_similarity_tfidf
+
+    texts = [
+        "alpha beta gamma delta rare1",
+        "alpha beta gamma delta rare2",
+        "alpha beta epsilon zeta",
+        "totally different words here entirely",
+        "totally different words here entirely",
+        "beta beta beta gamma gamma unique9",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+    ] * 3  # repetition pushes common tokens past df_max=... keeps df in band
+    ds = _docs_ds(texts)
+    got = doc_similarity_tfidf(ds).to_pandas()
+    want = _tfidf_bruteforce(texts)
+    got_map = {
+        (int(a), int(b)): (int(d), int(c))
+        for a, b, d, c in zip(got["doc_a"], got["doc_b"],
+                              got["dot_w"], got["cos2_ppm"])
+    }
+    assert got_map == want
+    assert len(want) > 0
+
+
+def test_doc_similarity_tfidf_join_path_equals_broadcast(ray_session):
+    from brinkray.textproc.curation import doc_similarity_tfidf
+
+    texts = [
+        f"shared{i % 4} common tail token{i}" for i in range(40)
+    ]
+    ds = _docs_ds(texts)
+    a = doc_similarity_tfidf(ds, norms="broadcast").to_pandas()
+    b = doc_similarity_tfidf(ds, norms="join").to_pandas()
+    a = a.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = b.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_bpe_merge_candidates_counts(ray_session):
+    from brinkray.textproc.curation import bpe_merge_candidates
+
+    # "abab" -> pairs ab, ba, ab ; word boundaries never pair
+    ds = _docs_ds(["abab cd", "ab dc", "Z!z"])
+    out = bpe_merge_candidates(ds, k=10)
+    got = dict(zip(out["pair"], out["n"]))
+    assert got == {"ab": 3, "ba": 1, "cd": 1, "dc": 1}
+    # ordering: n desc, then pair text asc
+    assert list(out["pair"]) == ["ab", "ba", "cd", "dc"]
+
+
+def test_bpe_merge_candidates_unicode_word_isolation(ray_session):
+    from brinkray.textproc.curation import bpe_merge_candidates
+
+    # tokenizer is [a-z0-9]+ on lower(): digits join, punctuation splits
+    ds = _docs_ds(["a1a1 b2", "A1A1"])
+    out = bpe_merge_candidates(ds, k=10)
+    got = dict(zip(out["pair"], out["n"]))
+    assert got == {"1a": 2, "a1": 4, "b2": 1}
+
+
+def test_mixture_weights_isqrt_and_shares(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from brinkray.textproc.curation import mixture_weights
+
+    t = pa.table({
+        "source": pa.array(["s1", "s1", "s2", "s3"], pa.string()),
+        "text": pa.array(
+            ["one two three", "four five", "a b c d e f g", "x"],
+            pa.string()),
+    })
+    out = mixture_weights(rd.from_arrow(t))
+    n = dict(zip(out["source"], out["n_tokens"]))
+    assert n == {"s1": 5, "s2": 7, "s3": 1}
+    w = dict(zip(out["source"], out["w_isqrt"]))
+    assert w == {"s1": math.isqrt(5), "s2": math.isqrt(7), "s3": 1}
+    tot = sum(w.values())
+    sh = dict(zip(out["source"], out["share_ppm"]))
+    assert sh == {k: v * 1_000_000 // tot for k, v in w.items()}
+    # alpha=1 degenerates to proportional
+    out1 = mixture_weights(rd.from_arrow(t), alpha_sqrt=False)
+    assert dict(zip(out1["source"], out1["w_isqrt"])) == n

@@ -2201,13 +2201,12 @@ def _q_crawl_host_stats(sf_dir: str):
 _EXTRACT_PAGES_PATH = "/tmp/brinkray_extract_pages.parquet"
 
 
-def _q_link_pagerank(sf_dir: str):
-    """PageRank over the crawl's reachable link graph (exact integer
-    fixed-point, 5 iterations). Nodes = the seen set; edges = distinct
-    admissible (parent -> child) discoveries from the crawl event log
-    (seed/warm rows are starts, not edges). The DuckDB twin re-derives
-    the same graph from the dumped pages table via the crawl CTE and
-    runs the identical integer recurrence unrolled."""
+def _crawl_rank_ds(sf_dir: str):
+    """Shared PageRank-over-the-crawl derivation: nodes = the seen set;
+    edges = distinct admissible (parent -> child) discoveries from the
+    crawl event log (seed/warm rows are starts, not edges); ranks = the
+    exact integer fixed-point recurrence, 5 iterations. Returns the
+    (node, r) Dataset."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -2242,9 +2241,53 @@ def _q_link_pagerank(sf_dir: str):
     nodes = rd.from_arrow(
         pa.table({"node": pa.array(sorted(res.seen.keys()), pa.string())})
     )
-    out = pagerank(nodes, edges, iters=5, num_partitions=8).to_pandas()
+    return pagerank(nodes, edges, iters=5, num_partitions=8)
+
+
+def _q_link_pagerank(sf_dir: str):
+    """PageRank over the crawl's reachable link graph (exact integer
+    fixed-point, 5 iterations). The DuckDB twin re-derives the same
+    graph from the dumped pages table via the crawl CTE and runs the
+    identical integer recurrence unrolled."""
+    out = _crawl_rank_ds(sf_dir).to_pandas()
     out = out.rename(columns={"node": "url", "r": "rank"})
     return out.sort_values("url").reset_index(drop=True)
+
+
+def _q_recrawl_priority(sf_dir: str):
+    """Politeness-aware recrawl schedule: every seen page ranked by
+    link PageRank, capped at the top 3 per host — what a fixed refresh
+    budget per origin looks like when the frontier is re-prioritized
+    by link authority. Composition: the shared integer-PageRank
+    derivation -> vectorized host projection (the crawl_host_stats
+    regex, = scheme_and_host on canon keys) -> top_k_per_group (per-
+    batch pre-prune, <= k rows per host per block reach the exchange).
+    The twin appends one row_number window to the unrolled PageRank
+    CTE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.curation import top_k_per_group
+
+    ranks = _crawl_rank_ds(sf_dir)
+
+    def add_host(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["node"], r"^(?P<h>https?://[^/?#]+)")
+        return pa.table({
+            "host": pc.struct_field(m, "h"),
+            "url": t["node"],
+            "rank": t["r"],
+        })
+
+    out = top_k_per_group(
+        ranks.map_batches(add_host, batch_format="pyarrow"),
+        by="host", score_col="rank", k=3, id_col="url",
+    ).to_pandas()
+    out = out[["host", "url", "rank"]]
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(
+        ["host", "rank", "url"], ascending=[True, False, True]
+    ).reset_index(drop=True)
 
 
 def _q_crawl_wave_sizes(sf_dir: str):
@@ -4920,6 +4963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_similarity_tfidf": _q_doc_similarity_tfidf,
         "bpe_merge_candidates": _q_bpe_merge_candidates,
         "mixture_weights": _q_mixture_weights,
+        "recrawl_priority": _q_recrawl_priority,
     }
 
 
@@ -5228,9 +5272,24 @@ def _hits_sql(iters: int = 2) -> str:
     )
 
 
+def _recrawl_priority_sql(iters: int = 5, k: int = 3) -> str:
+    """Top-k-per-host window over the unrolled PageRank CTE (host =
+    the crawl_host_stats scheme://authority regex)."""
+    host = "regexp_extract(url, '^(https?://[^/?#]+)', 1)"
+    return (
+        "SELECT host, url, rank FROM ("
+        f"SELECT {host} AS host, url, rank, "
+        f"row_number() OVER (PARTITION BY {host} "
+        "ORDER BY rank DESC, url) AS rn "
+        f"FROM ({_pagerank_sql(iters=iters)}) pr) t "
+        f"WHERE rn <= {k} ORDER BY host, rank DESC, url"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
     d["link_pagerank"] = _pagerank_sql(iters=5)
+    d["recrawl_priority"] = _recrawl_priority_sql(iters=5, k=3)
     d["link_degree_histogram"] = (
         _CRAWL_CTE
         + ", nodes AS (SELECT canon FROM reach), "

@@ -4727,6 +4727,16 @@ def _q_doc_similarity_tfidf(sf_dir: str):
     ).to_pandas()
 
 
+def _q_cdc_chunk_dedup(sf_dir: str):
+    from brinkray.textproc.dedup import cdc_chunk_dedup
+
+    out = cdc_chunk_dedup(
+        _ds(sf_dir, "documents").select_columns(["doc_id", "text"])
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bpe_merge_candidates(sf_dir: str):
     from brinkray.textproc.curation import bpe_merge_candidates
 
@@ -4964,6 +4974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_candidates": _q_bpe_merge_candidates,
         "mixture_weights": _q_mixture_weights,
         "recrawl_priority": _q_recrawl_priority,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
     }
 
 
@@ -7500,6 +7511,32 @@ def _oracle_sql_dict() -> dict[str, str]:
             "WHERE length(w) >= 2) "
             "SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p "
             "GROUP BY 1 ORDER BY n DESC, pair LIMIT 30"
+        ),
+        # content-defined chunking: boundary after char i iff
+        # md5(trailing 12 chars) starts with hex '0'; chunk identity =
+        # md5(chunk text) — both re-derived verbatim in SQL.
+        "cdc_chunk_dedup": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 512) AS t "
+            "FROM documents WHERE length(text) > 0), "
+            "marks AS (SELECT doc_id, t, CAST(i AS BIGINT) AS i FROM d, "
+            "UNNEST(generate_series(12, length(t))) AS g(i) "
+            "WHERE substr(md5(substr(t, CAST(i - 11 AS INT), 12)), 1, 1) "
+            "= '0'), "
+            "edges AS (SELECT DISTINCT doc_id, t, i FROM ("
+            "SELECT doc_id, t, i FROM marks "
+            "UNION ALL SELECT doc_id, t, CAST(length(t) AS BIGINT) "
+            "FROM d) u), "
+            "ch AS (SELECT doc_id, md5(substr(t, "
+            "CAST(COALESCE(LAG(i) OVER w, 0) + 1 AS INT), "
+            "CAST(i - COALESCE(LAG(i) OVER w, 0) AS INT))) AS chash "
+            "FROM edges WINDOW w AS (PARTITION BY doc_id ORDER BY i)), "
+            "nd AS (SELECT chash, COUNT(DISTINCT doc_id) AS n_docs "
+            "FROM ch GROUP BY 1) "
+            "SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+            "CAST(SUM(CASE WHEN nd.n_docs >= 2 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_dup_chunks "
+            "FROM ch c JOIN nd ON c.chash = nd.chash "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # isqrt via float sqrt + exact +/-1 correction (float sqrt of a
         # BIGINT is within one ULP, so one step lands on floor(sqrt)).

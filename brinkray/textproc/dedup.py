@@ -1098,3 +1098,125 @@ def embedding_dup_pairs(
     )
     agg = _dedup_pairs(pairs, "cosine", "max")
     return _ensure_pair_schema(agg, "cosine", pa.float64())
+
+
+def cdc_chunk_dedup(ds, head_chars: int = 512, window: int = 12,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Content-defined-chunking dedup statistics (the FastCDC / LBFS
+    rolling-boundary family): each document's head is split at
+    content-defined boundaries — a boundary falls after character
+    ``i`` whenever the md5 of the trailing ``window`` characters
+    starts with hex '0' (p = 1/16, mean chunk ~16 chars) — and a chunk
+    counts as duplicated if its exact content occurs in >= 2 distinct
+    documents. Unlike fixed k-token windows (dup_span_counts), CDC
+    boundaries re-synchronize after insertions/deletions, so shared
+    content is found at shifted offsets — the property dedup storage
+    and crawl re-capture diffing rely on. Returns
+    (doc_id, n_chunks, n_dup_chunks) per doc with a non-empty head.
+
+    md5 as the boundary predicate AND the chunk fingerprint keeps the
+    whole operator SQL-certifiable (DuckDB md5 over the identical
+    substrings); a production run swaps in a vectorized gear/Rabin
+    hash plus a verify pass — the stage shape is unchanged.
+    ``head_chars`` bounds the per-doc boundary scan (the certifiable
+    conformance surface; full-body chunking only changes the loop
+    bound). Stages: (1) a stateless explode emits each doc's chunk
+    digests as two int64 halves PER OCCURRENCE plus one per-doc
+    (n_chunks) total row — both facts are row-local, no exchange
+    builds them; totals rows spread across the SAME bucket space by
+    doc hash (never one hot group). (2) digests bucket by high half;
+    each bucket counts distinct docs per digest with one
+    (hi, lo, doc)-lexsorted run pass and re-emits per-doc
+    dup-occurrence counts; totals rows pass through. (3) one tiny
+    groupby(doc) sums both counters."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        hi: list[int] = []
+        lo: list[int] = []
+        tot_doc: list[int] = []
+        tot_n: list[int] = []
+        for doc_id, text in zip(t[id_col].to_pylist(),
+                                t[text_col].to_pylist()):
+            head = text[:head_chars]
+            if not head:
+                continue
+            cuts = [0]
+            for i in range(window, len(head) + 1):
+                if hashlib.md5(
+                    head[i - window:i].encode()
+                ).hexdigest()[0] == "0":
+                    cuts.append(i)
+            if cuts[-1] != len(head):
+                cuts.append(len(head))
+            tot_doc.append(doc_id)
+            tot_n.append(len(cuts) - 1)
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                v = int.from_bytes(
+                    hashlib.md5(head[a:b].encode()).digest(), "big")
+                ids.append(doc_id)
+                hi.append((v >> 64) - (1 << 63))
+                lo.append((v & ((1 << 64) - 1)) - (1 << 63))
+        h = np.array(hi, dtype=np.int64)
+        occ_ids = np.array(ids, dtype=np.int64)
+        td = np.array(tot_doc, dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(np.concatenate([occ_ids, td]), pa.int64()),
+            "c_hi": pa.array(np.concatenate(
+                [h, np.zeros(len(td), dtype=np.int64)]), pa.int64()),
+            "c_lo": pa.array(np.concatenate(
+                [np.array(lo, dtype=np.int64),
+                 np.zeros(len(td), dtype=np.int64)]), pa.int64()),
+            "_cb": pa.array(np.concatenate([
+                (h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32),
+                (td.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32),
+            ])),
+            "_tot": pa.array(np.concatenate(
+                [np.zeros(len(occ_ids), dtype=np.int8),
+                 np.ones(len(td), dtype=np.int8)])),
+            "n_chunks": pa.array(np.concatenate(
+                [np.zeros(len(occ_ids), dtype=np.int64),
+                 np.array(tot_n, dtype=np.int64)]), pa.int64()),
+        })
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        is_tot = g["_tot"].to_numpy() == 1
+        out_doc = [g[id_col].to_numpy()[is_tot]]
+        out_nc = [g["n_chunks"].to_numpy()[is_tot]]
+        out_nd = [np.zeros(int(is_tot.sum()), dtype=np.int64)]
+        occ = g[~is_tot]
+        if len(occ):
+            hi = occ["c_hi"].to_numpy()
+            lo = occ["c_lo"].to_numpy()
+            docs = occ[id_col].to_numpy()
+            order = np.lexsort((docs, lo, hi))
+            hi, lo, docs = hi[order], lo[order], docs[order]
+            new = np.concatenate(
+                ([True], (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])))
+            run_id = np.cumsum(new) - 1
+            pair_new = new | np.concatenate(([True], docs[1:] != docs[:-1]))
+            n_docs = np.bincount(run_id[pair_new])
+            dup = n_docs[run_id] >= 2
+            d, c = np.unique(docs[dup], return_counts=True)
+            out_doc.append(d)
+            out_nc.append(np.zeros(len(d), dtype=np.int64))
+            out_nd.append(c.astype(np.int64))
+        return pd.DataFrame({
+            id_col: np.concatenate(out_doc),
+            "n_chunks": np.concatenate(out_nc),
+            "n_dup_chunks": np.concatenate(out_nd),
+        })
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(bucket_dups, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                   Sum("n_dup_chunks", alias_name="n_dup_chunks"))
+    )

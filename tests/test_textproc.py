@@ -507,3 +507,60 @@ def test_dup_span_scrub_removes_planted_span(ray_session):
     assert out.loc[1, "text_scrubbed"].startswith("epsilon")
     assert out.loc[2, "n_removed"] == 0 and out.loc[2, "text_scrubbed"] == "tiny doc"
     assert out.loc[3, "n_removed"] == 0
+
+
+def _cdc_bruteforce(texts, head_chars=512, window=12):
+    import hashlib
+    from collections import defaultdict
+
+    chunks_of = {}
+    for did, text in enumerate(texts):
+        head = text[:head_chars]
+        if not head:
+            continue
+        cuts = [0]
+        for i in range(window, len(head) + 1):
+            if hashlib.md5(head[i - window:i].encode()).hexdigest()[0] == "0":
+                cuts.append(i)
+        if cuts[-1] != len(head):
+            cuts.append(len(head))
+        chunks_of[did] = [
+            hashlib.md5(head[a:b].encode()).hexdigest()
+            for a, b in zip(cuts[:-1], cuts[1:])
+        ]
+    docset = defaultdict(set)
+    for did, cs in chunks_of.items():
+        for c in set(cs):
+            docset[c].add(did)
+    return {
+        did: (len(cs), sum(1 for c in cs if len(docset[c]) >= 2))
+        for did, cs in chunks_of.items()
+    }
+
+
+def test_cdc_chunk_dedup_matches_bruteforce(ray_session):
+    from brinkray.textproc.dedup import cdc_chunk_dedup
+
+    rng = __import__("numpy").random.default_rng(11)
+    alpha = "abcdefghij "
+    base = "".join(alpha[i] for i in rng.integers(0, len(alpha), 400))
+    texts = [
+        base,
+        "XYZPREFIX-" + base,       # shifted copy: CDC must re-sync
+        base[:200] + "q" * 50 + base[200:],  # mid-edit
+        "".join(alpha[i] for i in rng.integers(0, len(alpha), 300)),
+        "",                         # empty: excluded on both sides
+        "short",                    # shorter than the window
+    ]
+    got = cdc_chunk_dedup(_docs_ds(texts)).to_pandas()
+    got_map = {
+        int(d): (int(n), int(x))
+        for d, n, x in zip(got["doc_id"], got["n_chunks"],
+                           got["n_dup_chunks"])
+    }
+    want = _cdc_bruteforce(texts)
+    assert got_map == want
+    # the property fixed windows lack: the PREFIX-shifted copy still
+    # shares most chunks with the original
+    assert want[1][1] >= want[1][0] // 2
+    assert 4 not in got_map  # empty doc emits nothing

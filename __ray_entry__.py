@@ -4498,6 +4498,67 @@ def _q_crawl_refresh_seen(sf_dir: str):
     )
 
 
+def _q_crawl_revalidation(sf_dir: str):
+    """Conditional-GET revalidation under oracle: crawl with
+    track_body_hashes on (seen shards store each url's body md5 at
+    mark time), SOFT-expire an md5-selected half of the seen urls
+    (expire_urls(keep_body=True) — the stored hash survives), mutate a
+    DIFFERENT md5-selected subset of the pages (9 appended comment
+    bytes, skipped when that would cross the 8192 content gate), and
+    refresh. The engine classifies each re-fetch by comparing stored
+    vs refetched body md5 — revalidated (the 304-Not-Modified outcome
+    an If-None-Match request would get) vs modified. The twin
+    re-derives both md5 predicates over the ORIGINAL page dump +
+    the BFS fixpoint, so the engine's genuine hash comparison is
+    certified per url. 404 urls (no page) have empty bodies both runs
+    => revalidated, mirrored by the twin's LEFT JOIN."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from brinkray.engine.crawl import CrawlEngine, EngineOptions
+    from brinkray.fixtures import site_config
+    from brinkray.pipelines import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=800)
+    _dump_crawl_pages(sf_dir)  # the twin reads the ORIGINAL pages
+    eng = CrawlEngine(
+        site_config(), EngineOptions(seen_shards=2, track_body_hashes=True)
+    )
+    eng.set_pages(pages)
+    eng.run()
+    stale = [
+        u
+        for u in sorted(eng.seen.all_items())
+        if int(hashlib.md5(u.encode()).hexdigest()[-1], 16) < 8
+    ]
+    assert eng.expire_urls(stale, keep_body=True) == len(stale)
+
+    urls = pages["url"].to_pylist()
+    htmls = pages["html"].to_pylist()
+    for i, (u, h) in enumerate(zip(urls, htmls)):
+        if (
+            int(hashlib.md5(u.encode()).hexdigest()[0], 16) < 8
+            and len(h) + 9 <= 8192
+        ):
+            htmls[i] = h + b"<!--v2-->"
+    mutated = pages.set_column(
+        pages.schema.get_field_index("html"), "html",
+        pa.array(htmls, pages["html"].type),
+    )
+    eng.set_pages(mutated)
+    eng.run(seeds=stale)
+    items = sorted(eng.reval_items().items())
+    assert len(items) == len(stale)
+    return pd.DataFrame(
+        {
+            "url": [u for u, _ in items],
+            "outcome": ["modified" if m else "revalidated" for _, m in items],
+        }
+    )
+
+
 def _q_negative_samples(sf_dir: str):
     """Deterministic contrastive negative sampling: docs are placed on
     the md5 ring (exact distributed row_number via range_rank over the
@@ -4951,6 +5012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_filtered_read": _q_pushdown_filtered_read,
         "negative_samples": _q_negative_samples,
         "crawl_refresh_seen": _q_crawl_refresh_seen,
+        "crawl_revalidation": _q_crawl_revalidation,
         # TPC-H-shaped relational suite (reduced schema)
         "unshipped_order_revenue": _q_unshipped_order_revenue,
         "forecast_revenue_delta": _q_forecast_revenue_delta,
@@ -5332,6 +5394,24 @@ def oracle_sql() -> dict[str, str]:
         _CRAWL_CTE
         + "SELECT r.canon AS url, CAST(COALESCE(i.status, 404) AS BIGINT) "
         "AS status FROM reach r LEFT JOIN idx i ON i.canon = r.canon "
+        "ORDER BY url"
+    )
+    # revalidation: the expired set is the md5-last-hex-digit<8 slice
+    # of the fixpoint; a url classifies 'modified' iff its page exists,
+    # was small enough to take the 9-byte mutation (blen <= 8183), and
+    # matched the md5-first-hex-digit<8 mutation predicate — everything
+    # else (incl. 404s' empty bodies) revalidates. The engine derives
+    # the same labels by genuinely comparing stored vs refetched md5s.
+    d["crawl_revalidation"] = (
+        _CRAWL_CTE
+        + "SELECT r.canon AS url, CASE WHEN i.canon IS NOT NULL "
+        "AND i.blen <= 8183 "
+        "AND substr(md5(r.canon), 1, 1) "
+        "IN ('0','1','2','3','4','5','6','7') "
+        "THEN 'modified' ELSE 'revalidated' END AS outcome "
+        "FROM reach r LEFT JOIN idx i ON i.canon = r.canon "
+        "WHERE substr(md5(r.canon), 32, 1) "
+        "IN ('0','1','2','3','4','5','6','7') "
         "ORDER BY url"
     )
     # engine-extracted text equals a per-page recomputation for every

@@ -90,6 +90,14 @@ class EngineOptions:
     # all_items() then raise with a pointer and results flow through
     # the events sink. Default True keeps the conformance surface.
     retain_canon: bool = True
+    # Conditional-GET / recrawl-revalidation support: seen shards also
+    # store each url's 16-byte body md5 at mark time. A SOFT expire
+    # (expire_urls(..., keep_body=True)) keeps the hash; the re-fetch's
+    # re-mark compares — unchanged content classifies REVALIDATED (the
+    # 304-Not-Modified outcome an If-None-Match request would get),
+    # changed content MODIFIED (reval_stats / reval_items). +16 B/URL
+    # shard memory, so default off outside refresh passes.
+    track_body_hashes: bool = False
     politeness_shards: int = 2
     per_host_budget: int | None = None
     per_host_wave_limit: int | None = None
@@ -584,6 +592,7 @@ class CrawlEngine:
         self.seen = ShardedSeenSet(
             self.opts.seen_shards, self.opts.seen_capacity_per_shard,
             retain_canon=self.opts.retain_canon,
+            track_body=self.opts.track_body_hashes,
         )
         if self.opts.respect_crawl_delay:
             if not self.opts.robots_enabled:
@@ -629,14 +638,20 @@ class CrawlEngine:
         wave-boundary rebalancing (seen.rebalance_shard) is visible."""
         return self.seen.actors
 
-    def expire_urls(self, urls: list[str]) -> int:
+    def expire_urls(self, urls: list[str], keep_body: bool = False) -> int:
         """Recrawl/refresh primitive: expire the given urls from the
         seen state so the NEXT ``run()`` — seeding them directly, or
         rediscovering them through links — fetches them fresh while
         everything else replays cached. Urls normalize to the same
         canonical keys the crawl marks; unparseable entries are
         skipped (they can never have been marked). Returns how many
-        existed. Works with ``retain_canon=False`` (digest-keyed)."""
+        existed. Works with ``retain_canon=False`` (digest-keyed).
+
+        ``keep_body=True`` is the SOFT expire behind conditional-GET
+        revalidation (requires ``track_body_hashes``): the stored body
+        md5 survives, and the refresh run's re-mark classifies each
+        re-fetch revalidated vs modified — read ``reval_stats()`` /
+        ``reval_items()`` afterwards."""
         from ..ref.gourl import URLError
         from ..ref.urls import normalize_url
 
@@ -648,7 +663,17 @@ class CrawlEngine:
                 )
             except URLError:
                 continue
-        return self.seen.forget(canons) if canons else 0
+        return self.seen.forget(canons, keep_body) if canons else 0
+
+    def reval_stats(self) -> tuple[int, int]:
+        """(n_revalidated, n_modified) across all refresh re-marks so
+        far (requires ``track_body_hashes``; both 0 otherwise)."""
+        return self.seen.reval_stats()
+
+    def reval_items(self) -> dict[str, bool]:
+        """Per-url revalidation outcome (canon -> modified?) — the
+        conformance surface; needs ``retain_canon``."""
+        return self.seen.reval_items()
 
     # ---------------------------------------------------------------- setup
     def set_pages(self, pages) -> None:
@@ -719,6 +744,7 @@ class CrawlEngine:
                     ),
                     politeness_shards=self.opts.politeness_shards,
                     cookie_jar=self.cookie_jar,
+                    track_body=self.opts.track_body_hashes,
                 ),
                 batch_format="pyarrow",
                 batch_size=self.opts.fetch_batch_size,
@@ -951,7 +977,10 @@ class CrawlEngine:
                         self.seen_actors,
                         opts.seen_shards,
                     ),
-                    fn_constructor_kwargs={"cookie_jar": self.cookie_jar},
+                    fn_constructor_kwargs={
+                        "cookie_jar": self.cookie_jar,
+                        "track_body": opts.track_body_hashes,
+                    },
                     batch_format="pyarrow",
                     batch_size=opts.fetch_batch_size,
                     concurrency=opts.fetch_concurrency,
@@ -968,6 +997,7 @@ class CrawlEngine:
                         opts.seen_shards,
                         cookie_jar=self.cookie_jar,
                         chaos_marker=opts.chaos_kill_marker,
+                        track_body=opts.track_body_hashes,
                     ),
                     batch_format="pyarrow",
                     batch_size=opts.fetch_batch_size,
@@ -1163,6 +1193,7 @@ class CrawlEngine:
             politeness_shards=opts.politeness_shards,
             cookie_jar=self.cookie_jar,
             chaos_marker=opts.chaos_kill_marker,
+            track_body=opts.track_body_hashes,
         )
         # exec 1: normalize -> reserve/fetch/mark -> inline text + link
         # extraction, then (steps-1) chained inner waves — ONE streaming

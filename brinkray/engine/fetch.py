@@ -122,6 +122,7 @@ class Fetcher:
         politeness_actors: list | None = None,
         politeness_shards: int = 0,
         cookie_jar=None,
+        track_body: bool = False,
     ):
         # NOTE: no combine_chunks here — the table is zero-copy mapped
         # from the object store; combining would copy the whole corpus
@@ -144,6 +145,7 @@ class Fetcher:
         self._max_cl = cfg.max_content_length
         self._forbidden = cfg.forbidden_paths
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+        self._track_body = track_body
         self._politeness = (
             PolitenessClient(politeness_shards, actors=politeness_actors)
             if politeness_actors
@@ -401,7 +403,10 @@ class Fetcher:
         for i in budget_dropped:
             outcome[i] = ("error", -1, b"")
         mark_digs, mark_canons, mark_statuses = [], [], []
+        mark_md5s: list[bytes] | None = [] if self._track_body else None
         if sub.num_rows:
+            import hashlib
+
             st_l = status_a.to_pylist()
             ok_l = ok_a.to_pylist()
             body_l = body_a.to_pylist()
@@ -411,6 +416,8 @@ class Fetcher:
                     mark_digs.append(digs[i])
                     mark_canons.append(canons[i])
                     mark_statuses.append(st_l[j])
+                    if mark_md5s is not None:
+                        mark_md5s.append(hashlib.md5(body_l[j]).digest())
                 else:
                     outcome[i] = ("error", -1, b"")
                     err_digs.append(digs[i])
@@ -420,7 +427,7 @@ class Fetcher:
         pending_rpcs: list = []
         if mark_digs:
             pending_rpcs += self._seen.mark_digests_async(
-                mark_digs, mark_canons, mark_statuses
+                mark_digs, mark_canons, mark_statuses, mark_md5s
             )
         if err_digs:
             groups = self._seen._group(err_digs)
@@ -568,8 +575,18 @@ class Fetcher:
             # (4) mark visited BEFORE returning (brink.go:103); the wave
             # barrier makes this visible to every later lookup
             if fetched.num_rows:
+                md5s = None
+                if self._track_body:
+                    import hashlib
+
+                    md5s = [
+                        hashlib.md5(b).digest()
+                        for b in fetched["body"].to_pylist()
+                    ]
                 self._seen.mark(
-                    fetched["canon"].to_pylist(), fetched["status"].to_pylist()
+                    fetched["canon"].to_pylist(),
+                    fetched["status"].to_pylist(),
+                    md5s,
                 )
             out_parts.append(fetched)
 
@@ -597,6 +614,7 @@ class BlockRefFetcher(Fetcher):
         politeness_actors: list | None = None,
         politeness_shards: int = 0,
         cookie_jar=None,
+        track_body: bool = False,
     ):
         import numpy as np
 
@@ -636,6 +654,7 @@ class BlockRefFetcher(Fetcher):
         self._max_cl = cfg.max_content_length
         self._forbidden = cfg.forbidden_paths
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+        self._track_body = track_body
         self._politeness = (
             PolitenessClient(politeness_shards, actors=politeness_actors)
             if politeness_actors
@@ -761,6 +780,7 @@ class PartitionedFetcher(Fetcher):
         politeness_shards: int = 0,
         cookie_jar=None,
         cache_cap: int | None = None,
+        track_body: bool = False,
     ):
         import os
 
@@ -792,6 +812,7 @@ class PartitionedFetcher(Fetcher):
         self._forbidden = cfg.forbidden_paths
         self._body_type = pa.large_binary()
         self._seen = ShardedSeenSet(nshards, actors=seen_actors)
+        self._track_body = track_body
         self._politeness = (
             PolitenessClient(politeness_shards, actors=politeness_actors)
             if politeness_actors
@@ -910,6 +931,7 @@ def make_fetcher_fn(
     politeness_shards: int = 0,
     cookie_jar=None,
     chaos_marker: str | None = None,
+    track_body: bool = False,
 ):
     """Stateless-task variant of the fetch stage with per-worker-process
     state caching: Ray worker processes persist across executions, so
@@ -960,6 +982,7 @@ def make_fetcher_fn(
                 politeness_actors=politeness_actors,
                 politeness_shards=politeness_shards,
                 cookie_jar=cookie_jar,
+                track_body=track_body,
             )
             _WORKER_FETCHERS.clear()  # one crawl at a time per worker
             _WORKER_FETCHERS[key] = f

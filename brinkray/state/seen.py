@@ -55,10 +55,23 @@ class SeenShard:
     """One hash partition of the seen set (digest-keyed)."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 17,
-                 retain_canon: bool = True):
+                 retain_canon: bool = True, track_body: bool = False):
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity)
         self.status: dict[bytes, int] = {}
+        # conditional-GET support (recrawl revalidation): when tracking,
+        # mark() stores each url's 16-byte body md5; a SOFT expire
+        # (forget(keep_body=True)) keeps it, and the re-mark after the
+        # re-fetch compares — unchanged content counts as REVALIDATED
+        # (the 304-Not-Modified outcome an If-None-Match request would
+        # get), changed content as MODIFIED. +16 B/URL shard memory,
+        # so scale runs leave it off unless running refresh passes.
+        self.track_body = track_body
+        self.body: dict[bytes, bytes] = {}
+        # digest -> outcome of the re-mark after a soft expire:
+        # False = revalidated (content unchanged), True = modified.
+        # Bounded by the refresh pass's expired set, not the corpus.
+        self.reval: dict[bytes, bool] = {}
         # digest -> canon string, populated on mark. This is the
         # CONFORMANCE surface only (all_items / items): at 10^10 URLs
         # the canon text (~80 B/URL) dominates shard memory ~40x over
@@ -90,19 +103,45 @@ class SeenShard:
             for d, m in zip(digests, maybe)
         ]
 
-    def mark(self, digests: list[bytes], canons: list[str], statuses: list[int]) -> int:
-        """Idempotent first-write-wins insert (brink.go:103)."""
+    def mark(self, digests: list[bytes], canons: list[str],
+             statuses: list[int], body_md5s: list[bytes] | None = None) -> int:
+        """Idempotent first-write-wins insert (brink.go:103). With
+        ``track_body`` on and ``body_md5s`` given, a first-write whose
+        digest still carries a soft-expired body hash is classified
+        revalidated (hash unchanged) or modified (hash changed)."""
         n = 0
         retain = self.retain_canon
-        for d, c, s in zip(digests, canons, statuses):
+        track = self.track_body and body_md5s is not None
+        for k, (d, c, s) in enumerate(zip(digests, canons, statuses)):
             if d not in self.status:
                 self.status[d] = int(s)
                 if retain:
                     self.canon[d] = c
+                if track:
+                    b = body_md5s[k]
+                    old = self.body.get(d)
+                    if old is not None:
+                        self.reval[d] = old != b
+                    self.body[d] = b
                 self.filter.add_hash(_u64(d))
                 n += 1
             self.reserved.pop(d, None)
         return n
+
+    def reval_stats(self) -> tuple[int, int]:
+        """(n_revalidated, n_modified) across this shard's re-marks."""
+        nm = sum(self.reval.values())
+        return len(self.reval) - nm, nm
+
+    def reval_items(self) -> dict[str, bool]:
+        """canon -> modified? for every classified re-mark — the
+        per-url conformance surface (requires retain_canon)."""
+        if not self.retain_canon:
+            raise RuntimeError(
+                "reval_items() needs retain_canon=True (canon strings "
+                "are not kept in scale mode; use reval_stats())"
+            )
+        return {self.canon[d]: m for d, m in self.reval.items()}
 
     def reserve(self, digests: list[bytes], gen: int = 0) -> list[int]:
         """Atomic claim for scale-ordering dedup: per digest, returns the
@@ -146,19 +185,23 @@ class SeenShard:
             del self.reserved[d]
         return len(stale)
 
-    def forget(self, digests: list[bytes]) -> int:
+    def forget(self, digests: list[bytes], keep_body: bool = False) -> int:
         """Expire entries (recrawl/refresh): the url becomes novel again
         and the next discovery re-fetches it. The cuckoo fingerprint is
         deliberately left in place — cuckoo deletes can evict a
         DIFFERENT key's identical fingerprint (correctness hazard);
         a stale fingerprint only costs the dict probe that already
         backs every filter hit (``check``), and re-marking re-adds at
-        most one duplicate fingerprint."""
+        most one duplicate fingerprint. ``keep_body=True`` is the SOFT
+        expire behind revalidation: the stored body md5 survives so the
+        re-mark can classify the re-fetch as revalidated vs modified."""
         n = 0
         for d in digests:
             if self.status.pop(d, None) is not None:
                 self.canon.pop(d, None)
                 n += 1
+            if not keep_body:
+                self.body.pop(d, None)
             self.reserved.pop(d, None)
         return n
 
@@ -180,6 +223,9 @@ class SeenShard:
             "status": dict(self.status),
             "canon": dict(self.canon),
             "retain_canon": self.retain_canon,
+            "track_body": self.track_body,
+            "body": dict(self.body),
+            "reval": dict(self.reval),
         }
 
     def restore(self, state: dict) -> None:
@@ -194,6 +240,9 @@ class SeenShard:
         self.status = dict(state["status"])
         self.canon = dict(state.get("canon", {}))
         self.retain_canon = bool(state.get("retain_canon", True))
+        self.track_body = bool(state.get("track_body", False))
+        self.body = dict(state.get("body", {}))
+        self.reval = dict(state.get("reval", {}))
 
 
 class ShardedSeenSet:
@@ -204,13 +253,15 @@ class ShardedSeenSet:
     the fetch hot path hash each canon exactly once per batch."""
 
     def __init__(self, nshards: int = 4, capacity_per_shard: int = 1 << 17,
-                 actors=None, retain_canon: bool = True):
+                 actors=None, retain_canon: bool = True,
+                 track_body: bool = False):
         self.nshards = nshards
         if actors is not None:
             self.actors = list(actors)
         else:
             self.actors = [
-                SeenShard.remote(i, capacity_per_shard, retain_canon)
+                SeenShard.remote(i, capacity_per_shard, retain_canon,
+                                 track_body)
                 for i in range(nshards)
             ]
 
@@ -247,7 +298,8 @@ class ShardedSeenSet:
         return out
 
     def mark_digests_async(
-        self, digests: list[bytes], canons: list[str], statuses: list[int]
+        self, digests: list[bytes], canons: list[str], statuses: list[int],
+        body_md5s: list[bytes] | None = None,
     ) -> list:
         """Issue the mark RPCs without blocking; the caller MUST
         ray.get() the returned futures before its task returns (the
@@ -259,14 +311,17 @@ class ShardedSeenSet:
                 [digests[i] for i in idxs],
                 [canons[i] for i in idxs],
                 [statuses[i] for i in idxs],
+                [body_md5s[i] for i in idxs] if body_md5s is not None
+                else None,
             )
             for s, idxs in groups.items()
         ]
 
     def mark_digests(
-        self, digests: list[bytes], canons: list[str], statuses: list[int]
+        self, digests: list[bytes], canons: list[str], statuses: list[int],
+        body_md5s: list[bytes] | None = None,
     ) -> None:
-        ray.get(self.mark_digests_async(digests, canons, statuses))
+        ray.get(self.mark_digests_async(digests, canons, statuses, body_md5s))
 
     def release_digests(self, digests: list[bytes]) -> None:
         groups = self._group(digests)
@@ -277,26 +332,43 @@ class ShardedSeenSet:
             ]
         )
 
-    def forget_digests(self, digests: list[bytes]) -> int:
+    def forget_digests(self, digests: list[bytes],
+                       keep_body: bool = False) -> int:
         """Expire entries shard-wise (recrawl/refresh); returns the
-        number that existed."""
+        number that existed. ``keep_body=True`` = soft expire (the
+        revalidation path)."""
         groups = self._group(digests)
         return sum(
             ray.get(
                 [
-                    self.actors[s].forget.remote([digests[i] for i in idxs])
+                    self.actors[s].forget.remote(
+                        [digests[i] for i in idxs], keep_body)
                     for s, idxs in groups.items()
                 ]
             )
         )
+
+    def reval_stats(self) -> tuple[int, int]:
+        """Summed (n_revalidated, n_modified) across shards."""
+        pairs = ray.get([a.reval_stats.remote() for a in self.actors])
+        return (sum(p[0] for p in pairs), sum(p[1] for p in pairs))
+
+    def reval_items(self) -> dict[str, bool]:
+        """Merged canon -> modified? classification across shards
+        (conformance surface; scale runs read reval_stats())."""
+        out: dict[str, bool] = {}
+        for d in ray.get([a.reval_items.remote() for a in self.actors]):
+            out.update(d)
+        return out
 
     # -- canon-based API ---------------------------------------------------
     def check(self, canons: list[str]) -> list[int]:
         """Batched status lookup; -1 = novel."""
         return self.check_digests(digests_of(canons))
 
-    def mark(self, canons: list[str], statuses: list[int]) -> None:
-        self.mark_digests(digests_of(canons), canons, statuses)
+    def mark(self, canons: list[str], statuses: list[int],
+             body_md5s: list[bytes] | None = None) -> None:
+        self.mark_digests(digests_of(canons), canons, statuses, body_md5s)
 
     def reserve(self, canons: list[str], gen: int = 0) -> list[int]:
         return self.reserve_digests(digests_of(canons), gen)
@@ -304,8 +376,8 @@ class ShardedSeenSet:
     def release(self, canons: list[str]) -> None:
         self.release_digests(digests_of(canons))
 
-    def forget(self, canons: list[str]) -> int:
-        return self.forget_digests(digests_of(canons))
+    def forget(self, canons: list[str], keep_body: bool = False) -> int:
+        return self.forget_digests(digests_of(canons), keep_body)
 
     def size(self) -> int:
         return sum(ray.get([a.size.remote() for a in self.actors]))

@@ -259,3 +259,45 @@ def test_recrawl_refreshes_expired_urls(ray_session):
     assert others and all(others)
     # the refresh restored the original statuses => identical seen set
     assert eng.seen.all_items() == first.seen
+
+
+@pytest.mark.parametrize("ordering", ["strict", "scale"])
+def test_revalidation_classifies_modified_vs_unchanged(ray_session, ordering):
+    """Conditional-GET revalidation (track_body_hashes): soft-expire
+    two urls, mutate ONE page's body, refresh — the unchanged url
+    classifies revalidated (the 304 outcome), the mutated one modified;
+    a HARD expire leaves no stored hash, so no classification."""
+    import pyarrow as pa
+
+    from brinkray.engine.crawl import CrawlEngine, EngineOptions
+    from brinkray.fixtures import build_site, site_config
+
+    table = build_site(50)
+    eng = CrawlEngine(
+        site_config(),
+        EngineOptions(seen_shards=2, track_body_hashes=True, ordering=ordering),
+    )
+    eng.set_pages(table)
+    first = eng.run()
+    same_u = "https://site-a.test/p/1"
+    mod_u = "https://site-b.test/p/2"
+    hard_u = "https://site-a.test/p/3"
+    assert all(u in first.seen for u in (same_u, mod_u, hard_u))
+
+    assert eng.expire_urls([same_u, mod_u], keep_body=True) == 2
+    assert eng.expire_urls([hard_u]) == 1  # hard: body hash dropped too
+
+    urls = table["url"].to_pylist()
+    htmls = table["html"].to_pylist()
+    i = urls.index(mod_u)
+    htmls[i] = htmls[i] + b"<!--v2-->"
+    mutated = table.set_column(
+        table.schema.get_field_index("html"), "html",
+        pa.array(htmls, table["html"].type),
+    )
+    eng.set_pages(mutated)
+    eng.run(seeds=[same_u, mod_u, hard_u])
+
+    assert eng.reval_items() == {same_u: False, mod_u: True}
+    assert eng.reval_stats() == (1, 1)
+    assert eng.seen.all_items() == first.seen  # statuses unchanged

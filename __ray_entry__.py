@@ -332,6 +332,100 @@ def _exact_jaccard_pairs(sf_dir: str):
     return _memo[key]
 
 
+def _q_dedup_containment(sf_dir: str):
+    """Exact overlap-coefficient (containment-style) self-join at
+    t = 4/5: the asymmetric prefix-filter join (dedup.overlap_dup_pairs
+    — each doc indexes its rarest (n - ceil(t*n) + 1) shingles, probes
+    with its full set; recall exactly 1 by the AllPairs bound on the
+    pair's SMALLER side). Catches subset/quotation duplicates Jaccard
+    misses. The emitted overlap is one IEEE division of exact ints and
+    the gate is the integer compare 5*|∩| >= 4*min, so the brute-force
+    SQL twin matches bit for bit; membership at the boundary is
+    rational-exact (no float threshold on either side)."""
+    from brinkray.textproc.dedup import overlap_dup_pairs
+
+    out = overlap_dup_pairs(
+        _ds(sf_dir, "documents"), threshold_num=4, threshold_den=5,
+        bucket_cap=1 << 20,
+    ).to_pandas()
+    return (
+        out[["doc_a", "doc_b", "overlap"]]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_token_budget_sample(sf_dir: str):
+    """Budgeted corpus selection: per language, admit docs in the
+    deterministic md5(text) order until the lang's TOKEN budget (5000
+    whitespace tokens) is spent — the greedy per-source budget step of
+    training-mix construction (a doc is kept iff its INCLUSIVE running
+    token total fits). Built on the distributed per-key ordered cumsum
+    (windows.running_totals — one groupby(lang) exchange, vectorized
+    mergesort+cumsum bodies); the twin is one SUM() OVER window."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from brinkray.textproc.windows import running_totals
+
+    BUDGET = 5000
+
+    def prep(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "doc_id": t["doc_id"],
+                "ord": pa.array(
+                    [hashlib.md5(x.encode()).hexdigest() for x in texts],
+                    pa.string(),
+                ),
+                "n_tokens": pa.array(
+                    [float(len(x.split())) for x in texts], pa.float64()
+                ),
+            }
+        )
+
+    ds = _ds(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "text"]
+    ).map_batches(prep, batch_format="pyarrow")
+    rt = running_totals(
+        ds, key="lang", ts_col="ord", val_col="n_tokens", id_col="doc_id",
+        scale=1,
+    )
+    import pyarrow.compute as pc
+
+    out = rt.map_batches(
+        lambda t: t.filter(pc.less_equal(t["running_cents"], BUDGET)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = out.rename(columns={"v_cents": "n_tokens"})
+    return (
+        out[["lang", "doc_id", "n_tokens"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_winnowing(sf_dir: str):
+    """Winnowing (MOSS) fingerprints per doc: char-8-gram md5 hashes,
+    window w=4, rightmost-min selection. The md5_number_lower hash
+    keeps every stage SQL-derivable: the twin re-derives k-grams with
+    generate_series+substr, the window min with a grouped self-join,
+    and the rightmost tie-break with MAX(pos) — so n_fingerprints and
+    the mod-1e9+7 checksum of the selected hash SET certify the numpy
+    sliding-window kernel row for row."""
+    from brinkray.textproc.dedup import winnowing_fingerprints
+
+    return (
+        winnowing_fingerprints(_ds(sf_dir, "documents"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_ngram_exact(sf_dir: str):
     """The exact shingle-Jaccard VERIFY kernel on deterministic pairs
     (doc_id, doc_id+1 for doc_id % 7 == 0) — SQL-twinnable, unlike
@@ -4837,6 +4931,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "ngram_jaccard_exact": _q_ngram_exact,
+        "dedup_containment": _q_dedup_containment,
+        "winnowing_fingerprints": _q_winnowing,
+        "token_budget_sample": _q_token_budget_sample,
         "embedding_dups": _q_embedding_dups,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -6244,6 +6341,67 @@ def _oracle_sql_dict() -> dict[str, str]:
             "CAST(len(list_distinct(list_intersect(sa, sb))) AS DOUBLE) "
             "/ greatest(len(list_distinct(sa || sb)), 1) AS jaccard "
             "FROM pairs"
+        ),
+        # overlap-coefficient (containment) self-join: brute-force
+        # all-pairs re-derivation from string shingles; the gate is the
+        # same exact integer comparison 5*|∩| >= 4*min as the Ray
+        # kernel (no float boundary), the value one IEEE division.
+        "dedup_containment": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t)-1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS shingles "
+            "FROM toks), "
+            "d AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ greatest(least(len(a.s), len(b.s)), 1) AS overlap "
+            "FROM d a JOIN d b ON a.doc_id < b.doc_id "
+            "WHERE 5 * len(list_intersect(a.s, b.s)) "
+            ">= 4 * greatest(least(len(a.s), len(b.s)), 1) "
+            "ORDER BY doc_a, doc_b"
+        ),
+        # winnowing: full SQL re-derivation — k-grams via
+        # generate_series+substr+md5_number_lower, per-window min via
+        # a grouped join, rightmost tie-break via MAX(pos), distinct
+        # selected positions, then exact-int count + mod-checksum.
+        "winnowing_fingerprints": (
+            "WITH d AS (SELECT doc_id, text, length(text) - 7 AS n "
+            "FROM documents WHERE length(text) >= 11), "
+            "px AS (SELECT doc_id, n, text, "
+            "unnest(generate_series(1, n)) AS pos FROM d), "
+            "pos AS (SELECT doc_id, n, pos, "
+            "md5_number_lower(substr(text, pos, 8)) AS h FROM px), "
+            "rws AS (SELECT unnest(generate_series(0, 3)) AS j), "
+            "wpos AS (SELECT doc_id, pos + j AS we, pos, h "
+            "FROM pos, rws "
+            "WHERE pos + j >= 4 AND pos + j <= n), "
+            "wmin AS (SELECT doc_id, we, MIN(h) AS mh "
+            "FROM wpos GROUP BY doc_id, we), "
+            "sel AS (SELECT w.doc_id, MAX(w.pos) AS spos FROM wpos w "
+            "JOIN wmin m ON m.doc_id = w.doc_id AND m.we = w.we "
+            "AND w.h = m.mh GROUP BY w.doc_id, w.we), "
+            "fp AS (SELECT DISTINCT doc_id, spos FROM sel), "
+            "hs AS (SELECT f.doc_id, p.h FROM fp f JOIN pos p "
+            "ON p.doc_id = f.doc_id AND p.pos = f.spos) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints, "
+            "CAST(SUM(h % 1000000007) AS BIGINT) AS fp_checksum "
+            "FROM hs GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # token-budget selection: greedy per-lang admission in md5
+        # order until the inclusive running token total exceeds the
+        # budget — one window SUM re-derives the distributed cumsum.
+        "token_budget_sample": (
+            "WITH t AS (SELECT lang, doc_id, md5(text) AS o, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "r AS (SELECT lang, doc_id, n_tokens, "
+            "SUM(n_tokens) OVER (PARTITION BY lang ORDER BY o, doc_id) "
+            "AS run FROM t) "
+            "SELECT lang, doc_id, n_tokens FROM r WHERE run <= 5000 "
+            "ORDER BY lang, doc_id"
         ),
         # crawl loop (ST1/ST3/D1/J2 composed): the seen set as a
         # recursive-CTE BFS fixpoint over the dumped pages — an

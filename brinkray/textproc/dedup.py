@@ -699,6 +699,151 @@ def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
     return jaccard_verify(ds, cand, text_col, id_col, threshold)
 
 
+def overlap_dup_pairs(ds, threshold_num: int = 4, threshold_den: int = 5,
+                      text_col="text", id_col="doc_id",
+                      bucket_cap: int = BUCKET_CAP,
+                      max_broadcast_bytes: int = 128 << 20):
+    """EXACT overlap-coefficient (Szymkiewicz-Simpson) self-join: every
+    pair with |A∩B| / min(|A|,|B|) >= num/den over 3-token shingle
+    sets — the containment-style measure that catches SUBSET and
+    quotation duplicates Jaccard misses (a short doc fully quoted
+    inside a long one has overlap 1.0 but arbitrarily low Jaccard; the
+    standard containment screen in crawl dedup, cf. Broder's
+    containment companion to resemblance, STOC'98 / SEQUENCES'97).
+
+    Candidate generation is an ASYMMETRIC prefix-filter join (the
+    AllPairs bound adapted to the min-side): each doc emits its
+    (n - ceil(t*n) + 1) RAREST distinct shingles as PREFIX rows
+    (global-df-ascending order, ties by hash — all docs agree on the
+    order) and every distinct shingle as a FULL row. For a qualifying
+    pair, the smaller side S has |∩| >= ceil(t*|S|), so suffix-only
+    overlap (capped at ceil(t*|S|) - 1 shingles) is impossible: S's
+    prefix holds an intersecting shingle, which the other side carries
+    in its FULL set — a (prefix x full) collision is guaranteed,
+    recall exactly 1 by construction. Fan-out per shingle bucket is
+    prefix_df x full_df: full_df can be corpus-sized for boilerplate
+    shingles, but df-ascending prefixes keep those same shingles out
+    of every doc's prefix, so prefix_df ~ 0 exactly where full_df is
+    hot (the AllPairs argument, asymmetric version).
+
+    Verification is exact and boundary-safe: the gate is the integer
+    comparison den*|∩| >= num*min (no float threshold), the emitted
+    overlap one IEEE division of exact ints — bit-identical to a SQL
+    re-derivation. Scale shape matches shingle_join_pairs: one
+    pre-aggregated df groupby, the df table broadcast once, one bucket
+    exchange over collisions only, hash-partitioned pair dedup, and
+    the verify path auto-switches broadcast -> per-pair shuffle past
+    the payload budget."""
+    import math
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "overlap": pa.array([], pa.float64()),
+        }
+    )
+    base = ds.select_columns([id_col, text_col])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        per_doc = [np.unique(shingle_hashes(x)) for x in t[text_col].to_pylist()]
+        if per_doc:
+            u, c = np.unique(np.concatenate(per_doc), return_counts=True)
+        else:
+            u = np.array([], dtype=np.uint64)
+            c = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(u.view(np.int64), pa.int64()),
+                "df": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        base.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+        .sort_values("sh")
+    )
+    if len(df_tbl) == 0:
+        return rd.from_arrow(_empty)
+    df_ref = ray.put(
+        (df_tbl["sh"].to_numpy(), df_tbl["df"].to_numpy().astype(np.int64))
+    )
+
+    def index_rows(t: pa.Table) -> pa.Table:
+        sh_sorted, dfs = ray.get(df_ref)
+        ids = t[id_col].to_pylist()
+        out_sh, out_id, out_side = [], [], []
+        for i, text in zip(ids, t[text_col].to_pylist()):
+            sh = np.unique(shingle_hashes(text)).view(np.int64)
+            n = len(sh)
+            # keep = n - ceil(t*n) + 1 with t = num/den, exact integer
+            # ceil — a float t could round the prefix one short at the
+            # boundary and silently lose recall
+            keep = n - (-(-threshold_num * n // threshold_den)) + 1
+            my_df = dfs[np.searchsorted(sh_sorted, sh)]
+            order = np.lexsort((sh, my_df))  # df asc, hash asc
+            pre = sh[order[:keep]]
+            out_sh.extend(pre.tolist())
+            out_id.extend([i] * len(pre))
+            out_side.extend([0] * len(pre))
+            out_sh.extend(sh.tolist())
+            out_id.extend([i] * n)
+            out_side.extend([1] * n)
+        return pa.table(
+            {
+                "sh": pa.array(out_sh, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "side": pa.array(out_side, pa.int8()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        pdocs = np.unique(g.loc[g["side"] == 0, id_col].to_numpy())[:bucket_cap]
+        fdocs = np.unique(g.loc[g["side"] == 1, id_col].to_numpy())[:bucket_cap]
+        if len(pdocs) == 0 or len(fdocs) == 0:
+            return _pairs_frame([], [], [], "overlap")
+        a = np.repeat(pdocs, len(fdocs))
+        b = np.tile(fdocs, len(pdocs))
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return _pairs_frame(
+            pairs[:, 0], pairs[:, 1], np.zeros(len(pairs)), "overlap"
+        )
+
+    rows = base.map_batches(index_rows, batch_format="pyarrow").materialize()
+    colliding = _keep_colliding_buckets(rows, ["sh"], cap=bucket_cap)
+    if colliding is None:
+        return rd.from_arrow(_empty)
+    cand = _grouped_bucket_pairs(
+        colliding,
+        ["sh"],
+        lambda t: [int(v) & 63 for v in t["sh"].to_pylist()],
+        bucket_pairs,
+    )
+    cand = _dedup_pairs(cand, "overlap", "max").materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(_empty)
+    if int(df_tbl["df"].sum()) * 8 <= max_broadcast_bytes:
+        return jaccard_verify_broadcast(
+            ds, cand, text_col, id_col, measure="overlap",
+            num=threshold_num, den=threshold_den,
+        )
+    return jaccard_verify(
+        ds, cand, text_col, id_col, measure="overlap",
+        num=threshold_num, den=threshold_den,
+    )
+
+
 _EMPTY_JACCARD = pa.table(
     {
         "doc_a": pa.array([], pa.int64()),
@@ -709,7 +854,8 @@ _EMPTY_JACCARD = pa.table(
 
 
 def jaccard_verify_broadcast(ds, cand, text_col="text", id_col="doc_id",
-                             threshold=0.3):
+                             threshold=0.3, measure: str = "jaccard",
+                             num: int = 0, den: int = 1):
     """Exact set-Jaccard verification with the needed docs' shingle
     sets BROADCAST (ray.put once) instead of shuffled per pair: one
     stateless map_batches over the candidate pairs, no per-pair group
@@ -773,26 +919,49 @@ def jaccard_verify_broadcast(ds, cand, text_col="text", id_col="doc_id",
             s1 = np.frombuffer(sa, dtype=np.uint64)
             s2 = np.frombuffer(sb, dtype=np.uint64)
             inter = len(np.intersect1d(s1, s2))
+            if measure == "overlap":
+                # Szymkiewicz-Simpson: |A∩B| / min(|A|,|B|); the gate is
+                # the EXACT rational den*inter >= num*min (no float
+                # boundary), the emitted value one IEEE division
+                m = max(1, min(len(s1), len(s2)))
+                if den * inter < num * m:
+                    continue
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(inter / m)
+                continue
             jac = inter / max(1, len(s1) + len(s2) - inter)
             if jac >= threshold:
                 out_a.append(a)
                 out_b.append(b)
                 out_j.append(jac)
+        val_name = "overlap" if measure == "overlap" else "jaccard"
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
                 "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                val_name: pa.array(out_j, pa.float64()),
             }
         )
 
     verified = cand.map_batches(verify, batch_format="pyarrow").materialize()
     if verified.count() == 0:
+        if measure == "overlap":
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_a": pa.array([], pa.int64()),
+                        "doc_b": pa.array([], pa.int64()),
+                        "overlap": pa.array([], pa.float64()),
+                    }
+                )
+            )
         return rd.from_arrow(_EMPTY_JACCARD)
     return verified
 
 
-def jaccard_verify(ds, cand, text_col="text", id_col="doc_id", threshold=0.3):
+def jaccard_verify(ds, cand, text_col="text", id_col="doc_id", threshold=0.3,
+                   measure: str = "jaccard", num: int = 0, den: int = 1):
     """Exact set-Jaccard over 3-token shingles for each candidate pair
     in ``cand`` (a Dataset of (doc_a, doc_b)) — fully distributed. The
     candidate ID ARRAY (8 B/id) is the only broadcast (ray.put once,
@@ -804,6 +973,14 @@ def jaccard_verify(ds, cand, text_col="text", id_col="doc_id", threshold=0.3):
     import ray.data as rd
 
     empty = _EMPTY_JACCARD
+    if measure == "overlap":
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "overlap": pa.array([], pa.float64()),
+            }
+        )
 
     # distinct candidate ids (distributed distinct, tiny result)
     ids_tbl = (
@@ -872,11 +1049,13 @@ def jaccard_verify(ds, cand, text_col="text", id_col="doc_id", threshold=0.3):
             }
         )
 
+    val_name = "overlap" if measure == "overlap" else "jaccard"
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         out = {
             "doc_a": pd.Series([], dtype="int64"),
             "doc_b": pd.Series([], dtype="int64"),
-            "jaccard": pd.Series([], dtype="float64"),
+            val_name: pd.Series([], dtype="float64"),
         }
         if len(g) != 2:
             # defensive: upstream _dedup_pairs emits unique pairs, so a
@@ -902,18 +1081,27 @@ def jaccard_verify(ds, cand, text_col="text", id_col="doc_id", threshold=0.3):
                         len(g2),
                     )
                 return pd.DataFrame(out)
-        s1 = np.frombuffer(g["shingles"].iloc[0], dtype=np.uint64)
-        s2 = np.frombuffer(g["shingles"].iloc[1], dtype=np.uint64)
+        # the shipped arrays are raw (non-unique) shingle streams;
+        # intersect1d/union1d dedupe internally, but overlap's
+        # min-cardinality denominator must count DISTINCT shingles
+        s1 = np.unique(np.frombuffer(g["shingles"].iloc[0], dtype=np.uint64))
+        s2 = np.unique(np.frombuffer(g["shingles"].iloc[1], dtype=np.uint64))
         inter = len(np.intersect1d(s1, s2))
-        union = len(np.union1d(s1, s2))
-        jac = inter / max(1, union)
-        if jac < threshold:
-            return pd.DataFrame(out)
+        if measure == "overlap":
+            m = max(1, min(len(s1), len(s2)))
+            if den * inter < num * m:  # exact rational gate
+                return pd.DataFrame(out)
+            val = inter / m
+        else:
+            union = len(np.union1d(s1, s2))
+            val = inter / max(1, union)
+            if val < threshold:
+                return pd.DataFrame(out)
         return pd.DataFrame(
             {
                 "doc_a": g["doc_a"].iloc[:1].astype("int64"),
                 "doc_b": g["doc_b"].iloc[:1].astype("int64"),
-                "jaccard": pd.Series([jac], dtype="float64"),
+                val_name: pd.Series([val], dtype="float64"),
             }
         )
 
@@ -932,6 +1120,64 @@ def jaccard_verify(ds, cand, text_col="text", id_col="doc_id", threshold=0.3):
     if verified.count() == 0:
         return rd.from_arrow(empty)
     return verified
+
+
+def winnowing_fingerprints(ds, k: int = 8, w: int = 4,
+                           text_col="text", id_col="doc_id"):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS scheme): hash every character k-gram, slide a
+    window of w consecutive k-gram hashes, and select the RIGHTMOST
+    minimal hash per window; the distinct selected positions are the
+    doc's fingerprints. Guarantees: any shared substring of length
+    >= k + w - 1 contributes at least one IDENTICAL fingerprint to
+    both docs (detection threshold), and fingerprint density is
+    ~2/(w+1) regardless of doc length — position-robust local
+    fingerprinting, unlike whole-doc hashes.
+
+    Fully stateless map_batches: per doc the k-gram hashes are md5
+    lower-64 (hashing.md5_lower64 == DuckDB md5_number_lower, so the
+    whole scheme is SQL-twinnable verbatim), the window min + rightmost
+    argmin is one numpy sliding_window_view pass (no per-window
+    Python). Emits per doc: n_fingerprints (distinct selected
+    positions) and fp_checksum = sum of selected hashes mod 1e9+7
+    (order-independent exact-int certificate of the selected SET).
+    Docs shorter than k + w - 1 chars have no complete window and emit
+    no row (mirrored by the twin's length filter)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .hashing import md5_lower64
+
+    MOD = 1_000_000_007
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids_out, nfp_out, ck_out = [], [], []
+        for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            n = len(s) - k + 1
+            if n < w:
+                continue
+            hs = np.fromiter(
+                (md5_lower64(s[p:p + k]) for p in range(n)),
+                dtype=np.uint64,
+                count=n,
+            )
+            sw = sliding_window_view(hs, w)
+            # rightmost argmin: argmin over the reversed window
+            arg = (w - 1) - sw[:, ::-1].argmin(axis=1)
+            sel = np.unique(np.arange(n - w + 1) + arg)
+            ids_out.append(i)
+            nfp_out.append(len(sel))
+            ck_out.append(int((hs[sel] % np.uint64(MOD)).sum()))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "n_fingerprints": pa.array(nfp_out, pa.int64()),
+                "fp_checksum": pa.array(ck_out, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------- simhash

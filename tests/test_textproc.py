@@ -420,6 +420,104 @@ def test_shingle_join_pairs_equals_bruteforce(ray_session):
             assert gj == wj  # exact int division both sides
 
 
+def test_winnowing_fingerprints_bruteforce(ray_session):
+    """Numpy sliding-window winnowing == a pure-python per-window
+    re-derivation (rightmost minimal hash per window, distinct
+    positions), plus the SIGMOD'03 detection guarantee: two docs
+    sharing a substring of length >= k + w - 1 share at least one
+    selected fingerprint HASH."""
+    from brinkray.textproc.dedup import winnowing_fingerprints
+    from brinkray.textproc.hashing import md5_lower64
+
+    k, w = 8, 4
+    shared = "the exact shared passage survives winnowing"
+    texts = [
+        "left context before " + shared + " and a right tail here",
+        "completely different opening words " + shared + " other ending",
+        "no overlap with anything else in this tiny corpus at all",
+        "short",  # < k + w - 1: no complete window, no output row
+    ]
+
+    def brute(s):
+        n = len(s) - k + 1
+        if n < w:
+            return None
+        hs = [md5_lower64(s[p:p + k]) for p in range(n)]
+        sel = set()
+        for e in range(w - 1, n):
+            win = hs[e - w + 1:e + 1]
+            mn = min(win)
+            # rightmost position achieving the min
+            off = max(j for j, v in enumerate(win) if v == mn)
+            sel.add(e - w + 1 + off)
+        return sorted(sel), hs
+
+    out = winnowing_fingerprints(_docs_ds(texts)).to_pandas()
+    out = out.set_index("doc_id")
+    assert set(out.index) == {0, 1, 2}  # doc 3 too short
+    sel_hashes = {}
+    for i, s in enumerate(texts):
+        b = brute(s)
+        if b is None:
+            continue
+        sel, hs = b
+        assert int(out.loc[i, "n_fingerprints"]) == len(sel)
+        assert int(out.loc[i, "fp_checksum"]) == sum(
+            hs[p] % 1_000_000_007 for p in sel
+        )
+        sel_hashes[i] = {hs[p] for p in sel}
+    assert sel_hashes[0] & sel_hashes[1]  # shared-substring guarantee
+    assert not (sel_hashes[2] & sel_hashes[0])
+
+
+def _brute_overlap_pairs(texts, num, den):
+    """Reference all-pairs overlap coefficient (exact rational gate)."""
+    from brinkray.textproc.hashing import shingle_hashes
+
+    sets = [np.unique(shingle_hashes(t)) for t in texts]
+    out = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(np.intersect1d(sets[i], sets[j]))
+            m = max(1, min(len(sets[i]), len(sets[j])))
+            if den * inter >= num * m:
+                out.append((i, j, inter / m))
+    return sorted(out)
+
+
+def test_overlap_dup_pairs_equals_bruteforce(ray_session):
+    """Asymmetric prefix-filter containment join == brute force at
+    several thresholds, both verify paths — including a planted
+    SUBSET dup (short doc quoted inside a long one: overlap 1.0,
+    Jaccard far below threshold) that the Jaccard join must miss and
+    the overlap join must catch."""
+    from brinkray.textproc.dedup import overlap_dup_pairs, shingle_join_pairs
+
+    texts = _randomish_corpus()
+    quote = " ".join(texts[0].split()[:8])  # 8-token excerpt of doc 0
+    long_doc = texts[3] + " " + texts[7] + " " + texts[11]
+    texts = texts + [quote, long_doc, quote + " " + texts[5]]
+    for (p, q), bb in (((4, 5), 128 << 20), ((1, 2), 128 << 20),
+                       ((9, 10), 128 << 20), ((4, 5), 0)):  # bb=0 => shuffle
+        out = overlap_dup_pairs(_docs_ds(texts), threshold_num=p,
+                                threshold_den=q, bucket_cap=1 << 20,
+                                max_broadcast_bytes=bb).to_pandas()
+        got = sorted(
+            (int(a), int(b), float(v))
+            for a, b, v in zip(out["doc_a"], out["doc_b"], out["overlap"])
+        )
+        want = _brute_overlap_pairs(texts, p, q)
+        assert got == want
+    # the containment property: the quote-in-doc0 pair is overlap-only
+    qi = len(texts) - 3
+    ov = {(a, b) for a, b, _ in _brute_overlap_pairs(texts, 4, 5)}
+    assert (0, qi) in ov
+    jac = shingle_join_pairs(_docs_ds(texts), threshold=0.8,
+                             bucket_cap=1 << 20).to_pandas()
+    jpairs = {(int(a), int(b)) for a, b in zip(jac["doc_a"], jac["doc_b"])}
+    assert (0, qi) not in jpairs
+
+
 def test_minhash_verified_equals_bruteforce(ray_session):
     """1-row-band LSH propose + exact verify at 0.5 == brute force
     (the dedup_minhash_lsh driver contract)."""

@@ -1623,6 +1623,30 @@ def _q_inverted_index(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+def _q_postings_varint_bytes(sf_dir: str):
+    """Delta-gap varint size of every df-banded posting list (the
+    Lucene-style postings layout) — certifies the distributed index
+    build plus the gap/bit arithmetic; the twin re-derives bit lengths
+    via length(bin(gap)) (the exact-integer log2 idiom)."""
+    from brinkray.textproc.curation import postings_varint_bytes
+
+    out = postings_varint_bytes(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth curve over the doc_id-ordered token
+    stream (distinct tokens within the first N = 2^k occurrences, plus
+    the full corpus) — built on the corpus-wide distributed prefix sum
+    + one groupby(token).Min + a bounded histogram exchange; the twin
+    re-derives global first positions with a window SUM and the
+    zip-unnest position idiom."""
+    from brinkray.textproc.curation import vocab_growth
+
+    out = vocab_growth(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values("n_prefix").reset_index(drop=True)
+
+
 def _q_top_bigrams(sf_dir: str):
     """Corpus-wide top-20 token bigrams (LM n-gram statistics pass)."""
     from brinkray.textproc.curation import top_bigrams
@@ -5037,6 +5061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr_stats": _q_qty_price_corr_stats,
         "daily_counts_gapfill": _q_daily_counts_gapfill,
         "inverted_index": _q_inverted_index,
+        "postings_varint_bytes": _q_postings_varint_bytes,
+        "vocab_growth": _q_vocab_growth,
         "customer_order_totals": _q_customer_order_totals,
         "lang_share": _q_lang_share,
         "orders_by_dow": _q_orders_by_dow,
@@ -6822,6 +6848,51 @@ def _oracle_sql_dict() -> dict[str, str]:
             "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
             "AS postings FROM tok GROUP BY token "
             "HAVING COUNT(*) BETWEEN 2 AND 1000 ORDER BY token"
+        ),
+        # postings compression: delta gaps via LAG, LEB128 byte count
+        # via the exact bin()-length bit-length idiom (float log2 would
+        # round wrong at 2^k boundaries).
+        "postings_varint_bytes": (
+            "WITH tok AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents), "
+            "dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df "
+            "FROM tok GROUP BY token "
+            "HAVING COUNT(*) BETWEEN 2 AND 1000), "
+            "g AS (SELECT t.token, t.doc_id, t.doc_id - "
+            "LAG(t.doc_id) OVER (PARTITION BY t.token ORDER BY t.doc_id) "
+            "AS gap FROM tok t JOIN dfs ON dfs.token = t.token), "
+            "v AS (SELECT token, COALESCE(gap, doc_id) AS val FROM g), "
+            "b AS (SELECT token, GREATEST(1, "
+            "CAST(ceil(length(bin(val)) / 7.0) AS BIGINT)) AS nb FROM v) "
+            "SELECT b.token, dfs.df, CAST(SUM(b.nb) AS BIGINT) "
+            "AS varint_bytes FROM b JOIN dfs ON dfs.token = b.token "
+            "GROUP BY b.token, dfs.df ORDER BY b.token"
+        ),
+        # Heaps curve: global first-occurrence positions via a window
+        # SUM over doc token counts + zip-unnest ordinality, thresholds
+        # 2^k (power(2,k) is exact in float64) plus the full corpus.
+        "vocab_growth": (
+            "WITH d AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+            "FROM documents), "
+            "off AS (SELECT doc_id, t, COALESCE(SUM(len(t)) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS pre FROM d), "
+            "pos AS (SELECT pre + ti - 1 AS gpos, tok FROM ("
+            "SELECT pre, unnest(t) AS tok, "
+            "unnest(generate_series(1, len(t))) AS ti FROM off)), "
+            "f AS (SELECT tok, MIN(gpos) AS fp FROM pos GROUP BY tok), "
+            "tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM d), "
+            "ks AS (SELECT unnest(generate_series(7, 62)) AS k), "
+            "th AS (SELECT CAST(power(2, k) AS BIGINT) AS n_prefix "
+            "FROM ks WHERE CAST(power(2, k) AS BIGINT) < "
+            "(SELECT n FROM tot) "
+            "UNION ALL SELECT n FROM tot) "
+            "SELECT th.n_prefix, CAST(COUNT(*) FILTER ("
+            "WHERE f.fp < th.n_prefix) AS BIGINT) AS vocab "
+            "FROM th CROSS JOIN f GROUP BY th.n_prefix "
+            "ORDER BY th.n_prefix"
         ),
         "user_event_sequences": (
             "SELECT user_id, string_agg(event_type, '>' "

@@ -255,6 +255,21 @@ def bench_queries() -> dict[str, float]:
         "pushdown_filtered_read",
         "negative_samples",
         "crawl_refresh_seen",
+        # sixth-session operators
+        "doc_similarity_tfidf",
+        "bpe_merge_candidates",
+        "mixture_weights",
+        "cdc_chunk_dedup",
+        "recrawl_priority",
+        "late_order_priority_counts",
+        "local_supplier_volume",
+        "customer_order_distribution",
+        "crawl_revalidation",
+        "dedup_containment",
+        "winnowing_fingerprints",
+        "token_budget_sample",
+        "postings_varint_bytes",
+        "vocab_growth",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -1054,6 +1054,175 @@ def inverted_index(docs, df_min: int = 2, df_max: int = 1000,
     )
 
 
+def vocab_growth(docs, text_col="text", id_col="doc_id",
+                 min_exp: int = 7):
+    """Heaps-law vocabulary-growth curve: for prefix sizes N = 2^k
+    (k >= min_exp, N < corpus tokens) plus the full corpus, the number
+    of DISTINCT tokens among the first N token occurrences of the
+    doc_id-ordered token stream — the curve that sizes tokenizer
+    vocabularies and predicts novel-token rates on corpus growth.
+
+    Distributed shape: the doc-offset pass is the corpus-wide
+    exclusive prefix sum (windows.global_prefix_sum — per-block
+    metadata to the driver, never corpus rows); each doc then emits
+    (token, global first position) for its DISTINCT tokens
+    (np.unique(return_index) — vectorized); ONE groupby(token).Min
+    finds corpus-first positions; and the curve reduces through
+    per-batch histogram partials over the ~30-row threshold grid (a
+    bounded exchange — token rows never reach the driver). Returns
+    (n_prefix, vocab)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from .hashing import tokens_of
+    from .windows import global_prefix_sum
+
+    def with_counts(t: pa.Table) -> pa.Table:
+        ns = [len(tokens_of(x)) for x in t[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: t[text_col],
+                "n_tokens": pa.array(ns, pa.int64()),
+            }
+        )
+
+    based = docs.select_columns([id_col, text_col]).map_batches(
+        with_counts, batch_format="pyarrow"
+    )
+    pre = global_prefix_sum(based, order_col=id_col, val_col="n_tokens")
+
+    def first_pos(t: pa.Table) -> pa.Table:
+        toks_out, pos_out = [], []
+        for x, off in zip(
+            t[text_col].to_pylist(), t["prefix"].to_pylist()
+        ):
+            toks = tokens_of(x)
+            if not toks:
+                continue
+            u, idx = np.unique(np.array(toks, dtype=object),
+                               return_index=True)
+            toks_out.extend(u.tolist())
+            pos_out.extend((int(off) + idx).tolist())
+        return pa.table(
+            {
+                "token": pa.array(toks_out, pa.string()),
+                "fp": pa.array(pos_out, pa.int64()),
+            }
+        )
+
+    firsts = (
+        pre.map_batches(first_pos, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Min("fp", alias_name="fp"))
+    )
+
+    total = int(
+        based.select_columns(["n_tokens"])
+        .aggregate(Sum("n_tokens"))["sum(n_tokens)"]
+        or 0
+    )
+    ths = []
+    n = 1 << min_exp
+    while n < total:
+        ths.append(n)
+        n <<= 1
+    ths.append(total)
+    th_arr = np.asarray(ths, dtype=np.int64)
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        # token counts per first-covering-threshold bucket; the curve
+        # is the suffix-cumulative of this histogram
+        bucket = np.searchsorted(th_arr, fp, side="right")
+        counts = np.bincount(bucket, minlength=len(th_arr))[: len(th_arr)]
+        return pa.table(
+            {
+                "ti": pa.array(np.arange(len(th_arr)), pa.int64()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    hist = (
+        firsts.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("ti")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("ti")
+    )
+    full = np.zeros(len(th_arr), dtype=np.int64)
+    full[hist["ti"].to_numpy()] = hist["c"].to_numpy()
+    vocab = np.cumsum(full)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_prefix": pa.array(th_arr, pa.int64()),
+                "vocab": pa.array(vocab, pa.int64()),
+            }
+        )
+    )
+
+
+def postings_varint_bytes(docs, df_min: int = 2, df_max: int = 1000,
+                          text_col="text", id_col="doc_id"):
+    """Index-compression accounting: for every df-banded token, the
+    byte size of its delta-gap VARINT-encoded posting list (first doc
+    id, then successive gaps; LEB128-style 7-bit groups, so
+    bytes(x) = max(1, ceil(bit_length(x)/7)) — the standard postings
+    layout of Lucene-family indexes). A pure function of the posting
+    SETS, so it certifies the distributed index build end to end while
+    exercising the gap/bit arithmetic a real index writer runs.
+
+    Scale shape = inverted_index verbatim: per-batch DISTINCT
+    (token, doc_id) pairs, ONE groupby(token), vectorized group body
+    (np.diff for gaps, np.frexp for exact bit lengths — frexp's
+    exponent IS bit_length for positive ints < 2^53, no float-log
+    boundary risk). df band bounds posting length per task. Returns
+    (token, df, varint_bytes)."""
+    from .hashing import tokens_of
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks, ids = [], []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for tok in set(tokens_of(x)):
+                toks.append(tok)
+                ids.append(did)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+            }
+        )
+
+    def vbytes(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if not (df_min <= len(ids) <= df_max):
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=str),
+                    "df": pd.Series([], dtype="int64"),
+                    "varint_bytes": pd.Series([], dtype="int64"),
+                }
+            )
+        vals = np.concatenate(([ids[0]], np.diff(ids)))
+        bits = np.where(vals > 0, np.frexp(vals.astype(np.float64))[1], 0)
+        nb = int(np.maximum(1, (bits + 6) // 7).sum())
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": np.array([len(ids)], np.int64),
+                "varint_bytes": np.array([nb], np.int64),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(vbytes, batch_format="pandas")
+    )
+
+
 def bigram_pmi(docs, min_count: int = 5, scale: int = 10**6,
                text_col="text"):
     """Pointwise-mutual-information collocation scores for token

@@ -800,3 +800,58 @@ def test_mixture_weights_isqrt_and_shares(ray_session):
     # alpha=1 degenerates to proportional
     out1 = mixture_weights(rd.from_arrow(t), alpha_sqrt=False)
     assert dict(zip(out1["source"], out1["w_isqrt"])) == n
+
+
+def test_postings_varint_bytes_bruteforce(ray_session):
+    """Delta-gap varint sizes == a driver-side re-derivation, incl. the
+    doc_id=0 first-posting edge (bit_length 0 -> 1 byte) and a
+    multi-byte gap (>= 128 -> 2 bytes)."""
+    from brinkray.textproc.curation import postings_varint_bytes
+    from brinkray.textproc.hashing import tokens_of
+
+    texts = ["zebra apple", "apple", "unique1 words here"] + [
+        f"filler{i}" for i in range(3, 200)
+    ] + ["zebra again"]  # zebra postings [0, 200]: gap 200 -> 2 bytes
+    out = postings_varint_bytes(_docs_ds(texts), df_min=2).to_pandas()
+    got = {
+        r.token: (int(r.df), int(r.varint_bytes))
+        for r in out.itertuples()
+    }
+
+    posts = {}
+    for i, x in enumerate(texts):
+        for tok in set(tokens_of(x)):
+            posts.setdefault(tok, []).append(i)
+    want = {}
+    for tok, ids in posts.items():
+        if len(ids) < 2:
+            continue
+        vals = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+        want[tok] = (
+            len(ids),
+            sum(max(1, (v.bit_length() + 6) // 7) for v in vals),
+        )
+    assert got == want
+    assert got["zebra"] == (2, 3)  # id 0 -> 1 byte, gap 200 -> 2 bytes
+
+
+def test_vocab_growth_bruteforce(ray_session):
+    """Heaps curve == a sequential scan of the doc_id-ordered token
+    stream at every threshold (2^k and the full corpus)."""
+    from brinkray.textproc.curation import vocab_growth
+    from brinkray.textproc.hashing import tokens_of
+
+    texts = [f"tok{i % 37} tok{i % 11} common word number{i}"
+             for i in range(100)]
+    out = vocab_growth(_docs_ds(texts), min_exp=3).to_pandas()
+    stream = [t for x in texts for t in tokens_of(x)]
+    total = len(stream)
+    ths = []
+    n = 8
+    while n < total:
+        ths.append(n)
+        n <<= 1
+    ths.append(total)
+    want = [(N, len(set(stream[:N]))) for N in ths]
+    got = list(zip(out["n_prefix"].astype(int), out["vocab"].astype(int)))
+    assert got == want

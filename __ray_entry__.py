@@ -2319,17 +2319,14 @@ def _q_crawl_host_stats(sf_dir: str):
 _EXTRACT_PAGES_PATH = "/tmp/brinkray_extract_pages.parquet"
 
 
-def _crawl_rank_ds(sf_dir: str):
-    """Shared PageRank-over-the-crawl derivation: nodes = the seen set;
-    edges = distinct admissible (parent -> child) discoveries from the
-    crawl event log (seed/warm rows are starts, not edges); ranks = the
-    exact integer fixed-point recurrence, 5 iterations. Returns the
-    (node, r) Dataset."""
+def _crawl_graph(sf_dir: str):
+    """Shared crawl-graph derivation: nodes = the seen set; edges =
+    distinct admissible (parent -> child) discoveries from the crawl
+    event log (seed/warm rows are starts, not edges). Returns the
+    (nodes, edges) Datasets keyed by canon."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
-
-    from brinkray.textproc.joins import pagerank
 
     res = _crawl_result(sf_dir)
     _dump_crawl_pages(sf_dir)
@@ -2359,7 +2356,35 @@ def _crawl_rank_ds(sf_dir: str):
     nodes = rd.from_arrow(
         pa.table({"node": pa.array(sorted(res.seen.keys()), pa.string())})
     )
+    return nodes, edges
+
+
+def _crawl_rank_ds(sf_dir: str):
+    """Shared PageRank-over-the-crawl derivation: the _crawl_graph
+    nodes/edges through the exact integer fixed-point recurrence, 5
+    iterations. Returns the (node, r) Dataset."""
+    from brinkray.textproc.joins import pagerank
+
+    nodes, edges = _crawl_graph(sf_dir)
     return pagerank(nodes, edges, iters=5, num_partitions=8)
+
+
+def _q_graph_random_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walks over the crawl link graph:
+    3 hops from every out-degree>0 node, next hop = md5-argmin over
+    out-neighbors (the RNG derandomized to a fixed hash so the positive
+    -pair sample is exact). Twin = three unrolled QUALIFY row_number
+    argmin CTEs over the same reachable edge set."""
+    from brinkray.textproc.joins import random_walks
+
+    _, edges = _crawl_graph(sf_dir)
+    out = random_walks(edges.materialize(), steps=3).to_pandas()
+    out["step"] = out["step"].astype("int64")
+    return (
+        out[["start", "step", "node"]]
+        .sort_values(["start", "step"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_link_pagerank(sf_dir: str):
@@ -5105,6 +5130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": _q_crawl_host_stats,
         "crawl_extract_links": _q_crawl_extract_links,
         "link_pagerank": _q_link_pagerank,
+        "graph_random_walks": _q_graph_random_walks,
         "link_hits": _q_link_hits,
         "crawl_wave_sizes": _q_crawl_wave_sizes,
         "crawl_robots_seen": _q_crawl_robots_seen,
@@ -5485,6 +5511,34 @@ def _recrawl_priority_sql(iters: int = 5, k: int = 3) -> str:
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
     d["link_pagerank"] = _pagerank_sql(iters=5)
+    # deterministic walks: per hop one QUALIFY row_number argmin over
+    # the same reachable edge set (ties md5 then child, as in the
+    # kernel)
+    _walk_head = (
+        _CRAWL_CTE
+        + ", nodes AS (SELECT canon FROM reach), "
+        "er AS (SELECT DISTINCT e.parent, e.child FROM edges e "
+        "JOIN nodes n ON e.parent = n.canon), "
+        "w1 AS (SELECT parent AS start, child AS node FROM er "
+        "QUALIFY row_number() OVER (PARTITION BY parent "
+        "ORDER BY md5(parent || '#1#' || child), child) = 1)"
+    )
+    _walk_steps = "".join(
+        f", w{s} AS (SELECT w.start, e.child AS node "
+        f"FROM w{s-1} w JOIN er e ON e.parent = w.node "
+        "QUALIFY row_number() OVER (PARTITION BY w.start "
+        f"ORDER BY md5(w.node || '#{s}#' || e.child), e.child) = 1)"
+        for s in (2, 3)
+    )
+    d["graph_random_walks"] = (
+        _walk_head + _walk_steps
+        + " SELECT start, step, node FROM ("
+        + " UNION ALL ".join(
+            f"SELECT start, CAST({s} AS BIGINT) AS step, node FROM w{s}"
+            for s in (1, 2, 3)
+        )
+        + ") ORDER BY start, step"
+    )
     d["recrawl_priority"] = _recrawl_priority_sql(iters=5, k=3)
     d["link_degree_histogram"] = (
         _CRAWL_CTE

@@ -270,6 +270,7 @@ def bench_queries() -> dict[str, float]:
         "token_budget_sample",
         "postings_varint_bytes",
         "vocab_growth",
+        "graph_random_walks",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

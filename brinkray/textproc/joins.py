@@ -734,6 +734,122 @@ def _hits_broadcast(nodes_ds, edges, iters: int) -> "rd.Dataset":
     )
 
 
+def random_walks(edges_ds, steps: int = 3,
+                 num_partitions: int | None = None):
+    """Deterministic 'random' walks over a link graph (the DeepWalk /
+    node2vec positive-pair sampler made exact): from EVERY node with
+    out-edges, walk ``steps`` hops; at node u on step s the next hop is
+    argmin over out-neighbors v of md5(u || '#s#' || v) — a fixed hash
+    in place of the RNG, so the walk set is repartition-stable,
+    bit-reproducible, and SQL-twinnable (the standard derandomization
+    under the repo's no-RNG rule; the hash varies per (node, step,
+    neighbor) so revisits don't cycle identically). Emits
+    (start, step, node) rows — the skip-gram positive pairs a graph-
+    embedding trainer consumes. Dead ends stop the walk early.
+
+    Scale shape: per hop, ONE native frontier⋈edges hash join, a
+    vectorized-loop md5 scorer over candidate rows only, and one
+    groupby(start) argmin (pandas idxmin group body). The frontier is
+    |nodes| rows max; walks advance together so the plan stays flat
+    (materialize per hop, like pagerank's iteration checkpoint)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    frontier = edges_ds.groupby("parent").count().map_batches(
+        lambda t: pa.table({"start": t["parent"], "cur": t["parent"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    outs = []
+    for s in range(1, steps + 1):
+        cand = frontier.join(
+            edges_ds.map_batches(
+                lambda t: pa.table({"cur": t["parent"], "nxt": t["child"]}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("cur",),
+        )
+
+        def score(t: pa.Table, _s=s) -> pa.Table:
+            hs = [
+                hashlib.md5(f"{c}#{_s}#{n}".encode()).hexdigest()
+                for c, n in zip(t["cur"].to_pylist(), t["nxt"].to_pylist())
+            ]
+            return pa.table(
+                {
+                    "start": t["start"],
+                    "nxt": t["nxt"],
+                    "h": pa.array(hs, pa.string()),
+                }
+            )
+
+        # argmin per start, vectorized: hash-partition on start (16
+        # coarse groups instead of one Python callback per start),
+        # sort + drop_duplicates inside each partition. Per-batch
+        # partial argmin first, so the exchange carries <= one
+        # candidate row per (block, start).
+        def partial_argmin(df: "pd.DataFrame") -> "pd.DataFrame":
+            if len(df) == 0:
+                return df[["start", "nxt", "h"]]
+            df = df.sort_values(["start", "h", "nxt"], kind="mergesort")
+            return df.drop_duplicates("start")[["start", "nxt", "h"]]
+
+        def add_pk(t: pa.Table) -> pa.Table:
+            # deterministic partition key (Python's str hash is
+            # seed-randomized PER PROCESS — it would split one start's
+            # candidates across partitions)
+            hs = np.array(
+                [
+                    hashlib.md5(x.encode()).digest()[0] & 15
+                    for x in t["start"].to_pylist()
+                ],
+                dtype=np.int32,
+            )
+            return t.append_column("_pk", pa.array(hs, pa.int32()))
+
+        def final_argmin(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df.sort_values(["start", "h", "nxt"], kind="mergesort")
+            return df.drop_duplicates("start")[["start", "nxt"]]
+
+        stepped = (
+            cand.map_batches(score, batch_format="pyarrow")
+            .map_batches(partial_argmin, batch_format="pandas")
+            .map_batches(add_pk, batch_format="pyarrow")
+            .groupby("_pk")
+            .map_groups(final_argmin, batch_format="pandas")
+            .materialize()
+        )
+        outs.append(
+            stepped.map_batches(
+                lambda t, _s=s: pa.table(
+                    {
+                        "start": t["start"],
+                        "step": pa.array(
+                            np.full(t.num_rows, _s, dtype=np.int64)
+                        ),
+                        "node": t["nxt"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        frontier = stepped.map_batches(
+            lambda t: pa.table({"start": t["start"], "cur": t["nxt"]}),
+            batch_format="pyarrow",
+        ).materialize()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
 def cluster_pairs(pairs_ds, max_rounds: int = 30):
     """Connected components over (doc_a, doc_b) pairs, fully
     distributed: alternating large-star / small-star rounds (Kiveris et

@@ -1310,3 +1310,55 @@ def test_salted_join_equals_plain_join(ray_session):
     pd.testing.assert_frame_equal(
         out[["k", "v", "m"]], want[["k", "v", "m"]]
     )
+
+
+def test_random_walks_equals_bruteforce(ray_session):
+    """md5-argmin walks == a sequential per-node walk, incl. a dead end
+    (walk stops) and a 2-cycle (walk continues through revisits because
+    the hash varies by step)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.joins import random_walks
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "d"),
+        ("c", "d"),  # d is a dead end
+        ("e", "f"), ("f", "e"),  # 2-cycle
+    ]
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "parent": pa.array([p for p, _ in edges], pa.string()),
+                "child": pa.array([c for _, c in edges], pa.string()),
+            }
+        )
+    )
+    out = random_walks(eds, steps=3).to_pandas()
+    got = sorted(map(tuple, out[["start", "step", "node"]].to_numpy()))
+
+    adj = {}
+    for p, c in edges:
+        adj.setdefault(p, []).append(c)
+    want = []
+    for start in adj:
+        cur = start
+        for s in range(1, 4):
+            nxts = adj.get(cur)
+            if not nxts:
+                break
+            cur = min(
+                nxts,
+                key=lambda v: (
+                    hashlib.md5(f"{cur}#{s}#{v}".encode()).hexdigest(), v
+                ),
+            )
+            want.append((start, s, cur))
+    assert got == sorted(want)
+    # dead-end check: no walk row continues FROM d (d has no out-edges)
+    reached_d_at = {(st, s) for st, s, n in got if n == "d"}
+    for st, s in reached_d_at:
+        assert not any(g[0] == st and g[1] > s for g in got)

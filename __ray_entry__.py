@@ -4641,23 +4641,19 @@ def _q_crawl_refresh_seen(sf_dir: str):
     )
 
 
-def _q_crawl_revalidation(sf_dir: str):
-    """Conditional-GET revalidation under oracle: crawl with
-    track_body_hashes on (seen shards store each url's body md5 at
-    mark time), SOFT-expire an md5-selected half of the seen urls
-    (expire_urls(keep_body=True) — the stored hash survives), mutate a
-    DIFFERENT md5-selected subset of the pages (9 appended comment
-    bytes, skipped when that would cross the 8192 content gate), and
-    refresh. The engine classifies each re-fetch by comparing stored
-    vs refetched body md5 — revalidated (the 304-Not-Modified outcome
-    an If-None-Match request would get) vs modified. The twin
-    re-derives both md5 predicates over the ORIGINAL page dump +
-    the BFS fixpoint, so the engine's genuine hash comparison is
-    certified per url. 404 urls (no page) have empty bodies both runs
-    => revalidated, mirrored by the twin's LEFT JOIN."""
+def _reval_outcomes(sf_dir: str) -> dict[str, bool]:
+    """Shared revalidation pass (memoized like _crawl_result): crawl
+    with track_body_hashes on, SOFT-expire the md5-last-hex-digit<8
+    half of the seen urls, mutate the md5-first-hex-digit<8 page
+    subset (9 appended comment bytes, skipped when that would cross
+    the 8192 content gate), refresh, and return the engine's per-url
+    classification (canon -> modified?) from the genuine stored-vs-
+    refetched body-md5 comparison."""
+    key = ("reval", sf_dir)
+    if key in _memo:
+        return _memo[key]
     import hashlib
 
-    import pandas as pd
     import pyarrow as pa
 
     from brinkray.engine.crawl import CrawlEngine, EngineOptions
@@ -4692,14 +4688,70 @@ def _q_crawl_revalidation(sf_dir: str):
     )
     eng.set_pages(mutated)
     eng.run(seeds=stale)
-    items = sorted(eng.reval_items().items())
+    items = eng.reval_items()
     assert len(items) == len(stale)
+    _memo[key] = items
+    return items
+
+
+def _q_crawl_revalidation(sf_dir: str):
+    """Conditional-GET revalidation under oracle (see _reval_outcomes):
+    the engine classifies each soft-expired url's re-fetch revalidated
+    (the 304-Not-Modified outcome an If-None-Match request would get)
+    vs modified by comparing stored vs refetched body md5. The twin
+    re-derives both md5 predicates over the ORIGINAL page dump + the
+    BFS fixpoint, certifying the hash comparison per url. 404 urls (no
+    page) have empty bodies both runs => revalidated, mirrored by the
+    twin's LEFT JOIN."""
+    import pandas as pd
+
+    items = sorted(_reval_outcomes(sf_dir).items())
     return pd.DataFrame(
         {
             "url": [u for u, _ in items],
             "outcome": ["modified" if m else "revalidated" for _, m in items],
         }
     )
+
+
+def _q_refresh_change_rates(sf_dir: str):
+    """Per-host content change rates from the revalidation pass — the
+    input of a Cho/Garcia-Molina-style refresh scheduler (hosts with
+    higher modified fractions earn shorter revisit intervals). One
+    host-projection regex + groupby over the classified outcomes; the
+    twin aggregates the same CASE over the fixpoint."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    items = sorted(_reval_outcomes(sf_dir).items())
+    t = pa.table(
+        {
+            "url": pa.array([u for u, _ in items], pa.string()),
+            "mod": pa.array([int(m) for _, m in items], pa.int64()),
+        }
+    )
+
+    def add_host(tb: pa.Table) -> pa.Table:
+        m = pc.extract_regex(tb["url"], r"^(?P<h>https?://[^/?#]+)")
+        return pa.table(
+            {"host": pc.struct_field(m, "h"), "mod": tb["mod"]}
+        )
+
+    out = (
+        rd.from_arrow(t)
+        .map_batches(add_host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Count(alias_name="n_checked"),
+            Sum("mod", alias_name="n_modified"),
+        )
+        .to_pandas()
+    )
+    out["n_checked"] = out["n_checked"].astype("int64")
+    out["n_modified"] = out["n_modified"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
 
 
 def _q_negative_samples(sf_dir: str):
@@ -5162,6 +5214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": _q_negative_samples,
         "crawl_refresh_seen": _q_crawl_refresh_seen,
         "crawl_revalidation": _q_crawl_revalidation,
+        "refresh_change_rates": _q_refresh_change_rates,
         # TPC-H-shaped relational suite (reduced schema)
         "unshipped_order_revenue": _q_unshipped_order_revenue,
         "forecast_revenue_delta": _q_forecast_revenue_delta,
@@ -5590,6 +5643,21 @@ def oracle_sql() -> dict[str, str]:
         "WHERE substr(md5(r.canon), 32, 1) "
         "IN ('0','1','2','3','4','5','6','7') "
         "ORDER BY url"
+    )
+    # per-host change rates: the same expired/modified predicates
+    # aggregated by host — the refresh-scheduler input
+    d["refresh_change_rates"] = (
+        _CRAWL_CTE
+        + "SELECT regexp_extract(r.canon, '^(https?://[^/?#]+)', 1) "
+        "AS host, CAST(COUNT(*) AS BIGINT) AS n_checked, "
+        "CAST(COUNT(*) FILTER (WHERE i.canon IS NOT NULL "
+        "AND i.blen <= 8183 "
+        "AND substr(md5(r.canon), 1, 1) "
+        "IN ('0','1','2','3','4','5','6','7')) AS BIGINT) AS n_modified "
+        "FROM reach r LEFT JOIN idx i ON i.canon = r.canon "
+        "WHERE substr(md5(r.canon), 32, 1) "
+        "IN ('0','1','2','3','4','5','6','7') "
+        "GROUP BY host ORDER BY host"
     )
     # engine-extracted text equals a per-page recomputation for every
     # fetched 200 page (driver-visible byte-identity invariant)

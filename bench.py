@@ -271,6 +271,7 @@ def bench_queries() -> dict[str, float]:
         "postings_varint_bytes",
         "vocab_growth",
         "graph_random_walks",
+        "refresh_change_rates",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -2581,38 +2581,10 @@ def _q_dedup_clusters_exact(sf_dir: str):
 def _q_link_hits(sf_dir: str):
     """HITS hubs/authorities over the crawl's reachable link graph —
     exact unnormalized integer iterations (2), twin-unrolled in SQL
-    like link_pagerank. Same event-log edge derivation as pagerank."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    import ray.data as rd
-
-    from brinkray.fixtures.sitegen import site_config
-    from brinkray.ref.urls import normalize_url
+    like link_pagerank. Shares the _crawl_graph derivation."""
     from brinkray.textproc.joins import hits
 
-    res = _crawl_result(sf_dir)
-    _dump_crawl_pages(sf_dir)
-    ev = res.events_table().select(["linked_from", "url"])
-    ev = ev.filter(
-        pc.invert(
-            pc.is_in(ev["linked_from"], value_set=pa.array(["start", "warm"]))
-        )
-    )
-    ignored = site_config().ignored_get_params
-    parents = pa.array(
-        [normalize_url(u, ignored) for u in ev["linked_from"].to_pylist()],
-        pa.string(),
-    )
-    edges = (
-        rd.from_arrow(pa.table({"parent": parents, "child": ev["url"]}))
-        .groupby(["parent", "child"])
-        .count()
-        .select_columns(["parent", "child"])
-    )
-    nodes = rd.from_arrow(
-        pa.table({"node": pa.array(sorted(res.seen.keys()), pa.string())})
-    )
+    nodes, edges = _crawl_graph(sf_dir)
     out = hits(nodes, edges, iters=2, num_partitions=8).to_pandas()
     out = out.rename(columns={"node": "url"})[["url", "auth", "hub"]]
     return out.sort_values("url").reset_index(drop=True)
@@ -2651,35 +2623,9 @@ def _q_link_degree_histogram(sf_dir: str):
     graph analytics by composition: the same distinct-edge derivation
     as link_pagerank, then count_of_counts (degree per parent -> pages
     per degree). Twin re-derives the graph via the crawl CTE."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import ray.data as rd
-
     from brinkray.textproc.relagg import count_of_counts
 
-    res = _crawl_result(sf_dir)
-    _dump_crawl_pages(sf_dir)
-
-    ev = res.events_table().select(["linked_from", "url"])
-    ev = ev.filter(
-        pc.invert(
-            pc.is_in(ev["linked_from"], value_set=pa.array(["start", "warm"]))
-        )
-    )
-    from brinkray.fixtures.sitegen import site_config
-    from brinkray.ref.urls import normalize_url
-
-    ignored = site_config().ignored_get_params
-    parents = pa.array(
-        [normalize_url(u, ignored) for u in ev["linked_from"].to_pylist()],
-        pa.string(),
-    )
-    edges = (
-        rd.from_arrow(pa.table({"parent": parents, "child": ev["url"]}))
-        .groupby(["parent", "child"])
-        .count()
-        .select_columns(["parent", "child"])
-    )
+    _, edges = _crawl_graph(sf_dir)
     out = count_of_counts(
         edges, "parent", out_key="out_degree", out_count="n_pages"
     ).to_pandas()

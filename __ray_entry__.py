@@ -1634,6 +1634,31 @@ def _q_postings_varint_bytes(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+def _q_script_ratios(sf_dir: str):
+    """Unicode script composition per doc (ASCII letters / digits /
+    whitespace / non-ASCII codepoints) — vectorized UTF-32 codepoint
+    views, exact int counts; the twin re-counts with RE2 char
+    classes."""
+    from brinkray.textproc.quality import script_ratios
+
+    out = script_ratios(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_proportional_sample(sf_dir: str):
+    """Budgeted stratified sample with proportional (largest-remainder)
+    allocation across (lang, source) strata, md5-first rows filling
+    each quota — exact integer apportionment, window-rank twin."""
+    from brinkray.textproc.curation import proportional_sample
+
+    out = proportional_sample(_ds(sf_dir, "documents"), budget=200).to_pandas()
+    return (
+        out[["lang", "source", "doc_id"]]
+        .sort_values(["lang", "source", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary-growth curve over the doc_id-ordered token
     stream (distinct tokens within the first N = 2^k occurrences, plus
@@ -5086,6 +5111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "postings_varint_bytes": _q_postings_varint_bytes,
         "vocab_growth": _q_vocab_growth,
+        "script_ratios": _q_script_ratios,
+        "proportional_sample": _q_proportional_sample,
         "customer_order_totals": _q_customer_order_totals,
         "lang_share": _q_lang_share,
         "orders_by_dow": _q_orders_by_dow,
@@ -6936,6 +6963,39 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT b.token, dfs.df, CAST(SUM(b.nb) AS BIGINT) "
             "AS varint_bytes FROM b JOIN dfs ON dfs.token = b.token "
             "GROUP BY b.token, dfs.df ORDER BY b.token"
+        ),
+        "script_ratios": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) "
+            "AS n_ascii_alpha, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) "
+            "AS n_digit, "
+            "CAST(len(regexp_extract_all(text, '[\\t\\n\\x0b\\x0c\\r ]')) "
+            "AS BIGINT) AS n_space, "
+            "CAST(len(regexp_extract_all(text, '[^\\x00-\\x7f]')) "
+            "AS BIGINT) AS n_non_ascii "
+            "FROM documents ORDER BY doc_id"
+        ),
+        # proportional allocation: floor shares + largest-remainder
+        # rounding (ties by stratum key), then md5-first quota fill
+        "proportional_sample": (
+            "WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) "
+            "AS c FROM documents GROUP BY lang, source), "
+            "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS C FROM c), "
+            "b AS (SELECT lang, source, c, "
+            "(200 * c) // (SELECT C FROM tot) AS base, "
+            "(200 * c) % (SELECT C FROM tot) AS rem FROM c), "
+            "f AS (SELECT *, row_number() OVER ("
+            "ORDER BY rem DESC, lang, source) AS rr FROM b), "
+            "al AS (SELECT lang, source, base + CASE WHEN rr <= "
+            "200 - (SELECT CAST(SUM(base) AS BIGINT) FROM b) "
+            "THEN 1 ELSE 0 END AS k FROM f), "
+            "rk AS (SELECT d.lang, d.source, d.doc_id, "
+            "row_number() OVER (PARTITION BY d.lang, d.source "
+            "ORDER BY md5(d.text), d.doc_id) AS rn FROM documents d) "
+            "SELECT r.lang, r.source, r.doc_id FROM rk r "
+            "JOIN al a ON a.lang = r.lang AND a.source = r.source "
+            "WHERE r.rn <= a.k ORDER BY r.lang, r.source, r.doc_id"
         ),
         # Heaps curve: global first-occurrence positions via a window
         # SUM over doc token counts + zip-unnest ordinality, thresholds

@@ -272,6 +272,8 @@ def bench_queries() -> dict[str, float]:
         "vocab_growth",
         "graph_random_walks",
         "refresh_change_rates",
+        "script_ratios",
+        "proportional_sample",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -1054,6 +1054,81 @@ def inverted_index(docs, df_min: int = 2, df_max: int = 1000,
     )
 
 
+def proportional_sample(docs, budget: int = 200,
+                        strata=("lang", "source"),
+                        text_col="text", id_col="doc_id"):
+    """Stratified downsampling with PROPORTIONAL allocation under a
+    total budget: each (lang, source) stratum gets
+    floor(budget * c_s / C) rows plus largest-remainder (Hamilton)
+    rounding for the leftover — the exact-integer apportionment rule,
+    so the allocation is deterministic and SQL-twinnable — then the
+    md5-first rows of each stratum fill its quota (the repo's standard
+    deterministic sampler). Unlike stratified_sample_lang's fixed
+    per-group k, the quota follows stratum SIZE, which is what a
+    fixed-token-budget training mix actually needs.
+
+    Scale shape: ONE small groupby for stratum counts (strata
+    cardinality rows to the driver — allocation is exact integer
+    arithmetic there), the quota dict broadcast in the group bodies,
+    and one groupby(strata) exchange whose vectorized body sorts its
+    stratum by (md5, id) and heads its quota. Partitioning assumption:
+    one stratum fits a task (the same contract as every grouped-rank
+    operator here)."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    strata = list(strata)
+    counts = (
+        docs.groupby(strata)
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values(strata)
+        .reset_index(drop=True)
+    )
+    C = int(counts["c"].sum())
+    if C == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    **{k: pa.array([], pa.string()) for k in strata},
+                    id_col: pa.array([], pa.int64()),
+                }
+            )
+        )
+    counts["base"] = (budget * counts["c"]) // C
+    counts["rem"] = (budget * counts["c"]) % C
+    leftover = budget - int(counts["base"].sum())
+    # largest remainder first; ties by stratum key ascending
+    order = counts.sort_values(
+        ["rem"] + strata, ascending=[False] + [True] * len(strata)
+    ).index.to_numpy()
+    counts["extra"] = 0
+    counts.loc[order[:leftover], "extra"] = 1
+    alloc = {
+        tuple(r[k] for k in strata): int(r["base"] + r["extra"])
+        for _, r in counts.iterrows()
+    }
+
+    def take_quota(g: pd.DataFrame) -> pd.DataFrame:
+        k = alloc.get(tuple(g[s].iloc[0] for s in strata), 0)
+        if k <= 0:
+            return g.iloc[0:0][strata + [id_col]]
+        g = g.assign(
+            _h=[hashlib.md5(x.encode()).hexdigest() for x in g[text_col]]
+        )
+        g = g.sort_values(["_h", id_col], kind="mergesort").head(k)
+        return g[strata + [id_col]]
+
+    return (
+        docs.select_columns(strata + [id_col, text_col])
+        .groupby(strata)
+        .map_groups(take_quota, batch_format="pandas")
+    )
+
+
 def vocab_growth(docs, text_col="text", id_col="doc_id",
                  min_exp: int = 7):
     """Heaps-law vocabulary-growth curve: for prefix sizes N = 2^k

@@ -243,3 +243,45 @@ def gopher_quality_flags(docs, min_words: int = 50, max_words: int = 100_000,
     return docs.select_columns([id_col, text_col]).map_batches(
         flags, batch_format="pyarrow"
     )
+
+
+def script_ratios(docs, text_col="text", id_col="doc_id"):
+    """Unicode script composition per doc — the multilingual-pipeline
+    routing signal (ASCII-letter / digit / whitespace / non-ASCII
+    counts; a Latin-script doc claiming lang=zh, or a mostly-non-ASCII
+    doc in an English corpus, is a mislabel flag). Vectorized over
+    UTF-32 codepoint views (np.frombuffer — no per-char Python, the
+    bpe_merge_candidates idiom); every output is an exact int64
+    count."""
+
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_alpha, n_digit, n_space, n_non_ascii = [], [], [], []
+        for s in t[text_col].to_pylist():
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            lower = (cp >= 0x61) & (cp <= 0x7A)
+            upper = (cp >= 0x41) & (cp <= 0x5A)
+            n_alpha.append(int((lower | upper).sum()))
+            n_digit.append(int(((cp >= 0x30) & (cp <= 0x39)).sum()))
+            # RE2 \s: [ \t\n\r\f\v]
+            n_space.append(
+                int(np.isin(cp, (0x20, 0x09, 0x0A, 0x0D, 0x0C, 0x0B)).sum())
+            )
+            n_non_ascii.append(int((cp > 0x7F).sum()))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars": pa.array(
+                    [len(s) for s in t[text_col].to_pylist()], pa.int64()
+                ),
+                "n_ascii_alpha": pa.array(n_alpha, pa.int64()),
+                "n_digit": pa.array(n_digit, pa.int64()),
+                "n_space": pa.array(n_space, pa.int64()),
+                "n_non_ascii": pa.array(n_non_ascii, pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -1659,6 +1659,70 @@ def _q_proportional_sample(sf_dir: str):
     )
 
 
+def _q_embedding_top_component(sf_dir: str):
+    """Top principal direction of the embedding cloud (the whitening /
+    drift-diagnostic vector), EXACT-integer end to end: embeddings
+    quantize to ppm fixed point (floor(x*1e6) — identical IEEE double
+    op both sides), the 16x16 Gram matrix reduces through per-batch
+    int64 partial outer products (one tiny (i,j) exchange — vector
+    rows never leave their tasks), and TWO power iterations from the
+    ones vector run driver-side in arbitrary-precision ints with
+    max-abs normalization. Division mirrors DuckDB's
+    truncate-toward-zero `//` (Python's floor `//` differs on
+    negatives — measured). The twin re-derives the Gram by a
+    vec_id self-join over unnested dims and unrolls both iterations
+    in HUGEINT."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    D, SCALE = 16, 10**6
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)[:, :D]
+        Xi = np.floor(X * SCALE).astype(np.int64)
+        G = Xi.T @ Xi  # <= 4096 rows/batch * 1e12 — int64-safe
+        ii, jj = np.meshgrid(np.arange(D), np.arange(D), indexing="ij")
+        return pa.table(
+            {
+                "i": pa.array(ii.ravel() + 1, pa.int64()),
+                "j": pa.array(jj.ravel() + 1, pa.int64()),
+                "g": pa.array(G.ravel(), pa.int64()),
+            }
+        )
+
+    gram = (
+        _ds(sf_dir, "embeddings")
+        .select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("g", alias_name="g"))
+        .to_pandas()
+    )
+    G: dict[tuple[int, int], int] = {
+        (int(r.i), int(r.j)): int(r.g) for r in gram.itertuples()
+    }
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    v = [SCALE] * D
+    for _ in range(2):
+        w = [sum(G[(i, j)] * v[j - 1] for j in range(1, D + 1))
+             for i in range(1, D + 1)]
+        m = max(abs(x) for x in w) or 1
+        v = [tdiv(x * SCALE, m) for x in w]
+    return pd.DataFrame(
+        {
+            "dim": pd.Series(range(1, D + 1), dtype="int64"),
+            "v": pd.Series(v, dtype="int64"),
+        }
+    )
+
+
 def _q_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary-growth curve over the doc_id-ordered token
     stream (distinct tokens within the first N = 2^k occurrences, plus
@@ -5113,6 +5177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "script_ratios": _q_script_ratios,
         "proportional_sample": _q_proportional_sample,
+        "embedding_top_component": _q_embedding_top_component,
         "customer_order_totals": _q_customer_order_totals,
         "lang_share": _q_lang_share,
         "orders_by_dow": _q_orders_by_dow,
@@ -6996,6 +7061,31 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT r.lang, r.source, r.doc_id FROM rk r "
             "JOIN al a ON a.lang = r.lang AND a.source = r.source "
             "WHERE r.rn <= a.k ORDER BY r.lang, r.source, r.doc_id"
+        ),
+        # power iteration in HUGEINT: Gram via a vec_id self-join over
+        # unnested dims (CAST to DOUBLE before the ppm floor — a FLOAT
+        # multiply would round differently), two unrolled iterations,
+        # max-abs normalization with truncating // (matches the
+        # kernel's tdiv)
+        "embedding_top_component": (
+            "WITH ii AS (SELECT unnest(generate_series(1, 16)) AS i), "
+            "x AS (SELECT vec_id, ii.i, CAST(floor("
+            "CAST(embedding[ii.i] AS DOUBLE) * 1000000) AS BIGINT) AS v "
+            "FROM embeddings, ii), "
+            "g AS (SELECT a.i AS i, b.i AS j, "
+            "CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS g "
+            "FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.i, b.i), "
+            "w1 AS (SELECT i, SUM(g * CAST(1000000 AS HUGEINT)) AS w "
+            "FROM g GROUP BY i), "
+            "m1 AS (SELECT MAX(ABS(w)) AS m FROM w1), "
+            "v1 AS (SELECT i, (w * CAST(1000000 AS HUGEINT)) "
+            "// (SELECT m FROM m1) AS v FROM w1), "
+            "w2 AS (SELECT g.i, SUM(g.g * v1.v) AS w FROM g "
+            "JOIN v1 ON v1.i = g.j GROUP BY g.i), "
+            "m2 AS (SELECT MAX(ABS(w)) AS m FROM w2), "
+            "v2 AS (SELECT i, (w * CAST(1000000 AS HUGEINT)) "
+            "// (SELECT m FROM m2) AS v FROM w2) "
+            "SELECT i AS dim, CAST(v AS BIGINT) AS v FROM v2 ORDER BY dim"
         ),
         # Heaps curve: global first-occurrence positions via a window
         # SUM over doc token counts + zip-unnest ordinality, thresholds

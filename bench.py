@@ -274,6 +274,7 @@ def bench_queries() -> dict[str, float]:
         "refresh_change_rates",
         "script_ratios",
         "proportional_sample",
+        "embedding_top_component",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -3222,6 +3222,54 @@ def _q_text_roundtrip(sf_dir: str):
     return out.sort_values("shard").reset_index(drop=True)
 
 
+def _q_warcish_roundtrip(sf_dir: str):
+    """WARC-like BINARY capture container, sink + source certified end
+    to end: the synthesized pages (url, status, raw html bytes) write
+    as length-prefixed records into md5(url)-bucket shards, read back
+    via read_binary_files + frame parsing, and reduce to a per-shard
+    manifest whose every field — counts, payload bytes, status sum,
+    and an md5-payload checksum — is recomputed from the ROUND-TRIPPED
+    records. The twin re-derives the manifest from the original page
+    dump (statuses from the /status/NNN url convention, the same
+    sandbox-web rule as the crawl CTE)."""
+    import re
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.pipelines import pages_from_documents
+    from brinkray.textproc.curation import (
+        read_warcish_manifest,
+        write_warcish_shards,
+    )
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=800)
+    _dump_crawl_pages(sf_dir)
+    st_re = re.compile(r"^https?://[^/]+/status/([0-9]{3})(/|$)")
+    urls = pages["url"].to_pylist()
+    statuses = [
+        int(m.group(1)) if (m := st_re.match(u)) else 200 for u in urls
+    ]
+    tbl = pa.table(
+        {
+            "url": pages["url"],
+            "status": pa.array(statuses, pa.int32()),
+            "body": pages["html"],
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="brinkray_wrc_", dir="/tmp")
+    try:
+        write_warcish_shards(rd.from_arrow(tbl), out_dir).materialize()
+        out = read_warcish_manifest(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    for c in ("n_records", "n_bytes", "status_sum", "checksum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Label-vs-model confusion matrix: stored lang x stopword-profile
     prediction, one stateless scoring pass + one tiny groupby."""
@@ -5178,6 +5226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_ratios": _q_script_ratios,
         "proportional_sample": _q_proportional_sample,
         "embedding_top_component": _q_embedding_top_component,
+        "warcish_roundtrip": _q_warcish_roundtrip,
         "customer_order_totals": _q_customer_order_totals,
         "lang_share": _q_lang_share,
         "orders_by_dow": _q_orders_by_dow,
@@ -5681,6 +5730,27 @@ def oracle_sql() -> dict[str, str]:
         "WHERE substr(md5(r.canon), 32, 1) "
         "IN ('0','1','2','3','4','5','6','7') "
         "ORDER BY url"
+    )
+    # WARC-ish manifest re-derived from the original page dump: shard
+    # = md5(url) first hex digit % 8, statuses from the /status/NNN
+    # convention, checksum over decode(html) (pages are ASCII so the
+    # VARCHAR md5 equals the Ray side's byte md5)
+    d["warcish_roundtrip"] = (
+        f"WITH p AS (SELECT url, decode(html) AS s, "
+        f"octet_length(html) AS b FROM read_parquet('{_CRAWL_PAGES_PATH}')), "
+        "r AS (SELECT (strpos('0123456789abcdef', "
+        "substr(md5(url), 1, 1)) - 1) % 8 AS shard, b, "
+        "CASE WHEN regexp_matches(url, "
+        "'^https?://[^/]+/status/[0-9]{3}(/|$)') "
+        "THEN CAST(regexp_extract(url, '/status/([0-9]{3})', 1) AS BIGINT) "
+        "ELSE 200 END AS st, "
+        "md5_number_lower(s) % 1000000007 AS ck FROM p) "
+        "SELECT CAST(shard AS BIGINT) AS shard, "
+        "CAST(COUNT(*) AS BIGINT) AS n_records, "
+        "CAST(SUM(b) AS BIGINT) AS n_bytes, "
+        "CAST(SUM(st) AS BIGINT) AS status_sum, "
+        "CAST(SUM(ck) AS BIGINT) AS checksum "
+        "FROM r GROUP BY shard ORDER BY shard"
     )
     # per-host change rates: the same expired/modified predicates
     # aggregated by host — the refresh-scheduler input

@@ -275,6 +275,7 @@ def bench_queries() -> dict[str, float]:
         "script_ratios",
         "proportional_sample",
         "embedding_top_component",
+        "warcish_roundtrip",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

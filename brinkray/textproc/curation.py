@@ -1855,6 +1855,151 @@ def read_text_manifest(in_dir: str):
     )
 
 
+def write_warcish_shards(pages, out_dir: str, n_shards: int = 8):
+    """WARC-like binary capture container sink: length-prefixed records
+
+        b"WRC1" | u32le url_len | url utf-8 | i32le status
+               | u64le body_len | body bytes
+
+    — the fifth interchange format next to parquet/jsonl/csv/text, and
+    the only BINARY-framed one (bodies are raw bytes, no text escaping
+    needed). Layout matches the other sinks: one
+    ``out_dir/capture-NN.wrc`` per md5(url)-bucket shard, canonical
+    (md5, url) in-shard order, tmp+rename atomicity, skip-existing
+    resume. Input rows: url (string), status (int), body (binary).
+    Returns the per-shard manifest (shard, n_records, n_bytes,
+    checksum) where checksum = sum of md5-lower-64(body) mod 1e9+7 —
+    an order-independent exact certificate of the payload BYTES."""
+    import os
+    import struct
+
+    from .hashing import md5_lower64
+
+    MOD = 1_000_000_007
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        urls = t["url"].to_pylist()
+        hs = [hashlib.md5(u.encode("utf-8")).hexdigest() for u in urls]
+        return pa.table(
+            {
+                "url": t["url"],
+                "status": pc.cast(t["status"], pa.int32()),
+                "body": t["body"],
+                "h": pa.array(hs, pa.string()),
+                "shard": pa.array(
+                    [int(h[0], 16) % n_shards for h in hs], pa.int64()
+                ),
+            }
+        )
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["shard"].iloc[0])
+        g = g.sort_values(["h", "url"])
+        path = os.path.join(out_dir, f"capture-{shard:02d}.wrc")
+        n_bytes = 0
+        ck = 0
+        if not os.path.exists(path):
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                for u, st, body in zip(g["url"], g["status"], g["body"]):
+                    ub = u.encode("utf-8")
+                    b = bytes(body)
+                    f.write(b"WRC1")
+                    f.write(struct.pack("<I", len(ub)))
+                    f.write(ub)
+                    f.write(struct.pack("<i", int(st)))
+                    f.write(struct.pack("<Q", len(b)))
+                    f.write(b)
+            os.rename(tmp, path)
+        for body in g["body"]:
+            b = bytes(body)
+            n_bytes += len(b)
+            ck += md5_lower64(b.decode("utf-8")) % MOD
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_records": [len(g)],
+                "n_bytes": [n_bytes],
+                "status_sum": [int(g["status"].sum())],
+                "checksum": [ck],
+            }
+        )
+
+    return (
+        pages.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_group, batch_format="pandas")
+    )
+
+
+def read_warcish_manifest(in_dir: str):
+    """WARC-ish source: ``ray.data.read_binary_files`` over a
+    :func:`write_warcish_shards` directory (one task per capture
+    file), records re-parsed from the binary framing, reduced to the
+    writer's manifest with every field recomputed from the
+    ROUND-TRIPPED records — certifying binary sink + source fidelity
+    byte for byte (the checksum re-hashes the parsed bodies). A
+    malformed magic raises rather than silently resyncing."""
+    import re as _re
+    import struct
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .hashing import md5_lower64
+
+    MOD = 1_000_000_007
+    ds = rd.read_binary_files(
+        in_dir, file_extensions=["wrc"], include_paths=True
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        shards, nb, sts, ck = [], [], [], []
+        for p, blob in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            shard = int(_re.search(r"capture-(\d+)\.wrc$", p).group(1))
+            off = 0
+            mv = memoryview(blob)
+            while off < len(mv):
+                if bytes(mv[off:off + 4]) != b"WRC1":
+                    raise ValueError(f"bad magic at {p}:{off}")
+                off += 4
+                (ul,) = struct.unpack_from("<I", mv, off)
+                off += 4 + ul  # url (framing only; not re-emitted)
+                (st,) = struct.unpack_from("<i", mv, off)
+                off += 4
+                (bl,) = struct.unpack_from("<Q", mv, off)
+                off += 8
+                body = bytes(mv[off:off + bl])
+                off += bl
+                shards.append(shard)
+                nb.append(bl)
+                sts.append(st)
+                ck.append(md5_lower64(body.decode("utf-8")) % MOD)
+        return pa.table(
+            {
+                "shard": pa.array(shards, pa.int64()),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "status": pa.array(sts, pa.int64()),
+                "ck": pa.array(ck, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Count(alias_name="n_records"),
+            Sum("n_bytes", alias_name="n_bytes"),
+            Sum("status", alias_name="status_sum"),
+            Sum("ck", alias_name="checksum"),
+        )
+    )
+    return out
+
+
 def dsir_weights(docs, target_col: str = "lang", target_value: str = "en",
                  scale: int = 10**6, text_col="text", id_col="doc_id"):
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection

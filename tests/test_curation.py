@@ -855,3 +855,56 @@ def test_vocab_growth_bruteforce(ray_session):
     want = [(N, len(set(stream[:N]))) for N in ths]
     got = list(zip(out["n_prefix"].astype(int), out["vocab"].astype(int)))
     assert got == want
+
+
+def test_warcish_container_roundtrip_and_resume(ray_session, tmp_path):
+    """Binary container: write -> parse-back identity, skip-existing
+    resume (second write leaves bytes untouched), bad-magic raise."""
+    import os
+
+    import ray.data as rd
+
+    from brinkray.textproc.curation import (
+        read_warcish_manifest,
+        write_warcish_shards,
+    )
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [f"https://site-a.test/p/{i}" for i in range(40)], pa.string()
+            ),
+            "status": pa.array([200 + (i % 3) for i in range(40)], pa.int32()),
+            "body": pa.array(
+                [f"<html>{'x' * i}</html>".encode() for i in range(40)],
+                pa.binary(),
+            ),
+        }
+    )
+    d = str(tmp_path / "wrc")
+    m1 = write_warcish_shards(rd.from_arrow(t), d).to_pandas()
+    files = sorted(os.listdir(d))
+    sizes = {f: os.path.getsize(os.path.join(d, f)) for f in files}
+    mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in files}
+
+    back = read_warcish_manifest(d).to_pandas()
+    key = ["shard", "n_records", "n_bytes", "status_sum", "checksum"]
+    a = m1[key].sort_values("shard").reset_index(drop=True)
+    b = back[key].sort_values("shard").reset_index(drop=True)
+    assert a.astype("int64").equals(b.astype("int64"))
+    assert int(a["n_records"].sum()) == 40
+
+    # resume: re-running the sink skips every existing shard file
+    write_warcish_shards(rd.from_arrow(t), d).materialize()
+    assert {f: os.path.getsize(os.path.join(d, f)) for f in files} == sizes
+    assert {f: os.path.getmtime(os.path.join(d, f)) for f in files} == mtimes
+
+    # corruption: flip the magic of the first record in one shard
+    p = os.path.join(d, files[0])
+    blob = bytearray(open(p, "rb").read())
+    blob[0:4] = b"XXXX"
+    open(p, "wb").write(bytes(blob))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="bad magic"):
+        read_warcish_manifest(d).materialize()

@@ -2241,7 +2241,21 @@ def doc_similarity_tfidf(docs, threshold_cos2_ppm: int = 90_000,
         post_ds.groupby("_b").map_groups(bucket_pairs,
                                          batch_format="pandas"),
         key_col="pk", sum_cols=["dot"],
-    )
+    ).materialize()
+    if pair_dots.count() == 0:
+        # e.g. the df band matched no token corpus-wide (a 10x corpus
+        # with the same vocab pushes every df past df_max): no pairs.
+        # Without this gate the all-empty norm/pair datasets come back
+        # SCHEMALESS from Ray and the attach paths KeyError (hit at
+        # sf0.1 in the bench sweep).
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "dot_w": pa.array([], pa.int64()),
+            "cos2_ppm": pa.array([], pa.int64()),
+        }))
 
     norm_ds = base.map_batches(norm_rows, batch_format="pyarrow")
     n_docs = base.count()

@@ -89,12 +89,37 @@ def _keep_colliding_buckets(rows_ds, keys: list[str], cap: int = BUCKET_CAP):
     import logging
 
     import ray
-    import ray.data as rd
-    from ray.data.aggregate import Count
 
-    counts = rows_ds.groupby(keys).aggregate(Count(alias_name="_n"))
+    from .relagg import bucketed_group_sums
+
+    # count pass over the 64-bit key hash with per-batch partial
+    # combine + ONE bucketed exchange (bucketed_group_sums) — the
+    # sort-based groupby(keys).Count this replaces cost several
+    # seconds of pure aggregate overhead per dedup query at sf0.1
+    # (the measured Ray sort-aggregate tax; see relagg). Counting on
+    # the HASH instead of the exact key tuple can only merge buckets
+    # (spurious hot = a cold bucket kept, harmless per the membership
+    # argument above), never drop a hot one.
+    def count_partial(t: pa.Table) -> pa.Table:
+        h = _key_hash64([t[k].to_numpy(zero_copy_only=False) for k in keys])
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.view(np.int64), pa.int64()),
+                "_n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = bucketed_group_sums(
+        rows_ds.map_batches(count_partial, batch_format="pyarrow"),
+        key_col="h", sum_cols=["_n"],
+    )
     hot_tbl = counts.map_batches(
-        lambda t: t.filter(__import__("pyarrow.compute", fromlist=["greater"]).greater(t["_n"], 1)),
+        lambda t: t.filter(
+            __import__("pyarrow.compute", fromlist=["greater"]).greater(
+                t["_n"], 1
+            )
+        ),
         batch_format="pyarrow",
     ).to_pandas()
     if len(hot_tbl) == 0:
@@ -111,7 +136,7 @@ def _keep_colliding_buckets(rows_ds, keys: list[str], cap: int = BUCKET_CAP):
             int(hot_tbl["_n"].max()),
         )
     hot_hashes = np.unique(
-        _key_hash64([hot_tbl[k].to_numpy() for k in keys])
+        hot_tbl["h"].to_numpy().view(np.uint64)
     )  # sorted by construction
     hot_ref = ray.put(hot_hashes)
 

@@ -593,6 +593,15 @@ def test_pagerank_integer_recurrence(ray_session):
     # structure sanity: c (two in-links incl. the hub) outranks b; the
     # isolated node sits at base
     assert r["c"] > r["b"] > r["e"] == base
+    # broadcast-ranks path (default here) == native-join path, bit for
+    # bit (max_broadcast_nodes=0 forces the join path)
+    joined = (
+        pagerank(nds, eds, iters=5, scale=10**12, num_partitions=2,
+                 max_broadcast_nodes=0)
+        .to_pandas()
+        .set_index("node")["r"]
+    )
+    assert joined.to_dict() == r
 
 
 def test_funnel_attribution_semantics(ray_session):

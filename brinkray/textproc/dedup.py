@@ -504,9 +504,13 @@ def dedup_incremental(new_docs, corpus_docs, prefix_tokens: int | None = None,
 
 
 # ---------------------------------------------------------------- minhash
-def minhash_rows(ds, text_col: str = "text", id_col: str = "doc_id", bands: int = BANDS):
-    """Stage 1: per-doc signature, exploded to (band, band_hash, doc_id,
-    sig) rows — the LSH bucketing input."""
+def minhash_rows(ds, text_col: str = "text", id_col: str = "doc_id",
+                 bands: int = BANDS, with_sig: bool = True):
+    """Stage 1: per-doc signature, exploded to (band, band_hash, doc_id
+    [, sig]) rows — the LSH bucketing input. ``with_sig=False`` emits
+    the SLIM 24-byte bucketing rows (the pair-generation exchange does
+    not need the 8*NUM_PERM-byte signature payload — at bands=64 the
+    blob dominated the shuffle ~20x)."""
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
@@ -514,26 +518,28 @@ def minhash_rows(ds, text_col: str = "text", id_col: str = "doc_id", bands: int 
         out_band, out_bh, out_id, out_sig = [], [], [], []
         for i, text in zip(ids, texts):
             sig = minhash_signature(shingle_hashes(text))
-            sig_bytes = sig.tobytes()
+            sig_bytes = sig.tobytes() if with_sig else b""
             for b, bh in enumerate(band_hashes(sig, bands)):
                 out_band.append(b)
                 out_bh.append(bh)
                 out_id.append(i)
-                out_sig.append(sig_bytes)
-        return pa.table(
-            {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bh, pa.int64()),
-                id_col: pa.array(out_id, pa.int64()),
-                "sig": pa.array(out_sig, pa.binary()),
-            }
-        )
+                if with_sig:
+                    out_sig.append(sig_bytes)
+        cols = {
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_bh, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+        }
+        if with_sig:
+            cols["sig"] = pa.array(out_sig, pa.binary())
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5,
-                      bands=BANDS, bucket_cap: int = BUCKET_CAP):
+                      bands=BANDS, bucket_cap: int = BUCKET_CAP,
+                      max_broadcast_bytes: int = 128 << 20):
     """MinHash+LSH near-dup candidates: bucket by (band, band_hash),
     estimate Jaccard from full signatures, keep pairs >= threshold.
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, deduped
@@ -546,33 +552,21 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5,
     for all practical purposes). ``bucket_cap`` bounds quadratic
     bucket work at scale (truncation is logged, never silent);
     conformance-scale callers pass a cap above the corpus size."""
-    from ray.data.aggregate import Max
+    import ray
 
-    rows = minhash_rows(ds, text_col, id_col, bands)
+    rows = minhash_rows(ds, text_col, id_col, bands, with_sig=False)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        n = len(g)
+        ids = np.unique(g[id_col].to_numpy())[:bucket_cap]
+        n = len(ids)
         if n < 2:
             return _pairs_frame([], [], [], "est_jaccard")
-        if n > bucket_cap:
-            g = g.head(bucket_cap)  # star-pattern cap, see module docstring
-            n = bucket_cap
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        iu = np.triu_indices(n, 1)
+        return _pairs_frame(
+            ids[iu[0]], ids[iu[1]], np.zeros(len(iu[0])), "est_jaccard"
         )
-        a_list, b_list, est_list = [], [], []
-        for i in range(n - 1):
-            est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            keep = np.nonzero(est >= threshold)[0]
-            for j in keep:
-                a_list.append(ids[i])
-                b_list.append(ids[i + 1 + j])
-                est_list.append(float(est[j]))
-        return _pairs_frame(a_list, b_list, est_list, "est_jaccard")
 
-    rows = rows.materialize()  # signatures are computed once, reused by both passes
+    rows = rows.materialize()
     colliding = _keep_colliding_buckets(rows, ["band", "band_hash"], cap=bucket_cap)
     if colliding is None:
         return _ensure_pair_schema(None, "est_jaccard", pa.float64())
@@ -585,8 +579,95 @@ def minhash_lsh_pairs(ds, text_col="text", id_col="doc_id", threshold=0.5,
         ],
         bucket_pairs,
     )
-    agg = _dedup_pairs(pairs, "est_jaccard", "max")
-    return _ensure_pair_schema(agg, "est_jaccard", pa.float64())
+    cand = _dedup_pairs(pairs, "est_jaccard", "max").materialize()
+    if cand.count() == 0:
+        return _ensure_pair_schema(None, "est_jaccard", pa.float64())
+
+    # estimate ONCE per distinct candidate pair from the full per-doc
+    # signatures (the signature blob never enters the bucket exchange).
+    # Candidate docs' signatures broadcast via ray.put (8*NUM_PERM
+    # bytes/doc; bounded by candidate docs, not the corpus) — beyond
+    # max_broadcast_bytes a shuffle attach (the jaccard_verify shape)
+    # would take over; candidates at that scale already go through the
+    # exact-verify path, so the broadcast gate raises explicitly.
+    ids_tbl = (
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: pa.concat_arrays(
+                        [t["doc_a"].combine_chunks(),
+                         t["doc_b"].combine_chunks()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .unique(id_col)
+    )
+    needed = np.sort(np.asarray(ids_tbl, dtype=np.int64))
+    if len(needed) * NUM_PERM * 8 > max_broadcast_bytes:
+        raise ValueError(
+            "minhash_lsh_pairs: candidate-doc signature payload "
+            f"({len(needed)} docs) exceeds max_broadcast_bytes; raise "
+            "the budget or run the exact-verify pipeline "
+            "(ngram_jaccard_pairs) whose shuffle attach scales past it"
+        )
+    needed_ref = ray.put(needed)
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        need = ray.get(needed_ref)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        keep = np.nonzero(np.isin(ids, need))[0]
+        texts = t[text_col].to_pylist()
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "sig": pa.array(
+                    [
+                        minhash_signature(shingle_hashes(texts[i])).tobytes()
+                        for i in keep
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    sets_tbl = pa.concat_tables(
+        ray.get(
+            ds.select_columns([id_col, text_col])
+            .map_batches(sig_rows, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    sig_ref = ray.put(
+        dict(zip(sets_tbl[id_col].to_pylist(), sets_tbl["sig"].to_pylist()))
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        sigs = ray.get(sig_ref)
+        out_a, out_b, out_e = [], [], []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = sigs.get(a), sigs.get(b)
+            if sa is None or sb is None:
+                continue
+            est = float(
+                (np.frombuffer(sa, dtype=np.uint64)
+                 == np.frombuffer(sb, dtype=np.uint64)).mean()
+            )
+            if est >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_e.append(est)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "est_jaccard": pa.array(out_e, pa.float64()),
+            }
+        )
+
+    est = cand.map_batches(estimate, batch_format="pyarrow")
+    return _ensure_pair_schema(est, "est_jaccard", pa.float64())
 
 
 def ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", threshold=0.3, bands=BANDS):

@@ -512,6 +512,44 @@ def _query_vec(sf_dir: str):
     return t["embedding"][i].as_py()
 
 
+def _q_ann_filtered_topk(sf_dir: str):
+    """FILTERED vector search — top-10 cosine restricted to vectors
+    whose matching document (vec_id == doc_id by construction) has
+    lang='en', the metadata-prefilter ANN shape every retrieval stack
+    needs. The small allowed-id set broadcasts once via ray.put
+    (searchsorted membership inside map_batches — pre-filter, so
+    disallowed vectors never enter the scoring pass); at corpus scale
+    the same prefilter becomes a semi-join. Membership compared
+    (cosine last-ulp excluded, as in ann_cosine_topk)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from brinkray.textproc.similarity import cosine_topk
+
+    allowed = np.sort(
+        np.asarray(
+            _ds(sf_dir, "documents")
+            .filter(expr="lang == 'en'")
+            .select_columns(["doc_id"])
+            .unique("doc_id"),
+            dtype=np.int64,
+        )
+    )
+    aref = ray.put(allowed)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        al = ray.get(aref)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(np.isin(ids, al)))
+
+    filtered = _ds(sf_dir, "embeddings").map_batches(
+        prefilter, batch_format="pyarrow"
+    )
+    out = cosine_topk(filtered, _query_vec(sf_dir), k=10).to_pandas()
+    return out[["vec_id"]]
+
+
 def _q_ann_topk(sf_dir: str):
     # Compared output is the top-k MEMBERSHIP (vec_id): the cosine value
     # itself differs from DuckDB in the last ulp (summation order), so
@@ -5120,6 +5158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": _q_token_budget_sample,
         "embedding_dups": _q_embedding_dups,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_filtered_topk": _q_ann_filtered_topk,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "deterministic_sample": _q_deterministic_sample,
@@ -6396,6 +6435,18 @@ def _oracle_sql_dict() -> dict[str, str]:
             "WITH q AS (SELECT embedding FROM embeddings "
             "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) "
             "SELECT e.vec_id FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10"
+        ),
+        # metadata-filtered ANN: the same brute-force ordering over the
+        # lang-gated join (note the QUERY vector is the global MIN
+        # vec_id row, unfiltered — the filter applies to candidates)
+        "ann_filtered_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings "
+            "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) "
+            "SELECT e.vec_id FROM embeddings e "
+            "JOIN documents d ON d.doc_id = e.vec_id, q "
+            "WHERE d.lang = 'en' "
             "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10"
         ),

@@ -276,6 +276,7 @@ def bench_queries() -> dict[str, float]:
         "proportional_sample",
         "embedding_top_component",
         "warcish_roundtrip",
+        "ann_filtered_topk",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -2759,6 +2759,70 @@ def _q_link_degree_histogram(sf_dir: str):
     return out.sort_values("out_degree").reset_index(drop=True)
 
 
+def _q_sitemap_extract(sf_dir: str):
+    """Sitemap ingestion (the crawler's other seed source): synthesize
+    one sitemap.xml per host from the dumped pages (deterministic —
+    urls in sorted order, the standard <urlset><url><loc> envelope) and
+    parse the <loc> entries back with a stateless vectorized extractor
+    (pyarrow RE2 over the xml bodies; at scale this is the map stage
+    that feeds expand-seeds). Emits (host, url) for every extracted
+    loc; the twin re-parses the SAME xml built by an identical SQL
+    string_agg — certifying the extraction, not just the synthesis."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from brinkray.pipelines import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, pages_per_doc=1.0, cap=800)
+    _dump_crawl_pages(sf_dir)
+    urls = sorted(pages["url"].to_pylist())
+    by_host: dict[str, list[str]] = {}
+    for u in urls:
+        host = u.split("/", 3)[2]
+        by_host.setdefault(host, []).append(u)
+    xmls = pa.table(
+        {
+            "host": pa.array(sorted(by_host), pa.string()),
+            "xml": pa.array(
+                [
+                    "<urlset>"
+                    + "".join(f"<url><loc>{u}</loc></url>" for u in by_host[h])
+                    + "</urlset>"
+                    for h in sorted(by_host)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        hosts_out, locs_out = [], []
+        # pyarrow.compute has no extract-ALL kernel; compiled RE2-style
+        # findall per xml row (rows = hosts, tiny) is the honest shape
+        import re as _re
+
+        rx = _re.compile(r"<loc>([^<]*)</loc>")
+        for h, x in zip(t["host"].to_pylist(), t["xml"].to_pylist()):
+            for m in rx.findall(x):
+                hosts_out.append(h)
+                locs_out.append(m)
+        return pa.table(
+            {
+                "host": pa.array(hosts_out, pa.string()),
+                "url": pa.array(locs_out, pa.string()),
+            }
+        )
+
+    out = (
+        rd.from_arrow(xmls)
+        .map_batches(extract, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["host", "url"]).reset_index(drop=True)
+
+
 def _q_crawl_extract_links(sf_dir: str):
     """Phase-1 slice: pages -> normalize -> extract links (no loop)."""
     import ray.data as rd
@@ -5339,6 +5403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_filtered_read": _q_pushdown_filtered_read,
         "negative_samples": _q_negative_samples,
         "crawl_refresh_seen": _q_crawl_refresh_seen,
+        "sitemap_extract": _q_sitemap_extract,
         "crawl_revalidation": _q_crawl_revalidation,
         "refresh_change_rates": _q_refresh_change_rates,
         # TPC-H-shaped relational suite (reduced schema)
@@ -5769,6 +5834,18 @@ def oracle_sql() -> dict[str, str]:
         "WHERE substr(md5(r.canon), 32, 1) "
         "IN ('0','1','2','3','4','5','6','7') "
         "ORDER BY url"
+    )
+    # sitemap: SQL builds the identical per-host xml (string_agg in
+    # url order) and re-parses the <loc> entries independently
+    d["sitemap_extract"] = (
+        f"WITH p AS (SELECT url, split_part(url, '/', 3) AS host "
+        f"FROM read_parquet('{_CRAWL_PAGES_PATH}')), "
+        "x AS (SELECT host, '<urlset>' || "
+        "string_agg('<url><loc>' || url || '</loc></url>', '' "
+        "ORDER BY url) || '</urlset>' AS xml FROM p GROUP BY host), "
+        "l AS (SELECT host, unnest(regexp_extract_all(xml, "
+        "'<loc>([^<]*)</loc>', 1)) AS url FROM x) "
+        "SELECT host, url FROM l ORDER BY host, url"
     )
     # WARC-ish manifest re-derived from the original page dump: shard
     # = md5(url) first hex digit % 8, statuses from the /status/NNN

@@ -277,6 +277,7 @@ def bench_queries() -> dict[str, float]:
         "embedding_top_component",
         "warcish_roundtrip",
         "ann_filtered_topk",
+        "sitemap_extract",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

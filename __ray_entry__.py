@@ -527,15 +527,23 @@ def _q_ann_filtered_topk(sf_dir: str):
 
     from brinkray.textproc.similarity import cosine_topk
 
-    allowed = np.sort(
-        np.asarray(
-            _ds(sf_dir, "documents")
-            .filter(expr="lang == 'en'")
-            .select_columns(["doc_id"])
-            .unique("doc_id"),
-            dtype=np.int64,
-        )
+    # the filter side is the SMALL dim table: read it directly (the
+    # broadcast-small-side pattern, like _query_vec) — a distributed
+    # unique() here adds an exchange for nothing and exposed a
+    # full-suite-only empty-result flake of Ray's aggregate under
+    # heavy concurrent load
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    d = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
+    allowed = np.sort(
+        d.filter(_pc.equal(d["lang"], "en"))["doc_id"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+    )
+    assert len(allowed) > 0
     aref = ray.put(allowed)
 
     def prefilter(t: pa.Table) -> pa.Table:

@@ -20,7 +20,45 @@ __all__ = ["cosine_topk", "cosine_topk_multi", "ivf_topk", "ivf_topk_pruned",
 
 
 def _as_matrix(col) -> np.ndarray:
+    """Zero-copy-ish list<float> -> (n, d) matrix: reshape the Arrow
+    list array's flat values buffer instead of materializing a Python
+    list-of-lists per row (``to_pylist`` was the per-row hot-path cost
+    flagged in round 4). Ragged input falls back to the slow path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(n, col.type.list_size)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if np.all(widths == widths[0]):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(n, int(widths[0]))
     return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _ids_of(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def _collect(mapped_ds, schema: pa.Schema) -> pa.Table:
+    """Gather per-block partial tables to the driver, DROPPING the
+    degenerate blocks Ray emits when an upstream filter leaves a block
+    empty (those arrive as ZERO-COLUMN tables and make
+    ``pa.concat_tables`` raise ArrowInvalid — the deterministic
+    ann_filtered_topk crash of round 4). Always returns a table with
+    ``schema`` even when every block was empty."""
+    tabs = [
+        t
+        for t in ray.get(mapped_ds.to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0
+    ]
+    if not tabs:
+        return schema.empty_table()
+    return pa.concat_tables([t.select(schema.names).cast(schema) for t in tabs])
 
 
 def _unit(v: np.ndarray) -> np.ndarray:
@@ -34,7 +72,12 @@ def cosine_topk(ds, query: np.ndarray, k: int = 10, vec_col="embedding", id_col=
     q = _unit(np.asarray(query, dtype=np.float64))
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ids = _ids_of(t[id_col])
         cos = _unit(_as_matrix(t[vec_col])) @ q
         if len(ids) > k:
             idx = np.argpartition(-cos, k)[:k]
@@ -43,11 +86,10 @@ def cosine_topk(ds, query: np.ndarray, k: int = 10, vec_col="embedding", id_col=
             {id_col: pa.array(ids, pa.int64()), "cosine": pa.array(cos, pa.float64())}
         )
 
-    parts = pa.concat_tables(
-        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-    )
-    ids = np.asarray(parts[id_col].to_pylist(), dtype=np.int64)
-    cos = np.asarray(parts["cosine"].to_pylist())
+    schema = pa.schema([(id_col, pa.int64()), ("cosine", pa.float64())])
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"), schema)
+    ids = _ids_of(parts[id_col])
+    cos = parts["cosine"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -cos))[:k]
     return pa.table(
         {
@@ -70,7 +112,13 @@ def cosine_topk_multi(ds, queries: np.ndarray, k: int = 10,
     nq = q.shape[0]
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        if t.num_rows == 0:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ids = _ids_of(t[id_col])
         cos = _unit(_as_matrix(t[vec_col])) @ q.T  # (n, nq)
         out_q, out_id, out_c = [], [], []
         for j in range(nq):
@@ -90,12 +138,13 @@ def cosine_topk_multi(ds, queries: np.ndarray, k: int = 10,
             }
         )
 
-    parts = pa.concat_tables(
-        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    schema = pa.schema(
+        [("qid", pa.int64()), (id_col, pa.int64()), ("cosine", pa.float64())]
     )
-    qs = np.asarray(parts["qid"].to_pylist(), dtype=np.int64)
-    ids = np.asarray(parts[id_col].to_pylist(), dtype=np.int64)
-    cos = np.asarray(parts["cosine"].to_pylist())
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"), schema)
+    qs = _ids_of(parts["qid"])
+    ids = _ids_of(parts[id_col])
+    cos = parts["cosine"].to_numpy(zero_copy_only=False)
     keep_q, keep_i, keep_c = [], [], []
     for j in range(nq):
         m = qs == j
@@ -151,7 +200,12 @@ def ivf_topk(
     probe = set(np.argsort(-(cents @ q))[:nprobe].tolist())
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ids = _ids_of(t[id_col])
         unit = _unit(_as_matrix(t[vec_col]))
         assign = np.argmax(unit @ cents.T, axis=1)
         mask = np.isin(assign, list(probe))
@@ -164,11 +218,10 @@ def ivf_topk(
             {id_col: pa.array(ids, pa.int64()), "cosine": pa.array(cos, pa.float64())}
         )
 
-    parts = pa.concat_tables(
-        ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
-    )
-    ids = np.asarray(parts[id_col].to_pylist(), dtype=np.int64)
-    cos = np.asarray(parts["cosine"].to_pylist())
+    schema = pa.schema([(id_col, pa.int64()), ("cosine", pa.float64())])
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"), schema)
+    ids = _ids_of(parts[id_col])
+    cos = parts["cosine"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -cos))[:k]
     return pa.table(
         {
@@ -214,6 +267,10 @@ def ivf_topk_pruned(
     # pass 1: per-cell max member angle (the cell radius), reduced from
     # per-batch partial maxima — n_centroids tiny rows total
     def radius_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "r": pa.array([], pa.float64())}
+            )
         unit = _unit(_as_matrix(t[vec_col]))
         sim = unit @ cents.T
         assign = np.argmax(sim, axis=1)
@@ -250,8 +307,13 @@ def ivf_topk_pruned(
         probe_ref = ray.put(np.sort(probe_cells))
 
         def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
             probe = ray.get(probe_ref)
-            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            ids = _ids_of(t[id_col])
             unit = _unit(_as_matrix(t[vec_col]))
             assign = np.argmax(unit @ cents.T, axis=1)
             mask = np.isin(assign, probe)
@@ -265,8 +327,9 @@ def ivf_topk_pruned(
                  "cosine": pa.array(cos, pa.float64())}
             )
 
-        return pa.concat_tables(
-            ray.get(base.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        return _collect(
+            base.map_batches(partial, batch_format="pyarrow"),
+            pa.schema([(id_col, pa.int64()), ("cosine", pa.float64())]),
         )
 
     order = np.argsort(-bound, kind="stable")
@@ -281,8 +344,10 @@ def ivf_topk_pruned(
         cursor += len(todo)
         probed[np.asarray(todo)] = True
         part = probe_scan(np.asarray(todo, dtype=np.int64))
-        ids_acc = np.concatenate([ids_acc, np.asarray(part[id_col].to_pylist(), dtype=np.int64)])
-        cos_acc = np.concatenate([cos_acc, np.asarray(part["cosine"].to_pylist())])
+        ids_acc = np.concatenate([ids_acc, _ids_of(part[id_col])])
+        cos_acc = np.concatenate(
+            [cos_acc, part["cosine"].to_numpy(zero_copy_only=False)]
+        )
         if len(ids_acc) >= k:
             kth = np.sort(cos_acc)[-k]
             remaining = bound[~probed]
@@ -326,6 +391,12 @@ def kmeans_labels(ds, k: int = 8, iters: int = 10, vec_col="embedding",
         ref = ray.put(cents)
 
         def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"cluster": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64()),
+                     "s": pa.array([], pa.list_(pa.float64()))}
+                )
             c = ray.get(ref)
             x = _unit(_as_matrix(t[vec_col]))
             a = np.argmax(x @ c.T, axis=1)
@@ -370,6 +441,11 @@ def kmeans_labels(ds, k: int = 8, iters: int = 10, vec_col="embedding",
     ref = ray.put(cents)
 
     def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64())}
+            )
         c = ray.get(ref)
         x = _unit(_as_matrix(t[vec_col]))
         a = np.argmax(x @ c.T, axis=1)

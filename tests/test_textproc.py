@@ -106,6 +106,92 @@ def test_cosine_topk_exact(ray_session):
     assert out["vec_id"].to_pylist()[0] == 5  # the query itself
 
 
+def test_cosine_topk_filtered_blocks(ray_session):
+    """Round-4 regression (ann_filtered_topk driver crash): an upstream
+    prefilter that empties whole blocks makes Ray emit ZERO-COLUMN
+    blocks; cosine_topk must drop them instead of ArrowInvalid-ing in
+    pa.concat_tables."""
+    from brinkray.textproc.similarity import cosine_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16))
+    q = vecs[3]
+    allowed = np.arange(8)  # first block only — later blocks all-filtered
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, allowed)))
+
+    ds = _emb_ds(vecs).repartition(16).map_batches(
+        prefilter, batch_format="pyarrow"
+    )
+    out = cosine_topk(ds, q, k=5)
+    unit = vecs[:8] / np.linalg.norm(vecs[:8], axis=1, keepdims=True)
+    cos = unit @ (q / np.linalg.norm(q))
+    want = np.lexsort((np.arange(8), -cos))[:5]
+    assert out["vec_id"].to_pylist() == list(want)
+
+    # every block filtered away -> empty result with the right schema,
+    # not a crash
+    def drop_all(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(np.zeros(t.num_rows, dtype=bool)))
+
+    empty = cosine_topk(
+        _emb_ds(vecs).repartition(8).map_batches(drop_all, batch_format="pyarrow"),
+        q, k=5,
+    )
+    assert empty.num_rows == 0
+    assert empty.column_names == ["vec_id", "cosine"]
+
+
+def test_ivf_pruned_filtered_blocks(ray_session):
+    """Same latent zero-column-block hazard for the pruned-IVF probe
+    scan (similarity.py round-4 sites :167/:268)."""
+    from brinkray.textproc.similarity import cosine_topk, ivf_topk_pruned
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((240, 16))
+    q = vecs[9]
+    allowed = np.arange(0, 240, 7)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, allowed)))
+
+    ds = _emb_ds(vecs).repartition(12).map_batches(
+        prefilter, batch_format="pyarrow"
+    )
+    exact = cosine_topk(ds, q, k=5)
+    pruned = ivf_topk_pruned(ds, q, k=5, n_centroids=4, nprobe=2)
+    assert pruned["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+
+
+def test_collect_drops_degenerate_blocks(ray_session):
+    """_collect contract: zero-column and zero-row tables are dropped;
+    all-degenerate input yields schema.empty_table()."""
+    import ray
+
+    from brinkray.textproc.similarity import _collect
+
+    schema = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
+
+    class _Fake:
+        def __init__(self, tabs):
+            self._refs = [ray.put(t) for t in tabs]
+
+        def to_arrow_refs(self):
+            return self._refs
+
+    good = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                     "cosine": pa.array([0.5, 0.25], pa.float64())})
+    zero_col = pa.table({})
+    zero_row = schema.empty_table()
+    out = _collect(_Fake([zero_col, good, zero_row]), schema)
+    assert out.num_rows == 2 and out.schema == schema
+    out2 = _collect(_Fake([zero_col, zero_row]), schema)
+    assert out2.num_rows == 0 and out2.schema == schema
+
+
 def test_ivf_topk_contains_query_vector(ray_session):
     from brinkray.textproc.similarity import ivf_topk
 

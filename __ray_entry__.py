@@ -364,12 +364,17 @@ def _q_token_budget_sample(sf_dir: str):
     (windows.running_totals — one groupby(lang) exchange, vectorized
     mergesort+cumsum bodies); the twin is one SUM() OVER window."""
     import hashlib
+    import re
 
     import pyarrow as pa
 
     from brinkray.textproc.windows import running_totals
 
     BUDGET = 5000
+    # same whitespace definition as the twin's RE2 '\S+' (= complement
+    # of [\t\n\f\r ]) — Python str.split() additionally splits on \x0b
+    # and Unicode spaces like NBSP, which would admit a different set
+    tok_re = re.compile(r"[^\t\n\f\r ]+")
 
     def prep(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -382,7 +387,8 @@ def _q_token_budget_sample(sf_dir: str):
                     pa.string(),
                 ),
                 "n_tokens": pa.array(
-                    [float(len(x.split())) for x in texts], pa.float64()
+                    [float(len(tok_re.findall(x))) for x in texts],
+                    pa.float64(),
                 ),
             }
         )
@@ -5857,8 +5863,10 @@ def oracle_sql() -> dict[str, str]:
     )
     # WARC-ish manifest re-derived from the original page dump: shard
     # = md5(url) first hex digit % 8, statuses from the /status/NNN
-    # convention, checksum over decode(html) (pages are ASCII so the
-    # VARCHAR md5 equals the Ray side's byte md5)
+    # convention. The Ray side checksums RAW bytes (binary payloads
+    # pytest-pinned); this DuckDB's md5_number_lower is VARCHAR-only,
+    # so the twin decodes — equal because md5(utf8(s)) == md5(bytes)
+    # for the driver's valid-UTF-8 pages
     d["warcish_roundtrip"] = (
         f"WITH p AS (SELECT url, decode(html) AS s, "
         f"octet_length(html) AS b FROM read_parquet('{_CRAWL_PAGES_PATH}')), "

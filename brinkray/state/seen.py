@@ -141,7 +141,14 @@ class SeenShard:
                 "reval_items() needs retain_canon=True (canon strings "
                 "are not kept in scale mode; use reval_stats())"
             )
-        return {self.canon[d]: m for d, m in self.reval.items()}
+        # a digest soft-expired (keep_body=True) after its classified
+        # re-mark has no canon until the refetch re-marks it — skip it
+        # rather than KeyError while it is in flight
+        return {
+            self.canon[d]: m
+            for d, m in self.reval.items()
+            if self.canon.get(d) is not None
+        }
 
     def reserve(self, digests: list[bytes], gen: int = 0) -> list[int]:
         """Atomic claim for scale-ordering dedup: per digest, returns the
@@ -202,6 +209,10 @@ class SeenShard:
                 n += 1
             if not keep_body:
                 self.body.pop(d, None)
+                # a HARD forget erases the revalidation history too:
+                # leaving the reval entry behind with canon popped made
+                # a later reval_items() KeyError on the orphaned digest
+                self.reval.pop(d, None)
             self.reserved.pop(d, None)
         return n
 

@@ -1873,7 +1873,7 @@ def write_warcish_shards(pages, out_dir: str, n_shards: int = 8):
     import os
     import struct
 
-    from .hashing import md5_lower64
+    from .hashing import md5_lower64_bytes
 
     MOD = 1_000_000_007
 
@@ -1917,7 +1917,9 @@ def write_warcish_shards(pages, out_dir: str, n_shards: int = 8):
         for body in g["body"]:
             b = bytes(body)
             n_bytes += len(b)
-            ck += md5_lower64(b.decode("utf-8")) % MOD
+            # raw-byte checksum: the container is binary-framed, so the
+            # payload need not be UTF-8 (gzip/image bodies hash fine)
+            ck += md5_lower64_bytes(b) % MOD
         return pd.DataFrame(
             {
                 "shard": [shard],
@@ -1949,7 +1951,7 @@ def read_warcish_manifest(in_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    from .hashing import md5_lower64
+    from .hashing import md5_lower64_bytes
 
     MOD = 1_000_000_007
     ds = rd.read_binary_files(
@@ -1977,7 +1979,7 @@ def read_warcish_manifest(in_dir: str):
                 shards.append(shard)
                 nb.append(bl)
                 sts.append(st)
-                ck.append(md5_lower64(body.decode("utf-8")) % MOD)
+                ck.append(md5_lower64_bytes(body) % MOD)
         return pa.table(
             {
                 "shard": pa.array(shards, pa.int64()),
@@ -2182,8 +2184,12 @@ def doc_similarity_tfidf(docs, threshold_cos2_ppm: int = 90_000,
 
     def postings(t: pa.Table) -> pa.Table:
         i, hi, w = _banded_weights(t)
-        if len(i) and (i < 0).any() or len(i) and i.max() >= (1 << 32):
-            raise ValueError("doc ids must fit uint32 for pair packing")
+        if len(i) and ((i < 0).any() or i.max() >= (1 << 31)):
+            # pairs pack as (a << 32) | b into SIGNED int64 and unpack
+            # with an arithmetic >> 32, so ids in [2^31, 2^32) would
+            # silently produce negative keys / sign-extended doc_a —
+            # the guard must stop at 2^31, not 2^32
+            raise ValueError("doc ids must fit in 31 bits for pair packing")
         b = (hi.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
              >> np.uint64(33)) % np.uint64(n_buckets)
         return pa.table({"h": pa.array(hi, pa.int64()),

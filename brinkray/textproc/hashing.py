@@ -101,6 +101,13 @@ def md5_lower64(data: str) -> int:
     return int.from_bytes(hashlib.md5(data.encode("utf-8")).digest()[8:], "little")
 
 
+def md5_lower64_bytes(data: bytes) -> int:
+    """md5_lower64 over RAW bytes — for binary payloads (gzip, image
+    blobs) that need not be valid UTF-8. Matches DuckDB's
+    ``md5_number_lower(blob)``, which accepts BLOB directly."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
+
+
 @lru_cache(maxsize=1 << 17)
 def _token_hash_md5(tok: str) -> int:
     return md5_lower64(tok)

@@ -706,12 +706,17 @@ def _pagerank_broadcast(nodes_ds, edges_ds, iters: int,
         def partial(t: pa.Table) -> pa.Table:
             ns = ray.get(idx_ref)
             r, od = ray.get(score_ref)
-            src = np.searchsorted(
-                ns, np.asarray(t["parent"].to_pylist(), dtype=object)
-            )
-            dst = np.searchsorted(
-                ns, np.asarray(t["child"].to_pylist(), dtype=object)
-            )
+            pv = np.asarray(t["parent"].to_pylist(), dtype=object)
+            cv = np.asarray(t["child"].to_pylist(), dtype=object)
+            # hit check (the _banded_weights pattern): an edge endpoint
+            # absent from nodes_ds must be DROPPED, exactly like the
+            # join path's inner join on parent / left-outer on child —
+            # unmasked searchsorted would credit the lexicographic
+            # neighbor (or IndexError past the last node)
+            src = np.minimum(np.searchsorted(ns, pv), n - 1)
+            dst = np.minimum(np.searchsorted(ns, cv), n - 1)
+            ok = (ns[src] == pv) & (ns[dst] == cv)
+            src, dst = src[ok], dst[ok]
             acc = np.zeros(n, dtype=np.int64)
             np.add.at(acc, dst, r[src] // od[src])
             nz = np.nonzero(acc)[0]
@@ -735,9 +740,13 @@ def _pagerank_broadcast(nodes_ds, edges_ds, iters: int,
     # would count — use a direct bincount partial for clarity)
     def od_partial(t: pa.Table) -> pa.Table:
         ns = ray.get(idx_ref)
-        src = np.searchsorted(
-            ns, np.asarray(t["parent"].to_pylist(), dtype=object)
-        )
+        pv = np.asarray(t["parent"].to_pylist(), dtype=object)
+        # out-degree counts EVERY edge of a known parent (even one to a
+        # missing child — matching the join path, where od is grouped
+        # from the raw edge list before any node join); an unknown
+        # parent's edges are dropped like the inner join drops them
+        src = np.minimum(np.searchsorted(ns, pv), n - 1)
+        src = src[ns[src] == pv]
         acc = np.bincount(src, minlength=n).astype(np.int64)
         nz = np.nonzero(acc)[0]
         return pa.table(

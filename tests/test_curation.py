@@ -908,3 +908,69 @@ def test_warcish_container_roundtrip_and_resume(ray_session, tmp_path):
 
     with _pytest.raises(Exception, match="bad magic"):
         read_warcish_manifest(d).materialize()
+
+
+def test_warcish_container_binary_payloads(ray_session, tmp_path):
+    """The container claims raw-byte framing: NON-UTF-8 payloads
+    (gzip-like, image-like bytes) must round-trip — the checksum used
+    to .decode('utf-8') and raised on any binary body."""
+    import hashlib
+
+    import ray.data as rd
+
+    from brinkray.textproc.curation import (
+        read_warcish_manifest,
+        write_warcish_shards,
+    )
+
+    bodies = [
+        b"\x1f\x8b\x08\x00" + bytes(range(256)),   # gzip-magic + all bytes
+        b"\xff\xd8\xff\xe0jpegish\x80\xfe",
+        b"plain ascii is fine too",
+    ]
+    t = pa.table(
+        {
+            "url": pa.array(
+                [f"https://bin.test/b/{i}" for i in range(len(bodies))],
+                pa.string(),
+            ),
+            "status": pa.array([200] * len(bodies), pa.int32()),
+            "body": pa.array(bodies, pa.binary()),
+        }
+    )
+    d = str(tmp_path / "wrcbin")
+    m1 = write_warcish_shards(rd.from_arrow(t), d).to_pandas()
+    back = read_warcish_manifest(d).to_pandas()
+    key = ["shard", "n_records", "n_bytes", "status_sum", "checksum"]
+    a = m1[key].sort_values("shard").reset_index(drop=True).astype("int64")
+    b = back[key].sort_values("shard").reset_index(drop=True).astype("int64")
+    assert a.equals(b)
+    assert int(a["n_bytes"].sum()) == sum(len(x) for x in bodies)
+    # checksum is the RAW-byte md5 (DuckDB md5_number_lower(blob)
+    # semantics): little-endian uint64 of the last 8 digest bytes
+    MOD = 1_000_000_007
+    want = sum(
+        int.from_bytes(hashlib.md5(x).digest()[8:], "little") % MOD
+        for x in bodies
+    )
+    assert int(a["checksum"].sum()) == want
+
+
+def test_tfidf_pair_packing_guard(ray_session):
+    """doc ids >= 2^31 must raise (signed-int64 pair packing would
+    silently corrupt), not just ids >= 2^32 as the old guard checked."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from brinkray.textproc.curation import doc_similarity_tfidf
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 1 << 31], pa.int64()),
+                "text": pa.array(["shared words here"] * 3, pa.string()),
+            }
+        )
+    )
+    with _pytest.raises(Exception, match="31 bits"):
+        doc_similarity_tfidf(docs, df_min=1, df_max=10).materialize()

@@ -228,6 +228,35 @@ def test_seen_forget_roundtrip(ray_session):
     assert s.size() == 2
 
 
+def test_reval_items_survives_forget(ray_session):
+    """Hard forget after a classified re-mark must not orphan the
+    reval entry (it used to KeyError a later reval_items()); a soft
+    forget leaves the classification but skips the in-flight digest
+    until its re-mark restores the canon."""
+    from brinkray.state.seen import ShardedSeenSet
+
+    s = ShardedSeenSet(2, track_body=True)
+    u1, u2 = "https://a.test/r/1", "https://a.test/r/2"
+    s.mark([u1, u2], [200, 200], body_md5s=[b"A" * 16, b"B" * 16])
+    s.forget([u1, u2], keep_body=True)  # soft expire both
+    # re-mark: u1 modified, u2 revalidated
+    s.mark([u1, u2], [200, 200], body_md5s=[b"X" * 16, b"B" * 16])
+    assert s.reval_items() == {u1: True, u2: False}
+    assert s.reval_stats() == (1, 1)
+
+    # HARD forget u1: classification history goes with it
+    assert s.forget([u1]) == 1
+    assert s.reval_items() == {u2: False}  # no KeyError, u1 gone
+    assert s.reval_stats() == (1, 0)
+
+    # SOFT forget u2 (next refresh round): canon is popped while the
+    # refetch is in flight — reval_items skips it instead of raising
+    assert s.forget([u2], keep_body=True) == 1
+    assert s.reval_items() == {}
+    s.mark([u2], [200], body_md5s=[b"B" * 16])
+    assert s.reval_items() == {u2: False}
+
+
 def test_recrawl_refreshes_expired_urls(ray_session):
     """expire_urls + a second run() on the same engine: the expired
     urls fetch FRESH (cached=False) while their rediscovered neighbors

@@ -604,6 +604,59 @@ def test_pagerank_integer_recurrence(ray_session):
     assert joined.to_dict() == r
 
 
+def test_pagerank_broadcast_drops_unknown_endpoints(ray_session):
+    """Edges whose parent or child is absent from nodes_ds: the
+    broadcast path used an unmasked searchsorted that credited the
+    lexicographic neighbor (or IndexError'd past the last node) where
+    the join path silently drops the edge. Both paths must now agree —
+    including an endpoint sorting BEYOND the last node ('zzz')."""
+    import ray.data as rd
+
+    from brinkray.textproc.joins import pagerank
+
+    nodes = ["a", "b", "c"]
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("a", "zzz"),   # known parent -> unknown child: counts in
+                        # out-degree, contributes nothing
+        ("qq", "a"),    # unknown parent: dropped entirely
+        ("zzz", "b"),   # unknown parent past the last node (the
+                        # IndexError shape)
+    ]
+    nds = rd.from_arrow(pa.table({"node": pa.array(nodes)})).repartition(2)
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "parent": pa.array([p for p, _ in edges]),
+                "child": pa.array([c for _, c in edges]),
+            }
+        )
+    ).repartition(2)
+    broadcast = (
+        pagerank(nds, eds, iters=4, scale=10**12, num_partitions=2)
+        .to_pandas().set_index("node")["r"].to_dict()
+    )
+    joined = (
+        pagerank(nds, eds, iters=4, scale=10**12, num_partitions=2,
+                 max_broadcast_nodes=0)
+        .to_pandas().set_index("node")["r"].to_dict()
+    )
+    assert broadcast == joined
+    # reference recurrence with the drop semantics: od('a') == 2 (the
+    # edge to 'zzz' still divides a's rank), qq/zzz edges gone
+    scale = 10**12
+    r0 = scale // 3
+    base = (15 * r0) // 100
+    od = {"a": 2, "b": 1, "c": 1}
+    r = {n: r0 for n in nodes}
+    for _ in range(4):
+        s = {n: 0 for n in nodes}
+        for p, c in [("a", "b"), ("b", "c"), ("c", "a")]:
+            s[c] += r[p] // od[p]
+        r = {n: base + (85 * s[n]) // 100 for n in nodes}
+    assert broadcast == r
+
+
 def test_funnel_attribution_semantics(ray_session):
     from brinkray.textproc.windows import funnel_attribution
 

@@ -683,6 +683,82 @@ def ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", threshold=0.3, ban
     return jaccard_verify(ds, cand, text_col, id_col, threshold)
 
 
+def _prefix_rows_dfattach(base, df_ds, keep_of, text_col, id_col,
+                          emit_full: bool = False, n_coarse: int = 256):
+    """Beyond-broadcast-scale prefix construction for the AllPairs
+    family: each doc's distinct shingles attach their GLOBAL document
+    frequency by a distributed hash join on ``sh`` (the df table never
+    materializes on the driver — it grows with distinct shingles, i.e.
+    ~linearly with corpus tokens), then docs regroup through a
+    coarse-group exchange and a vectorized run-boundary pass selects
+    each doc's df-ascending prefix (``keep_of(n)`` rarest shingles,
+    ties by hash — the same total order as the broadcast path).
+    ``emit_full=True`` additionally emits every distinct shingle as a
+    side=1 FULL row (the asymmetric overlap-join shape)."""
+    from .joins import default_join_partitions
+
+    def doc_sh(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        sh_list = [
+            np.unique(shingle_hashes(x)).view(np.int64)
+            for x in t[text_col].to_pylist()
+        ]
+        if sh_list:
+            sh = np.concatenate(sh_list)
+            did = np.repeat(
+                np.asarray(ids, dtype=np.int64),
+                [len(s) for s in sh_list],
+            )
+        else:
+            sh = np.array([], dtype=np.int64)
+            did = np.array([], dtype=np.int64)
+        return pa.table(
+            {"sh": pa.array(sh, pa.int64()), id_col: pa.array(did, pa.int64())}
+        )
+
+    joined = (
+        base.map_batches(doc_sh, batch_format="pyarrow")
+        .join(df_ds, join_type="inner",
+              num_partitions=default_join_partitions(), on=("sh",))
+        .materialize()  # barrier before the groupby (chained-join rule)
+    )
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        cg = (d % n_coarse).astype(np.int32)
+        return t.append_column("cg", pa.array(cg, pa.int32()))
+
+    def per_cg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[id_col].to_numpy().astype(np.int64)
+        s = g["sh"].to_numpy().astype(np.int64)
+        f = g["df"].to_numpy().astype(np.int64)
+        order = np.lexsort((s, f, d))  # per doc: df asc, hash asc
+        d, s = d[order], s[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        counts = np.diff(np.append(starts, len(d)))
+        keep = keep_of(counts)
+        pos = np.arange(len(d)) - np.repeat(starts, counts)
+        m = pos < np.repeat(keep, counts)
+        if emit_full:
+            return pd.DataFrame(
+                {
+                    "sh": np.concatenate([s[m], s]),
+                    id_col: np.concatenate([d[m], d]),
+                    "side": np.concatenate(
+                        [np.zeros(int(m.sum()), np.int8),
+                         np.ones(len(d), np.int8)]
+                    ),
+                }
+            )
+        return pd.DataFrame({"sh": s[m], id_col: d[m]})
+
+    return (
+        joined.map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(per_cg, batch_format="pandas")
+    )
+
+
 def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
                        id_col="doc_id", bucket_cap: int = BUCKET_CAP,
                        max_broadcast_bytes: int = 128 << 20):
@@ -741,36 +817,53 @@ def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
             }
         )
 
-    df_tbl = (
+    df_ds = (
         base.map_batches(df_partial, batch_format="pyarrow")
         .groupby("sh")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
-        .sort_values("sh")
+        .materialize()
     )
-    df_ref = ray.put(
-        (df_tbl["sh"].to_numpy(), df_tbl["df"].to_numpy().astype(np.int64))
-    )
+    n_distinct = df_ds.count()
+    total_df = int(df_ds.sum("df") or 0)
 
-    def prefix_rows(t: pa.Table) -> pa.Table:
-        sh_sorted, dfs = ray.get(df_ref)
-        ids = t[id_col].to_pylist()
-        out_sh, out_id = [], []
-        for i, text in zip(ids, t[text_col].to_pylist()):
-            sh = np.unique(shingle_hashes(text)).view(np.int64)
-            n = len(sh)
-            keep = n - math.ceil(threshold * n) + 1
-            my_df = dfs[np.searchsorted(sh_sorted, sh)]
-            order = np.lexsort((sh, my_df))  # df asc, hash asc
-            pre = sh[order[:keep]]
-            out_sh.extend(pre.tolist())
-            out_id.extend([i] * len(pre))
-        return pa.table(
-            {
-                "sh": pa.array(out_sh, pa.int64()),
-                id_col: pa.array(out_id, pa.int64()),
-            }
+    if n_distinct * 16 <= max_broadcast_bytes:
+        # small-vocabulary path: the (sh, df) table fits the broadcast
+        # budget, ship it once via ray.put and build prefixes statelessly
+        df_tbl = df_ds.to_pandas().sort_values("sh")
+        df_ref = ray.put(
+            (df_tbl["sh"].to_numpy(), df_tbl["df"].to_numpy().astype(np.int64))
         )
+
+        def prefix_rows(t: pa.Table) -> pa.Table:
+            sh_sorted, dfs = ray.get(df_ref)
+            ids = t[id_col].to_pylist()
+            out_sh, out_id = [], []
+            for i, text in zip(ids, t[text_col].to_pylist()):
+                sh = np.unique(shingle_hashes(text)).view(np.int64)
+                n = len(sh)
+                keep = n - math.ceil(threshold * n) + 1
+                my_df = dfs[np.searchsorted(sh_sorted, sh)]
+                order = np.lexsort((sh, my_df))  # df asc, hash asc
+                pre = sh[order[:keep]]
+                out_sh.extend(pre.tolist())
+                out_id.extend([i] * len(pre))
+            return pa.table(
+                {
+                    "sh": pa.array(out_sh, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                }
+            )
+
+        rows = base.map_batches(prefix_rows, batch_format="pyarrow").materialize()
+    else:
+        # corpus-scale vocabulary: distinct shingles grow ~linearly
+        # with corpus tokens, so the df table must NOT land on the
+        # driver — attach df by distributed hash join instead
+        rows = _prefix_rows_dfattach(
+            base, df_ds,
+            keep_of=lambda n: n - np.ceil(threshold * n).astype(np.int64) + 1,
+            text_col=text_col, id_col=id_col,
+        ).materialize()
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).head(bucket_cap)
@@ -781,7 +874,6 @@ def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
         iu = np.triu_indices(n, 1)
         return _pairs_frame(ids[iu[0]], ids[iu[1]], np.zeros(len(iu[0])), "jaccard")
 
-    rows = base.map_batches(prefix_rows, batch_format="pyarrow").materialize()
     colliding = _keep_colliding_buckets(rows, ["sh"], cap=bucket_cap)
     if colliding is None:
         return rd.from_arrow(_EMPTY_JACCARD)
@@ -794,13 +886,13 @@ def shingle_join_pairs(ds, threshold: float = 0.5, text_col="text",
     cand = _dedup_pairs(cand, "jaccard", "max").materialize()
     if cand.count() == 0:
         return rd.from_arrow(_EMPTY_JACCARD)
-    # verify-mode gate: the df table is already on the driver, so the
-    # total distinct-(shingle, doc) payload is known exactly — below
-    # the budget, broadcast the doc shingle sets and verify in one
-    # stateless pass (no per-pair group callbacks: 18.2 s -> ~2 s for
-    # 409k candidates at sf0.1); above it, the per-pair shuffle verify
-    # keeps memory bounded.
-    if int(df_tbl["df"].sum()) * 8 <= max_broadcast_bytes:
+    # verify-mode gate: total_df (the distinct-(shingle, doc) payload)
+    # came from one distributed aggregate — below the budget, broadcast
+    # the doc shingle sets and verify in one stateless pass (no
+    # per-pair group callbacks: 18.2 s -> ~2 s for 409k candidates at
+    # sf0.1); above it, the per-pair shuffle verify keeps memory
+    # bounded.
+    if total_df * 8 <= max_broadcast_bytes:
         return jaccard_verify_broadcast(ds, cand, text_col, id_col, threshold)
     return jaccard_verify(ds, cand, text_col, id_col, threshold)
 
@@ -869,46 +961,62 @@ def overlap_dup_pairs(ds, threshold_num: int = 4, threshold_den: int = 5,
             }
         )
 
-    df_tbl = (
+    df_ds = (
         base.map_batches(df_partial, batch_format="pyarrow")
         .groupby("sh")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
-        .sort_values("sh")
+        .materialize()
     )
-    if len(df_tbl) == 0:
+    n_distinct = df_ds.count()
+    if n_distinct == 0:
         return rd.from_arrow(_empty)
-    df_ref = ray.put(
-        (df_tbl["sh"].to_numpy(), df_tbl["df"].to_numpy().astype(np.int64))
-    )
+    total_df = int(df_ds.sum("df") or 0)
 
-    def index_rows(t: pa.Table) -> pa.Table:
-        sh_sorted, dfs = ray.get(df_ref)
-        ids = t[id_col].to_pylist()
-        out_sh, out_id, out_side = [], [], []
-        for i, text in zip(ids, t[text_col].to_pylist()):
-            sh = np.unique(shingle_hashes(text)).view(np.int64)
-            n = len(sh)
-            # keep = n - ceil(t*n) + 1 with t = num/den, exact integer
-            # ceil — a float t could round the prefix one short at the
-            # boundary and silently lose recall
-            keep = n - (-(-threshold_num * n // threshold_den)) + 1
-            my_df = dfs[np.searchsorted(sh_sorted, sh)]
-            order = np.lexsort((sh, my_df))  # df asc, hash asc
-            pre = sh[order[:keep]]
-            out_sh.extend(pre.tolist())
-            out_id.extend([i] * len(pre))
-            out_side.extend([0] * len(pre))
-            out_sh.extend(sh.tolist())
-            out_id.extend([i] * n)
-            out_side.extend([1] * n)
-        return pa.table(
-            {
-                "sh": pa.array(out_sh, pa.int64()),
-                id_col: pa.array(out_id, pa.int64()),
-                "side": pa.array(out_side, pa.int8()),
-            }
+    if n_distinct * 16 <= max_broadcast_bytes:
+        df_tbl = df_ds.to_pandas().sort_values("sh")
+        df_ref = ray.put(
+            (df_tbl["sh"].to_numpy(), df_tbl["df"].to_numpy().astype(np.int64))
         )
+
+        def index_rows(t: pa.Table) -> pa.Table:
+            sh_sorted, dfs = ray.get(df_ref)
+            ids = t[id_col].to_pylist()
+            out_sh, out_id, out_side = [], [], []
+            for i, text in zip(ids, t[text_col].to_pylist()):
+                sh = np.unique(shingle_hashes(text)).view(np.int64)
+                n = len(sh)
+                # keep = n - ceil(t*n) + 1 with t = num/den, exact
+                # integer ceil — a float t could round the prefix one
+                # short at the boundary and silently lose recall
+                keep = n - (-(-threshold_num * n // threshold_den)) + 1
+                my_df = dfs[np.searchsorted(sh_sorted, sh)]
+                order = np.lexsort((sh, my_df))  # df asc, hash asc
+                pre = sh[order[:keep]]
+                out_sh.extend(pre.tolist())
+                out_id.extend([i] * len(pre))
+                out_side.extend([0] * len(pre))
+                out_sh.extend(sh.tolist())
+                out_id.extend([i] * n)
+                out_side.extend([1] * n)
+            return pa.table(
+                {
+                    "sh": pa.array(out_sh, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "side": pa.array(out_side, pa.int8()),
+                }
+            )
+
+        rows = base.map_batches(index_rows, batch_format="pyarrow").materialize()
+    else:
+        # beyond the broadcast budget: distributed df-attach (same
+        # exact integer-ceil prefix bound, vectorized)
+        rows = _prefix_rows_dfattach(
+            base, df_ds,
+            keep_of=lambda n: (
+                n - (threshold_num * n + threshold_den - 1) // threshold_den + 1
+            ),
+            text_col=text_col, id_col=id_col, emit_full=True,
+        ).materialize()
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         pdocs = np.unique(g.loc[g["side"] == 0, id_col].to_numpy())[:bucket_cap]
@@ -926,7 +1034,6 @@ def overlap_dup_pairs(ds, threshold_num: int = 4, threshold_den: int = 5,
             pairs[:, 0], pairs[:, 1], np.zeros(len(pairs)), "overlap"
         )
 
-    rows = base.map_batches(index_rows, batch_format="pyarrow").materialize()
     colliding = _keep_colliding_buckets(rows, ["sh"], cap=bucket_cap)
     if colliding is None:
         return rd.from_arrow(_empty)
@@ -939,7 +1046,7 @@ def overlap_dup_pairs(ds, threshold_num: int = 4, threshold_den: int = 5,
     cand = _dedup_pairs(cand, "overlap", "max").materialize()
     if cand.count() == 0:
         return rd.from_arrow(_empty)
-    if int(df_tbl["df"].sum()) * 8 <= max_broadcast_bytes:
+    if total_df * 8 <= max_broadcast_bytes:
         return jaccard_verify_broadcast(
             ds, cand, text_col, id_col, measure="overlap",
             num=threshold_num, den=threshold_den,

@@ -31,6 +31,7 @@ _apply_rayfix()  # schema-broadcast fix for native hash-shuffle joins
 
 __all__ = [
     "embedding_cosine_pairs_exact",
+    "embedding_pairs_verify",
     "decontaminate",
     "repetition_signals",
     "stratified_sample",
@@ -64,39 +65,82 @@ __all__ = [
 
 
 # ---------------------------------------------------------- exact pairs
-def embedding_cosine_pairs_exact(ds, threshold: float, vec_col="embedding", id_col="vec_id"):
+_EMPTY_COSINE_PAIRS = pa.table(
+    {
+        "vec_a": pa.array([], pa.int64()),
+        "vec_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
+def _unit_matrix_of(col) -> np.ndarray:
+    """list<float> column -> row-normalized (n, d) float64 matrix via
+    the flat values buffer (no per-row Python)."""
+    from .similarity import _as_matrix
+
+    E = _as_matrix(col)
+    return E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+
+
+@ray.remote
+def _assemble_unit_matrix(id_col: str, vec_col: str, *tabs):
+    """Build the (sorted ids, unit matrix) broadcast INSIDE a task so
+    the corpus matrix lives only in the object store (spillable), never
+    in the driver's Python heap."""
+    tabs = [t for t in tabs if t.num_columns and t.num_rows]
+    if not tabs:
+        return (np.array([], dtype=np.int64), np.empty((0, 0)))
+    full = pa.concat_tables([t.select([id_col, vec_col]) for t in tabs])
+    ids_all = full[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    En = _unit_matrix_of(full[vec_col])
+    order = np.argsort(ids_all)
+    return (ids_all[order], En[order])
+
+
+def embedding_cosine_pairs_exact(ds, threshold: float, vec_col="embedding",
+                                 id_col="vec_id",
+                                 max_broadcast_bytes: int = 256 << 20):
     """ALL pairs (a < b) with cosine >= threshold — the exact
     brute-force baseline the LSH operator (dedup.embedding_dup_pairs)
-    approximates, and the verify kernel for its candidate buckets.
+    approximates, and the oracle for its recall tests.
 
-    Distributed shape: the normalized matrix is ``ray.put`` ONCE and
-    every task reads the same object-store copy (never re-shipped per
-    batch); each batch computes one (batch x corpus) float64 matmul
-    and emits only the above-threshold (a, b) id pairs, so the full
-    n^2 similarity matrix never exists anywhere. O(n^2/p) flops per
-    task is the honest cost of exactness — at 100-TB corpus scale this
-    kernel runs on LSH candidate BUCKETS (m ~ thousands), while the
-    corpus-wide path is the LSH operator; as a corpus-wide oracle it
-    is for conformance scale only.
-    """
+    Distributed shape: the normalized matrix is assembled in a TASK
+    (the driver heap never holds the corpus — round-4 finding) and
+    every batch reads the same object-store copy (never re-shipped);
+    each batch computes one (batch x corpus) float64 matmul and emits
+    only the above-threshold (a, b) id pairs, so the full n^2
+    similarity matrix never exists anywhere. O(n^2/p) flops per task
+    is the honest cost of exactness, and the broadcast matrix is
+    corpus-sized — so past ``max_broadcast_bytes`` this RAISES with a
+    pointer to the scale paths: corpus-wide near-dup belongs to
+    ``embedding_dup_pairs`` (LSH + in-bucket exact verify), and
+    exact verification of ITS candidates to
+    :func:`embedding_pairs_verify` (bounded by candidate docs)."""
     import ray.data as rd
 
     mat = ds.select_columns([id_col, vec_col]).materialize()
-    # conformance-scale gather of the broadcast side (embeddings are
-    # the small table); the ids ride along so batch rows can exclude
-    # self/below-diagonal pairs against the full matrix
-    full = mat.to_pandas()
-    ids_all = full[id_col].to_numpy(dtype=np.int64)
-    E = np.asarray(list(full[vec_col]), dtype=np.float64)
-    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
-    order = np.argsort(ids_all)
-    ref = ray.put((ids_all[order], En[order]))
+    n = mat.count()
+    if n == 0:
+        return rd.from_arrow(_EMPTY_COSINE_PAIRS)
+    d = len(mat.take(1)[0][vec_col])
+    need = n * (d * 8 + 8)
+    if need > max_broadcast_bytes:
+        raise ValueError(
+            f"embedding_cosine_pairs_exact: corpus matrix ~{need >> 20} MiB "
+            f"({n} x {d}) exceeds max_broadcast_bytes — brute force is the "
+            "conformance oracle only; at corpus scale use "
+            "embedding_dup_pairs (LSH + in-bucket exact verify) or verify "
+            "its candidates with embedding_pairs_verify"
+        )
+    ref = _assemble_unit_matrix.remote(id_col, vec_col, *mat.to_arrow_refs())
 
     def batch_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_COSINE_PAIRS
         ids_ref, mat_ref = ray.get(ref)
-        ids_b = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        V = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        ids_b = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        Vn = _unit_matrix_of(t[vec_col])
         sim = Vn @ mat_ref.T
         # emit only a < b: each unordered pair is produced by exactly
         # one batch row (the smaller id), independent of blocking
@@ -112,16 +156,102 @@ def embedding_cosine_pairs_exact(ds, threshold: float, vec_col="embedding", id_c
 
     out = ds.map_batches(batch_pairs, batch_format="pyarrow").materialize()
     if out.count() == 0:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "vec_a": pa.array([], pa.int64()),
-                    "vec_b": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
-        )
+        return rd.from_arrow(_EMPTY_COSINE_PAIRS)
     return out
+
+
+def embedding_pairs_verify(ds, cand, threshold: float, vec_col="embedding",
+                           id_col="vec_id",
+                           max_broadcast_bytes: int = 256 << 20):
+    """EXACT cosine verification of CANDIDATE pairs — the corpus-scale
+    companion to :func:`embedding_cosine_pairs_exact`: instead of
+    broadcasting the whole corpus matrix, gather only the vectors of
+    docs that appear in some candidate pair (bounded by candidates,
+    not corpus — the minhash signature-broadcast pattern, hard gate +
+    raise past the budget) and score each pair with one vectorized
+    gather-dot pass over the candidate dataset. Feeding it
+    ``embedding_dup_pairs(..., threshold=-1)`` output (all in-bucket
+    pairs) yields the LSH-candidate exact-verify pipeline whose output
+    equals brute force whenever the LSH tables reach the pair (recall
+    pinned in tests). Returns (vec_a, vec_b, cosine >= threshold),
+    a < b, deduplicated."""
+    import ray.data as rd
+
+    names = cand.schema().names
+    if "doc_a" in names:  # the dedup-family pair frame naming
+        cand = cand.map_batches(
+            lambda t: pa.table({"vec_a": t["doc_a"], "vec_b": t["doc_b"]}),
+            batch_format="pyarrow",
+        )
+    cand = cand.select_columns(["vec_a", "vec_b"]).materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(_EMPTY_COSINE_PAIRS)
+    cand_tbl = pa.concat_tables(
+        [t for t in ray.get(cand.to_arrow_refs()) if t.num_columns and t.num_rows]
+    )
+    a = cand_tbl["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = cand_tbl["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    needed = np.unique(np.concatenate([a, b]))
+    d = len(ds.take(1)[0][vec_col])
+    need_bytes = len(needed) * (d * 8 + 8)
+    if need_bytes > max_broadcast_bytes:
+        raise ValueError(
+            f"embedding_pairs_verify: candidate-doc matrix ~"
+            f"{need_bytes >> 20} MiB ({len(needed)} docs x {d}) exceeds "
+            "max_broadcast_bytes — shard the candidate set (verify per "
+            "LSH bucket / pair partition) and union the results"
+        )
+    nref = ray.put(needed)
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ids, ray.get(nref))))
+
+    gathered = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(keep_needed, batch_format="pyarrow")
+        .materialize()
+    )
+    ref = _assemble_unit_matrix.remote(
+        id_col, vec_col, *gathered.to_arrow_refs()
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_COSINE_PAIRS
+        ids_s, En = ray.get(ref)
+        va = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vb = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        pa_i = np.searchsorted(ids_s, lo)
+        pb_i = np.searchsorted(ids_s, hi)
+        # candidates referencing ids absent from ds are dropped (the
+        # hit-check pattern), as are self-pairs
+        ok = (
+            (pa_i < len(ids_s)) & (pb_i < len(ids_s)) & (lo != hi)
+        )
+        ok &= (ids_s[np.minimum(pa_i, len(ids_s) - 1)] == lo)
+        ok &= (ids_s[np.minimum(pb_i, len(ids_s) - 1)] == hi)
+        lo, hi, pa_i, pb_i = lo[ok], hi[ok], pa_i[ok], pb_i[ok]
+        cos = np.einsum("ij,ij->i", En[pa_i], En[pb_i])
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(lo[keep], pa.int64()),
+                "vec_b": pa.array(hi[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    out = cand.map_batches(verify, batch_format="pyarrow")
+    # dedup: a candidate pair can arrive from several buckets/tables
+    # (the cosine is identical for every copy, Max is just the reducer)
+    from ray.data.aggregate import Max
+
+    return (
+        out.groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )
 
 
 # ------------------------------------------------------- decontamination

@@ -74,6 +74,74 @@ def test_embedding_pairs_exact_empty(ray_session):
     assert out.schema().names == ["vec_a", "vec_b", "cosine"]
 
 
+def test_embedding_pairs_exact_gate_raises(ray_session):
+    """The corpus-matrix broadcast is explicitly gated: past the budget
+    the exact kernel must raise with a pointer to the LSH scale path,
+    never silently gather the corpus."""
+    import ray.data as rd
+
+    from brinkray.textproc.curation import embedding_cosine_pairs_exact
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(8), pa.int64()),
+                "embedding": pa.array([[float(i), 1.0] for i in range(8)]),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="embedding_dup_pairs"):
+        embedding_cosine_pairs_exact(ds, 0.5, max_broadcast_bytes=0)
+
+
+def test_embedding_pairs_verify_bucketed_equals_bruteforce(ray_session):
+    """The corpus-scale shape: LSH candidate pairs (threshold=-1 emits
+    every in-bucket pair) exact-verified by embedding_pairs_verify ==
+    brute force, membership AND cosine values, on a fixture where the
+    multi-table recall provably reaches every >=0.9 pair."""
+    import ray.data as rd
+
+    from brinkray.textproc.curation import (
+        embedding_cosine_pairs_exact,
+        embedding_pairs_verify,
+    )
+    from brinkray.textproc.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(23)
+    n, d = 100, 12
+    E = rng.normal(size=(n, d))
+    for a, b in ((3, 10), (40, 41), (77, 95)):
+        E[b] = E[a] + 0.02 * rng.normal(size=d)  # planted near-dups
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(E.tolist()),
+            }
+        )
+    )
+    thr = 0.9
+    exact = embedding_cosine_pairs_exact(ds, thr).to_pandas()
+    # wide-recall candidate generation: 2-bit x 64 tables — a cos>=0.9
+    # pair collides per table with p >= (1 - arccos(.9)/pi)^2 ~ 0.73,
+    # missing all 64 with p < 1e-36
+    cand = embedding_dup_pairs(
+        ds, threshold=-1.0, n_tables=64, bits=2, bucket_cap=1 << 20
+    )
+    ver = embedding_pairs_verify(ds, cand, thr).to_pandas()
+    key = ["vec_a", "vec_b"]
+    a = exact.sort_values(key).reset_index(drop=True)
+    b = ver.sort_values(key).reset_index(drop=True)
+    assert a[key].values.tolist() == b[key].values.tolist()
+    assert np.allclose(a["cosine"].to_numpy(), b["cosine"].to_numpy(),
+                       rtol=0, atol=1e-12)
+    got = set(zip(a["vec_a"], a["vec_b"]))
+    assert {(3, 10), (40, 41), (77, 95)} <= got
+    # and the candidate-side gate raises explicitly past its budget
+    with pytest.raises(ValueError, match="shard the candidate"):
+        embedding_pairs_verify(ds, cand, thr, max_broadcast_bytes=0)
+
+
 def test_decontaminate_counts_shared_shingles(ray_session):
     from brinkray.textproc.curation import decontaminate
 

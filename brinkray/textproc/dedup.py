@@ -337,7 +337,8 @@ def dup_span_counts(ds, k: int = 12, text_col: str = "text",
 
 
 def dup_span_scrub(ds, k: int = 12, text_col: str = "text",
-                   id_col: str = "doc_id"):
+                   id_col: str = "doc_id",
+                   max_broadcast_windows: int = 5_000_000):
     """Exact-substring dedup with REMOVAL (the rewrite stage of
     Lee et al. 2022's suffix-array dedup, at k-token window
     granularity): every token covered by a k-token window that occurs
@@ -349,12 +350,17 @@ def dup_span_scrub(ds, k: int = 12, text_col: str = "text",
     Scale shape: the shared-window set is found exactly as in
     dup_span_counts (per-doc distinct digests, one low-cardinality
     bucket exchange, run-length >= 2-doc filter) and comes back as
-    digest rows only (16 B/window), broadcast once via ray.put into a
-    stateless scrub pass. Like paragraph_dedup, a boilerplate-heavy
-    corpus whose shared-window set is corpus-proportional would swap
-    the broadcast for the hash-join fallback
-    (paragraph_dedup_shuffled's shape); the set is the number of
-    CROSS-DOC duplicated windows, small on a deduplicated corpus."""
+    digest rows only (16 B/window). Up to ``max_broadcast_windows``
+    it broadcasts once via ray.put into a stateless scrub pass (the
+    common case — the set counts CROSS-DOC duplicated windows, small
+    on a deduplicated corpus). On a boilerplate-heavy corpus whose
+    shared set is corpus-proportional, the fallback keeps it
+    DISTRIBUTED: per-occurrence window rows hash-join the shared set
+    on the digest halves, covered start positions regroup per doc
+    through a coarse exchange, and one left-outer join attaches the
+    start lists back onto the docs for the rewrite (the
+    paragraph_dedup_shuffled shape) — no driver state proportional to
+    the corpus on any path."""
     import re
 
     import ray
@@ -406,33 +412,137 @@ def dup_span_scrub(ds, k: int = 12, text_col: str = "text",
              "w_lo": pd.Series(lo[keep], dtype="int64")}
         )
 
-    shared_df = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(explode, batch_format="pyarrow")
+    base = ds.select_columns([id_col, text_col])
+    shared_ds = (
+        base.map_batches(explode, batch_format="pyarrow")
         .groupby("_wb")
         .map_groups(shared_in_bucket, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    shared = {
-        (int(h) + (1 << 63)).to_bytes(8, "big")
-        + (int(l) + (1 << 63)).to_bytes(8, "big")
-        for h, l in zip(shared_df["w_hi"], shared_df["w_lo"])
-    }
-    ref = ray.put(shared)
+    n_shared = shared_ds.count()
 
-    def scrub(t: pa.Table) -> pa.Table:
-        sh = ray.get(ref)
+    if n_shared <= max_broadcast_windows:
+        shared_df = shared_ds.to_pandas()
+        shared = {
+            (int(h) + (1 << 63)).to_bytes(8, "big")
+            + (int(l) + (1 << 63)).to_bytes(8, "big")
+            for h, l in zip(shared_df["w_hi"], shared_df["w_lo"])
+        }
+        ref = ray.put(shared)
+
+        def scrub(t: pa.Table) -> pa.Table:
+            sh = ray.get(ref)
+            ids = t[id_col].to_pylist()
+            n_tok, n_rem, out_tx = [], [], []
+            for text in t[text_col].to_pylist():
+                toks = tok_re.findall(text.lower())
+                n = len(toks)
+                covered = np.zeros(n, dtype=bool)
+                if n >= k and sh:
+                    for i in range(n - k + 1):
+                        d = hashlib.md5(
+                            " ".join(toks[i:i + k]).encode()
+                        ).digest()
+                        if d in sh:
+                            covered[i:i + k] = True
+                kept = [tk for tk, c in zip(toks, covered) if not c]
+                n_tok.append(n)
+                n_rem.append(int(covered.sum()))
+                out_tx.append(" ".join(kept))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(n_tok, pa.int64()),
+                    "n_removed": pa.array(n_rem, pa.int64()),
+                    "text_scrubbed": pa.array(out_tx, pa.string()),
+                }
+            )
+
+        return base.map_batches(scrub, batch_format="pyarrow")
+
+    # ---- distributed fallback: the shared-window set stays a dataset
+    from .joins import default_join_partitions
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        pos: list[int] = []
+        w_hi: list[int] = []
+        w_lo: list[int] = []
+        for doc_id, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = tok_re.findall(text.lower())
+            if len(toks) < k:
+                continue
+            for i in range(len(toks) - k + 1):
+                v = int.from_bytes(
+                    hashlib.md5(" ".join(toks[i:i + k]).encode()).digest(),
+                    "big",
+                )
+                ids.append(doc_id)
+                pos.append(i)
+                w_hi.append((v >> 64) - (1 << 63))
+                w_lo.append((v & ((1 << 64) - 1)) - (1 << 63))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "w_hi": pa.array(np.array(w_hi, dtype=np.int64), pa.int64()),
+                "w_lo": pa.array(np.array(w_lo, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    hits = (
+        base.map_batches(occ_rows, batch_format="pyarrow")
+        .join(shared_ds, join_type="inner",
+              num_partitions=default_join_partitions(),
+              on=("w_hi", "w_lo"))
+        .materialize()
+    )
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_cg", pa.array((d % 256).astype(np.int32), pa.int32())
+        )
+
+    def starts_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[id_col].to_numpy().astype(np.int64)
+        p = g["pos"].to_numpy().astype(np.int64)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        bounds = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        # comma-joined string: Acero hash joins reject list<> payload
+        # columns, and the per-doc start list is tiny
+        return pd.DataFrame(
+            {
+                id_col: d[bounds],
+                "starts": [
+                    ",".join(map(str, x)) for x in np.split(p, bounds[1:])
+                ],
+            }
+        )
+
+    starts_ds = (
+        hits.map_batches(add_cg, batch_format="pyarrow")
+        .groupby("_cg")
+        .map_groups(starts_per_doc, batch_format="pandas")
+        .materialize()
+    )
+
+    joined = base.join(
+        starts_ds, join_type="left_outer",
+        num_partitions=default_join_partitions(), on=(id_col,),
+    )
+
+    def scrub_joined(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
         n_tok, n_rem, out_tx = [], [], []
-        for text in t[text_col].to_pylist():
+        for text, starts in zip(t[text_col].to_pylist(), t["starts"].to_pylist()):
             toks = tok_re.findall(text.lower())
             n = len(toks)
             covered = np.zeros(n, dtype=bool)
-            if n >= k and sh:
-                for i in range(n - k + 1):
-                    d = hashlib.md5(" ".join(toks[i:i + k]).encode()).digest()
-                    if d in sh:
-                        covered[i:i + k] = True
+            for s in (starts.split(",") if starts else ()):
+                i = int(s)
+                covered[i:i + k] = True
             kept = [tk for tk, c in zip(toks, covered) if not c]
             n_tok.append(n)
             n_rem.append(int(covered.sum()))
@@ -446,9 +556,7 @@ def dup_span_scrub(ds, k: int = 12, text_col: str = "text",
             }
         )
 
-    return ds.select_columns([id_col, text_col]).map_batches(
-        scrub, batch_format="pyarrow"
-    )
+    return joined.map_batches(scrub_joined, batch_format="pyarrow")
 
 
 def dedup_incremental(new_docs, corpus_docs, prefix_tokens: int | None = None,

@@ -682,15 +682,23 @@ def test_dup_span_scrub_removes_planted_span(ray_session):
         "tiny doc",
         "completely unique text with many words but no shared window here ok",
     ]
-    out = (
-        dup_span_scrub(_docs_ds(texts), k=12).to_pandas()
-        .sort_values("doc_id").reset_index(drop=True)
-    )
-    assert out.loc[0, "text_scrubbed"] == "alpha beta gamma delta"
-    assert out.loc[0, "n_removed"] == 12
-    assert out.loc[1, "text_scrubbed"].startswith("epsilon")
-    assert out.loc[2, "n_removed"] == 0 and out.loc[2, "text_scrubbed"] == "tiny doc"
-    assert out.loc[3, "n_removed"] == 0
+    # both paths: shared-set broadcast (default) and the distributed
+    # hash-join fallback (max_broadcast_windows=0) must agree exactly
+    for mbw in (5_000_000, 0):
+        out = (
+            dup_span_scrub(_docs_ds(texts), k=12,
+                           max_broadcast_windows=mbw).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out.loc[0, "text_scrubbed"] == "alpha beta gamma delta"
+        assert out.loc[0, "n_removed"] == 12
+        assert out.loc[1, "text_scrubbed"].startswith("epsilon")
+        assert (out.loc[2, "n_removed"] == 0
+                and out.loc[2, "text_scrubbed"] == "tiny doc")
+        assert out.loc[3, "n_removed"] == 0
+        assert out["n_tokens"].tolist() == [
+            len(t.split()) for t in texts
+        ]
 
 
 def _cdc_bruteforce(texts, head_chars=512, window=12):

@@ -91,8 +91,17 @@ def _np(col, dtype=np.int64) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(dtype)
 
 
+# broadcast gate for SF-proportional dimension tables (part is SF x
+# 200k rows, supplier SF x 10k): under the cap the dim ships once via
+# ray.put and probes via searchsorted; past it the query falls back to
+# its native hash-join shape (both paths pinned equal in tests)
+MAX_BROADCAST_DIM_ROWS = 5_000_000
+
+
 def _supplier_maps(supplier_ds, nation_ds):
-    """suppkey-sorted arrays: (suppkeys, nationkey, s_name) + nation name list."""
+    """suppkey-sorted arrays: (suppkeys, nationkey, s_name) + nation name
+    list. SF-proportional broadcast — callers with a join fallback gate
+    on ``MAX_BROADCAST_DIM_ROWS`` before calling this."""
     sup = supplier_ds.select_columns(["s_suppkey", "s_nationkey", "s_name"]) \
         .to_pandas().sort_values("s_suppkey")
     nat = {
@@ -104,6 +113,29 @@ def _supplier_maps(supplier_ds, nation_ds):
         sup["s_nationkey"].to_numpy(dtype=np.int64),
         sup["s_name"].to_numpy(),
         nat,
+    )
+
+
+def _gather_dim_filtered(dim_ds, key_col: str, keys: np.ndarray,
+                         cols: list[str]) -> pd.DataFrame:
+    """Gather ONLY the dim rows whose key is in ``keys`` — the
+    result-bounded replacement for gathering a whole SF-proportional
+    dimension to the driver just to attach names to a small result:
+    the key set (already on the driver, bounded by the result)
+    broadcasts once and the dim filters distributed; what reaches the
+    driver is |result| rows, never |dim|."""
+    import ray
+
+    kref = ray.put(np.sort(np.asarray(keys, dtype=np.int64)))
+
+    def probe(t: pa.Table) -> pa.Table:
+        hit, _ = _lookup_i64(ray.get(kref), _np(t[key_col]))
+        return t.filter(pa.array(hit)).select(cols)
+
+    return (
+        dim_ds.select_columns(cols)
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
     )
 
 
@@ -406,44 +438,99 @@ def market_share_yearly(lineitem_ds, orders_ds, customer_ds, supplier_ds,
 
 
 def profit_by_nation_year(lineitem_ds, part_ds, supplier_ds, nation_ds,
-                          name_substr: str = "widget"):
+                          name_substr: str = "widget",
+                          max_broadcast_dim_rows: int | None = None):
     """TPC-H Q9 shape (minus partsupp cost): revenue by supplier nation
     and ship-year restricted to parts whose name contains a token.
-    Both dimension probes broadcast; the ONLY exchange is the tiny
-    (nation x year) groupby."""
+    Under ``max_broadcast_dim_rows`` both dimension probes broadcast
+    and the ONLY exchange is the tiny (nation x year) groupby; past it
+    (part is SF x 200k rows — driver-sized only at conformance scale)
+    the part filter becomes a distributed semi-join and the supplier
+    nation attaches by native hash join. Both paths are bit-equal
+    (pinned in tests)."""
     from ray.data.aggregate import Sum
 
-    part = part_ds.select_columns(["p_partkey", "p_name"]).to_pandas()
-    keep_parts = np.sort(part.loc[
-        part["p_name"].str.contains(name_substr), "p_partkey"
-    ].to_numpy(dtype=np.int64))
-    sk, snat, _, nat = _supplier_maps(supplier_ds, nation_ds)
-    name_of = {k: v[0] for k, v in nat.items()}
-    import ray
-    ref = ray.put((keep_parts, sk, snat))
+    if max_broadcast_dim_rows is None:
+        max_broadcast_dim_rows = MAX_BROADCAST_DIM_ROWS
+    li = lineitem_ds.select_columns(
+        ["l_partkey", "l_suppkey", "l_shipdate",
+         "l_extendedprice", "l_discount"]
+    )
+    nat = {
+        int(r["n_nationkey"]): r["n_name"] for r in nation_ds.take_all()
+    }
 
-    def probe(t: pa.Table) -> pa.Table:
-        kp, keys, nk = ray.get(ref)
-        lp = _np(t["l_partkey"])
-        hit_p, _ = _lookup_i64(kp, lp)
-        t = t.filter(pa.array(hit_p))
-        ls = _np(t["l_suppkey"])
-        hit_s, pos = _lookup_i64(keys, ls)
-        snk = nk[np.minimum(pos, len(nk) - 1)]
-        names = np.array([name_of[int(x)] for x in snk])
-        return pa.table({
-            "n_name": pa.array(names, pa.string()),
-            "l_year": _year_i64(t["l_shipdate"]),
-            "rev_cc": _rev_cc(t),
-        })
+    if max(part_ds.count(), supplier_ds.count()) <= max_broadcast_dim_rows:
+        part = part_ds.select_columns(["p_partkey", "p_name"]).to_pandas()
+        keep_parts = np.sort(part.loc[
+            part["p_name"].str.contains(name_substr), "p_partkey"
+        ].to_numpy(dtype=np.int64))
+        sk, snat, _, _nat_full = _supplier_maps(supplier_ds, nation_ds)
+        import ray
+        ref = ray.put((keep_parts, sk, snat))
+
+        def probe(t: pa.Table) -> pa.Table:
+            kp, keys, nk = ray.get(ref)
+            lp = _np(t["l_partkey"])
+            hit_p, _ = _lookup_i64(kp, lp)
+            t = t.filter(pa.array(hit_p))
+            ls = _np(t["l_suppkey"])
+            hit_s, pos = _lookup_i64(keys, ls)
+            snk = nk[np.minimum(pos, len(nk) - 1)]
+            names = np.array([nat[int(x)] for x in snk])
+            return pa.table({
+                "n_name": pa.array(names, pa.string()),
+                "l_year": _year_i64(t["l_shipdate"]),
+                "rev_cc": _rev_cc(t),
+            })
+
+        grouped = li.map_batches(probe, batch_format="pyarrow")
+    else:
+        # join path: part keys semi-join the fact; supplier rows carry
+        # their nation name (nation itself is a fixed 25-row table —
+        # always broadcastable) and attach by hash join
+        from .joins import default_join_partitions, semi_join
+
+        nparts = default_join_partitions()
+
+        def part_keys(t: pa.Table) -> pa.Table:
+            m = pc.match_substring(t["p_name"], name_substr)
+            return pa.table(
+                {"l_partkey": pc.cast(t.filter(m)["p_partkey"], pa.int64())}
+            )
+
+        kp_ds = part_ds.select_columns(["p_partkey", "p_name"]).map_batches(
+            part_keys, batch_format="pyarrow"
+        )
+        li_f = semi_join(li, kp_ds, on="l_partkey",
+                         num_partitions=nparts).materialize()
+
+        def sup_rows(t: pa.Table) -> pa.Table:
+            names = np.array(
+                [nat[int(x)] for x in _np(t["s_nationkey"])]
+            )
+            return pa.table({
+                "l_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                "n_name": pa.array(names, pa.string()),
+            })
+
+        sup_ds = supplier_ds.select_columns(
+            ["s_suppkey", "s_nationkey"]
+        ).map_batches(sup_rows, batch_format="pyarrow")
+        joined = li_f.join(sup_ds, join_type="inner",
+                           num_partitions=nparts, on=("l_suppkey",))
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "n_name": t["n_name"],
+                "l_year": _year_i64(t["l_shipdate"]),
+                "rev_cc": _rev_cc(t),
+            })
+
+        grouped = joined.map_batches(finish, batch_format="pyarrow")
 
     out = (
-        lineitem_ds.select_columns(
-            ["l_partkey", "l_suppkey", "l_shipdate",
-             "l_extendedprice", "l_discount"]
-        )
-        .map_batches(probe, batch_format="pyarrow")
-        .groupby(["n_name", "l_year"])
+        grouped.groupby(["n_name", "l_year"])
         .aggregate(Sum("rev_cc", alias_name="rev_cc"))
         .to_pandas()
     )
@@ -549,46 +636,89 @@ def returnflag_priority_counts(lineitem_ds, orders_ds, year: int = 1997,
 # ---------------------------------------------------------------------------
 
 
-def promo_revenue_share(lineitem_ds, part_ds, month: str = "1997-09"):
-    """TPC-H Q14: the PROMO-part share of one month's revenue. Part
-    type broadcasts as a sorted (partkey, is_promo) pair; map-side
-    partial (promo, total) int sums; one float division at the end
+def promo_revenue_share(lineitem_ds, part_ds, month: str = "1997-09",
+                        max_broadcast_dim_rows: int | None = None):
+    """TPC-H Q14: the PROMO-part share of one month's revenue. Under
+    the dim gate, part type broadcasts as a sorted (partkey, is_promo)
+    pair and the month's lines probe map-side; past it, the
+    month-filtered (partkey, rev) rows hash-join the (partkey,
+    is_promo) dim natively. Either way the exchange carries partial
+    (promo, total) int sums; one float division at the end
     (``100.0 * promo / total``, the twin's association order)."""
     from ray.data.aggregate import Sum
 
+    if max_broadcast_dim_rows is None:
+        max_broadcast_dim_rows = MAX_BROADCAST_DIM_ROWS
     y, m = (int(x) for x in month.split("-"))
     lo = _ts(f"{y}-{m:02d}-01")
     hi = _ts(f"{y + (m == 12)}-{(m % 12) + 1:02d}-01")
-    part = part_ds.select_columns(["p_partkey", "p_type"]).to_pandas() \
-        .sort_values("p_partkey")
-    pk = part["p_partkey"].to_numpy(dtype=np.int64)
-    promo = (part["p_type"] == "PROMO").to_numpy()
-    import ray
-    ref = ray.put((pk, promo))
-
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
-                             pc.less(t["l_shipdate"], pa.scalar(hi))))
-        keys, isp = ray.get(ref)
-        lp = _np(t["l_partkey"])
-        hit, pos = _lookup_i64(keys, lp)
-        rev = _np(_rev_cc(t))
-        rev = rev[hit]
-        p = isp[pos[hit]] if len(keys) else np.zeros(0, dtype=bool)
-        return pa.table({
-            "promo_cc": pa.array([int(rev[p].sum())], pa.int64()),
-            "total_cc": pa.array([int(rev.sum())], pa.int64()),
-        })
-
-    agg = (
-        lineitem_ds.select_columns(
-            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
-        .aggregate(Sum("promo_cc", alias_name="promo_cc"),
-                   Sum("total_cc", alias_name="total_cc"))
+    li = lineitem_ds.select_columns(
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
     )
-    p, t = int(agg["promo_cc"]), int(agg["total_cc"])
+
+    if part_ds.count() <= max_broadcast_dim_rows:
+        part = part_ds.select_columns(["p_partkey", "p_type"]).to_pandas() \
+            .sort_values("p_partkey")
+        pk = part["p_partkey"].to_numpy(dtype=np.int64)
+        promo = (part["p_type"] == "PROMO").to_numpy()
+        import ray
+        ref = ray.put((pk, promo))
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                        pc.less(t["l_shipdate"], pa.scalar(hi)))
+            )
+            keys, isp = ray.get(ref)
+            lp = _np(t["l_partkey"])
+            hit, pos = _lookup_i64(keys, lp)
+            rev = _np(_rev_cc(t))
+            rev = rev[hit]
+            p = isp[pos[hit]] if len(keys) else np.zeros(0, dtype=bool)
+            return pa.table({
+                "promo_cc": pa.array([int(rev[p].sum())], pa.int64()),
+                "total_cc": pa.array([int(rev.sum())], pa.int64()),
+            })
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        from .joins import default_join_partitions
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                        pc.less(t["l_shipdate"], pa.scalar(hi)))
+            )
+            return pa.table(
+                {"l_partkey": t["l_partkey"], "rev_cc": _rev_cc(t)}
+            )
+
+        dim = part_ds.select_columns(["p_partkey", "p_type"]).map_batches(
+            lambda t: pa.table({
+                "l_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "isp": pc.cast(pc.equal(t["p_type"], pa.scalar("PROMO")),
+                               pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        joined = li.map_batches(li_prep, batch_format="pyarrow").join(
+            dim, join_type="inner",
+            num_partitions=default_join_partitions(), on=("l_partkey",),
+        )
+
+        def post(t: pa.Table) -> pa.Table:
+            rev = _np(t["rev_cc"])
+            isp = _np(t["isp"]).astype(bool)
+            return pa.table({
+                "promo_cc": pa.array([int(rev[isp].sum())], pa.int64()),
+                "total_cc": pa.array([int(rev.sum())], pa.int64()),
+            })
+
+        partials = joined.map_batches(post, batch_format="pyarrow")
+
+    agg = partials.aggregate(Sum("promo_cc", alias_name="promo_cc"),
+                             Sum("total_cc", alias_name="total_cc"))
+    p, t = int(agg["promo_cc"] or 0), int(agg["total_cc"] or 0)
     return pd.DataFrame({
         "promo_cc": [p],
         "total_cc": [t],
@@ -625,7 +755,10 @@ def top_supplier_revenue(lineitem_ds, supplier_ds,
     ).to_pandas()
     best = per_supp["total_rev"].max()
     win = per_supp[per_supp["total_rev"] == best]
-    names = supplier_ds.select_columns(["s_suppkey", "s_name"]).to_pandas()
+    names = _gather_dim_filtered(
+        supplier_ds, "s_suppkey",
+        win["l_suppkey"].to_numpy(dtype=np.int64), ["s_suppkey", "s_name"],
+    )
     out = win.merge(names, left_on="l_suppkey", right_on="s_suppkey")
     return out.sort_values("s_suppkey").reset_index(drop=True)[
         ["s_suppkey", "s_name", "total_rev"]
@@ -704,46 +837,88 @@ def large_volume_customers(lineitem_ds, orders_ds, customer_ds,
 
 
 def disjunctive_brand_revenue(lineitem_ds, part_ds,
-                              clauses: list[tuple[str, int, float, float]] | None = None):
+                              clauses: list[tuple[str, int, float, float]] | None = None,
+                              max_broadcast_dim_rows: int | None = None):
     """TPC-H Q19: revenue under an OR of (brand, max size, qty band)
-    clauses — the disjunctive-predicate-pushdown shape. Part attrs
-    broadcast once as parallel arrays; the whole predicate evaluates
-    vectorized per batch; ONE int crosses the cluster."""
+    clauses — the disjunctive-predicate-pushdown shape. Under the dim
+    gate, part attrs broadcast once as parallel arrays and the whole
+    predicate evaluates vectorized per batch (ONE int crosses the
+    cluster); past it, the qty-band-prefiltered lines hash-join the
+    clause-qualifying part rows natively."""
     from ray.data.aggregate import Sum
 
+    if max_broadcast_dim_rows is None:
+        max_broadcast_dim_rows = MAX_BROADCAST_DIM_ROWS
     if clauses is None:
         clauses = [("Brand#13", 10, 1.0, 3.0),
                    ("Brand#19", 15, 2.0, 5.0),
                    ("Brand#8", 20, 4.0, 8.0)]
-    part = part_ds.select_columns(["p_partkey", "p_brand", "p_size"]) \
-        .to_pandas().sort_values("p_partkey")
-    pk = part["p_partkey"].to_numpy(dtype=np.int64)
-    brand = part["p_brand"].to_numpy()
-    size = part["p_size"].to_numpy(dtype=np.int64)
-    import ray
-    ref = ray.put((pk, brand, size))
-
-    def partial(t: pa.Table) -> pa.Table:
-        keys, br, sz = ray.get(ref)
-        lp = _np(t["l_partkey"])
-        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
-        hit, pos = _lookup_i64(keys, lp)
-        pos = np.minimum(pos, max(len(keys) - 1, 0))
-        m = np.zeros(len(lp), dtype=bool)
-        for b, smax, qlo, qhi in clauses:
-            m |= (hit & (br[pos] == b) & (sz[pos] >= 1) & (sz[pos] <= smax)
-                  & (qty >= qlo) & (qty <= qhi))
-        rev = _np(_rev_cc(t))
-        return pa.table({"p": pa.array([int(rev[m].sum())], pa.int64())})
-
-    agg = (
-        lineitem_ds.select_columns(
-            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
-        .aggregate(Sum("p", alias_name="rev_cc"))
+    li = lineitem_ds.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
     )
-    return pd.DataFrame({"rev_cc": [int(agg["rev_cc"])]})
+
+    if part_ds.count() <= max_broadcast_dim_rows:
+        part = part_ds.select_columns(["p_partkey", "p_brand", "p_size"]) \
+            .to_pandas().sort_values("p_partkey")
+        pk = part["p_partkey"].to_numpy(dtype=np.int64)
+        brand = part["p_brand"].to_numpy()
+        size = part["p_size"].to_numpy(dtype=np.int64)
+        import ray
+        ref = ray.put((pk, brand, size))
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, br, sz = ray.get(ref)
+            lp = _np(t["l_partkey"])
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+            hit, pos = _lookup_i64(keys, lp)
+            pos = np.minimum(pos, max(len(keys) - 1, 0))
+            m = np.zeros(len(lp), dtype=bool)
+            for b, smax, qlo, qhi in clauses:
+                m |= (hit & (br[pos] == b) & (sz[pos] >= 1) & (sz[pos] <= smax)
+                      & (qty >= qlo) & (qty <= qhi))
+            rev = _np(_rev_cc(t))
+            return pa.table({"p": pa.array([int(rev[m].sum())], pa.int64())})
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+    else:
+        from .joins import default_join_partitions
+
+        def dim_rows(t: pa.Table) -> pa.Table:
+            br = t["p_brand"].to_numpy(zero_copy_only=False)
+            sz = _np(t["p_size"])
+            keep = np.zeros(t.num_rows, dtype=bool)
+            for b, smax, _, _ in clauses:
+                keep |= (br == b) & (sz >= 1) & (sz <= smax)
+            t = t.filter(pa.array(keep))
+            return pa.table({
+                "l_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "p_brand": t["p_brand"],
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+            })
+
+        dim = part_ds.select_columns(
+            ["p_partkey", "p_brand", "p_size"]
+        ).map_batches(dim_rows, batch_format="pyarrow")
+        joined = li.join(
+            dim, join_type="inner",
+            num_partitions=default_join_partitions(), on=("l_partkey",),
+        )
+
+        def post(t: pa.Table) -> pa.Table:
+            br = t["p_brand"].to_numpy(zero_copy_only=False)
+            sz = _np(t["p_size"])
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+            m = np.zeros(t.num_rows, dtype=bool)
+            for b, smax, qlo, qhi in clauses:
+                m |= ((br == b) & (sz >= 1) & (sz <= smax)
+                      & (qty >= qlo) & (qty <= qhi))
+            rev = _np(_rev_cc(t))
+            return pa.table({"p": pa.array([int(rev[m].sum())], pa.int64())})
+
+        partials = joined.map_batches(post, batch_format="pyarrow")
+
+    agg = partials.aggregate(Sum("p", alias_name="rev_cc"))
+    return pd.DataFrame({"rev_cc": [int(agg["rev_cc"] or 0)]})
 
 
 # ---------------------------------------------------------------------------
@@ -808,7 +983,10 @@ def dominant_part_suppliers(lineitem_ds, supplier_ds):
     counts = winners.groupby("l_suppkey").aggregate(
         Count(alias_name="n_parts_dominated")
     ).to_pandas()
-    names = supplier_ds.select_columns(["s_suppkey", "s_name"]).to_pandas()
+    names = _gather_dim_filtered(
+        supplier_ds, "s_suppkey",
+        counts["l_suppkey"].to_numpy(dtype=np.int64), ["s_suppkey", "s_name"],
+    )
     out = counts.merge(names, left_on="l_suppkey", right_on="s_suppkey")
     return out.sort_values("s_suppkey").reset_index(drop=True)[
         ["s_suppkey", "s_name", "n_parts_dominated"]
@@ -878,7 +1056,10 @@ def waiting_order_suppliers(lineitem_ds, supplier_ds):
     counts = blamed.groupby("l_suppkey").aggregate(
         Count(alias_name="numwait")
     ).to_pandas()
-    names = supplier_ds.select_columns(["s_suppkey", "s_name"]).to_pandas()
+    names = _gather_dim_filtered(
+        supplier_ds, "s_suppkey",
+        counts["l_suppkey"].to_numpy(dtype=np.int64), ["s_suppkey", "s_name"],
+    )
     out = counts.merge(names, left_on="l_suppkey", right_on="s_suppkey")
     return out.sort_values(["numwait", "s_suppkey"],
                            ascending=[False, True]).reset_index(drop=True)[
@@ -973,28 +1154,30 @@ def returned_item_customers(lineitem_ds, orders_ds, customer_ds, nation_ds,
 
 
 def min_cost_supplier_per_part(lineitem_ds, part_ds, supplier_ds,
-                               size: int = 10):
+                               size: int = 10,
+                               max_broadcast_dim_rows: int | None = None):
     """TPC-H Q2 shape: per part (of one size), the supplier with the
     lowest unit price, smallest suppkey on ties. Unit price compares
     EXACTLY as ``ep_cents * 840 / qty`` (840 = lcm(1..8) so the int
     division is always exact). Argmin is associative: each block
     pre-reduces to one candidate per part before the bucket exchange.
+    Under the dim gate the size-filtered part keys broadcast; past it
+    they semi-join the fact. Names (part AND supplier) always attach
+    by result-bounded filtered gathers, never whole-dim pulls.
     """
-    part = part_ds.select_columns(["p_partkey", "p_name", "p_size"]).to_pandas()
-    keep = part[part["p_size"] == size].sort_values("p_partkey")
-    pk = keep["p_partkey"].to_numpy(dtype=np.int64)
-    pname = dict(zip(keep["p_partkey"], keep["p_name"]))
-    import ray
-    ref = ray.put(pk)
+    if max_broadcast_dim_rows is None:
+        max_broadcast_dim_rows = MAX_BROADCAST_DIM_ROWS
+    li = lineitem_ds.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+    )
 
-    def local_argmin(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
+    def argmin_cols(t: pa.Table, hit=None) -> pa.Table:
         lp = _np(t["l_partkey"])
-        hit, _ = _lookup_i64(keys, lp)
-        lp = lp[hit]
-        ls = _np(t["l_suppkey"])[hit]
-        ep = _np(_cents(t["l_extendedprice"]))[hit]
-        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        ls = _np(t["l_suppkey"])
+        ep = _np(_cents(t["l_extendedprice"]))
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if hit is not None:
+            lp, ls, ep, qty = lp[hit], ls[hit], ep[hit], qty[hit]
         unit = ep * 840 // qty
         order = np.lexsort((ls, unit, lp))
         lp, ls, unit = lp[order], ls[order], unit[order]
@@ -1006,6 +1189,39 @@ def min_cost_supplier_per_part(lineitem_ds, part_ds, supplier_ds,
             "unit_scaled": pa.array(unit[first], pa.int64()),
         })
 
+    if part_ds.count() <= max_broadcast_dim_rows:
+        import ray
+
+        keep = (
+            part_ds.select_columns(["p_partkey", "p_size"])
+            .filter(expr=f"p_size == {int(size)}")
+            .to_pandas()
+        )
+        pk = np.sort(keep["p_partkey"].to_numpy(dtype=np.int64))
+        ref = ray.put(pk)
+
+        def local_argmin(t: pa.Table) -> pa.Table:
+            hit, _ = _lookup_i64(ray.get(ref), _np(t["l_partkey"]))
+            return argmin_cols(t, hit)
+
+        reduced = li.map_batches(local_argmin, batch_format="pyarrow")
+    else:
+        from .joins import semi_join
+
+        kp_ds = part_ds.select_columns(["p_partkey", "p_size"]).map_batches(
+            lambda t: pa.table({
+                "l_partkey": pc.cast(
+                    t.filter(pc.equal(t["p_size"],
+                                      pa.scalar(size, t["p_size"].type)))
+                    ["p_partkey"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        li_f = semi_join(li, kp_ds, on="l_partkey").materialize()
+        reduced = li_f.map_batches(
+            lambda t: argmin_cols(t), batch_format="pyarrow"
+        )
+
     def body(g: pd.DataFrame) -> pd.DataFrame:
         lp = g["l_partkey"].to_numpy()
         order = np.lexsort((g["s_suppkey"].to_numpy(),
@@ -1016,13 +1232,19 @@ def min_cost_supplier_per_part(lineitem_ds, part_ds, supplier_ds,
             np.zeros(0, dtype=bool)
         return g.loc[first]
 
-    best = _bucket_apply(
-        lineitem_ds.select_columns(
-            ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
-        ).map_batches(local_argmin, batch_format="pyarrow"),
-        key_col="l_partkey", body=body,
-    ).to_pandas()
-    names = supplier_ds.select_columns(["s_suppkey", "s_name"]).to_pandas()
+    best = _bucket_apply(reduced, key_col="l_partkey", body=body).to_pandas()
+    if len(best) == 0:
+        return pd.DataFrame(columns=["l_partkey", "p_name", "s_suppkey",
+                                     "s_name", "unit_scaled"])
+    names = _gather_dim_filtered(
+        supplier_ds, "s_suppkey",
+        best["s_suppkey"].to_numpy(dtype=np.int64), ["s_suppkey", "s_name"],
+    )
+    pnames = _gather_dim_filtered(
+        part_ds, "p_partkey",
+        best["l_partkey"].to_numpy(dtype=np.int64), ["p_partkey", "p_name"],
+    )
+    pname = dict(zip(pnames["p_partkey"], pnames["p_name"]))
     out = best.merge(names, on="s_suppkey")
     out["p_name"] = out["l_partkey"].map(pname)
     out = out.sort_values("l_partkey").reset_index(drop=True)

@@ -466,6 +466,29 @@ def _q_ngram_exact(sf_dir: str):
     return _to_pandas(jaccard_verify(docs, cand, threshold=0.0))
 
 
+def _q_ann_ivf_persisted(sf_dir: str):
+    """PERSISTED IVF index: a build-once artifact (centroids + radii +
+    the corpus hive-partitioned by cell) under /tmp, REUSED across
+    calls — the round-4 gap where the quantizer re-built per query.
+    The radius-pruned search reads only probed cell partitions and its
+    membership provably equals brute force (the same twin as the
+    exhaustive scan). centroids.parquet is written last, so a crashed
+    partial build never looks complete."""
+    import os
+
+    from brinkray.textproc.similarity import ivf_search_index, write_ivf_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/brinkray_ivf_{tag}"
+    if not os.path.exists(f"{idx}/centroids.parquet"):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)  # clear any partial build
+        write_ivf_index(_ds(sf_dir, "embeddings"), idx, n_centroids=16)
+    out = ivf_search_index(idx, _query_vec(sf_dir), k=10, nprobe=4).to_pandas()
+    return out[["vec_id"]]
+
+
 def _q_ann_ivf_exhaustive(sf_dir: str):
     """IVF with nprobe == n_centroids probes every cluster => exact
     top-k membership == brute force == the ann_cosine SQL twin. Puts a
@@ -5239,6 +5262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered_topk": _q_ann_filtered_topk,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
+        "ann_ivf_persisted": _q_ann_ivf_persisted,
         "deterministic_sample": _q_deterministic_sample,
         # end-to-end curation (dedup x quality x lang -> corpus filter)
         "corpus_curation": _q_corpus_curation,
@@ -6547,6 +6571,15 @@ def _oracle_sql_dict() -> dict[str, str]:
         # membership to the brute-force twin above; this certifies the
         # IVF path (quantizer/assignment/probe) against SQL.
         "ann_ivf_exhaustive": (
+            "WITH q AS (SELECT embedding FROM embeddings "
+            "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) "
+            "SELECT e.vec_id FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10"
+        ),
+        # the persisted-index search is exact by the radius-bound
+        # argument, so its membership twin is the same brute-force scan
+        "ann_ivf_persisted": (
             "WITH q AS (SELECT embedding FROM embeddings "
             "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)) "
             "SELECT e.vec_id FROM embeddings e, q "

@@ -16,7 +16,8 @@ import pyarrow as pa
 import ray
 
 __all__ = ["cosine_topk", "cosine_topk_multi", "ivf_topk", "ivf_topk_pruned",
-           "build_ivf_centroids", "kmeans_labels", "label_centroids"]
+           "build_ivf_centroids", "kmeans_labels", "label_centroids",
+           "write_ivf_index", "read_ivf_index", "ivf_search_index"]
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -344,6 +345,174 @@ def ivf_topk_pruned(
         cursor += len(todo)
         probed[np.asarray(todo)] = True
         part = probe_scan(np.asarray(todo, dtype=np.int64))
+        ids_acc = np.concatenate([ids_acc, _ids_of(part[id_col])])
+        cos_acc = np.concatenate(
+            [cos_acc, part["cosine"].to_numpy(zero_copy_only=False)]
+        )
+        if len(ids_acc) >= k:
+            kth = np.sort(cos_acc)[-k]
+            remaining = bound[~probed]
+            if len(remaining) == 0 or remaining.max() < kth:
+                break
+    sel = np.lexsort((ids_acc, -cos_acc))[:k]
+    return pa.table(
+        {
+            id_col: pa.array(ids_acc[sel], pa.int64()),
+            "cosine": pa.array(cos_acc[sel], pa.float64()),
+        }
+    )
+
+
+def write_ivf_index(ds, out_dir: str, n_centroids: int = 16,
+                    vec_col="embedding", id_col="vec_id") -> np.ndarray:
+    """Persist a BUILD-ONCE IVF index artifact (round-4 gap: the
+    quantizer was re-sampled and k-means re-run per query):
+
+    * ``centroids.parquet`` — one row per cell: (cell, center
+      list<float>, r) where r is the cell's exact angular radius (max
+      member angle), the pruning bound ``ivf_topk_pruned`` derives per
+      query today.
+    * ``cells/cell=K/*.parquet`` — the corpus re-partitioned by cell
+      (hive layout, written distributed): a probe of cell K reads ONLY
+      that directory, so an nprobe-of-nlist search touches
+      ~nprobe/nlist of the stored bytes instead of scanning the corpus
+      and masking.
+
+    Returns the centroid matrix. Deterministic: same corpus -> same
+    artifact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cents = build_ivf_centroids(ds, n_centroids, vec_col=vec_col)
+    base = ds.select_columns([id_col, vec_col])
+
+    def assign_cell(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 vec_col: pa.array([], t.schema.field(vec_col).type),
+                 "cell": pa.array([], pa.int64()),
+                 "_ang": pa.array([], pa.float64())}
+            )
+        unit = _unit(_as_matrix(t[vec_col]))
+        sim = unit @ cents.T
+        a = np.argmax(sim, axis=1)
+        member_cos = sim[np.arange(len(unit)), a]
+        ang = np.arccos(np.clip(member_cos, -1.0, 1.0))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+                "cell": pa.array(a.astype(np.int64), pa.int64()),
+                "_ang": pa.array(ang, pa.float64()),
+            }
+        )
+
+    assigned = base.map_batches(assign_cell, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Max
+
+    rad_rows = (
+        assigned.select_columns(["cell", "_ang"])
+        .groupby("cell")
+        .aggregate(Max("_ang", alias_name="r"))
+        .take_all()
+    )
+    radius = {int(r["cell"]): float(r["r"]) for r in rad_rows}
+    os.makedirs(out_dir, exist_ok=True)
+    cells = sorted(radius)  # only cells with members exist on disk
+    assigned.drop_columns(["_ang"]).write_parquet(
+        f"{out_dir}/cells", partition_cols=["cell"]
+    )
+    # centroids.parquet LAST: it is the build-complete marker a reuser
+    # checks, so a crashed partial build never looks finished
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "center": pa.array(
+                    [cents[c].tolist() for c in cells], pa.list_(pa.float64())
+                ),
+                "r": pa.array([radius[c] for c in cells], pa.float64()),
+            }
+        ),
+        f"{out_dir}/centroids.parquet",
+    )
+    return cents
+
+
+def read_ivf_index(out_dir: str):
+    """(cells, centers, radii) of a :func:`write_ivf_index` artifact."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{out_dir}/centroids.parquet")
+    cells = t["cell"].to_numpy().astype(np.int64)
+    centers = _as_matrix(t["center"])
+    radii = t["r"].to_numpy().astype(np.float64)
+    return cells, centers, radii
+
+
+def ivf_search_index(index_dir: str, query: np.ndarray, k: int = 10,
+                     nprobe: int = 4, vec_col="embedding", id_col="vec_id"):
+    """EXACT top-k over a PERSISTED :func:`write_ivf_index` artifact —
+    the same provably-exact angular-radius probe loop as
+    ``ivf_topk_pruned``, but (a) the quantizer and radii load from the
+    index (no per-query k-means, no radius pass) and (b) each probe
+    round reads ONLY the probed ``cells/cell=K`` directories, so the
+    bytes touched scale with the probed fraction of the corpus rather
+    than a full scan + mask."""
+    import ray.data as rd
+
+    cells, centers, radii = read_ivf_index(index_dir)
+    q = _unit(np.asarray(query, dtype=np.float64))
+    theta_q = np.arccos(np.clip(centers @ q, -1.0, 1.0))
+    bound = np.cos(np.maximum(0.0, theta_q - radii - 1e-9)) + 1e-12
+
+    schema = pa.schema([(id_col, pa.int64()), ("cosine", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ids = _ids_of(t[id_col])
+        cos = _unit(_as_matrix(t[vec_col])) @ q
+        if len(ids) > k:
+            idx = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[idx], cos[idx]
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()),
+             "cosine": pa.array(cos, pa.float64())}
+        )
+
+    def probe_scan(todo: list[int]) -> pa.Table:
+        import glob
+
+        # a LIST of directories trips pyarrow's file reader — expand to
+        # the concrete per-cell parquet files
+        paths = sorted(
+            f
+            for i in todo
+            for f in glob.glob(
+                f"{index_dir}/cells/cell={int(cells[i])}/*.parquet"
+            )
+        )
+        if not paths:
+            return schema.empty_table()
+        ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+        return _collect(ds.map_batches(partial, batch_format="pyarrow"), schema)
+
+    order = np.argsort(-bound, kind="stable")
+    probed = np.zeros(len(cells), dtype=bool)
+    ids_acc = np.array([], dtype=np.int64)
+    cos_acc = np.array([], dtype=np.float64)
+    cursor = 0
+    while True:
+        todo = [int(i) for i in order[cursor:] if not probed[i]][:nprobe]
+        if not todo:
+            break
+        cursor += len(todo)
+        probed[np.asarray(todo)] = True
+        part = probe_scan(todo)
         ids_acc = np.concatenate([ids_acc, _ids_of(part[id_col])])
         cos_acc = np.concatenate(
             [cos_acc, part["cosine"].to_numpy(zero_copy_only=False)]

@@ -670,6 +670,52 @@ def test_ivf_topk_pruned_equals_bruteforce(ray_session):
     assert pruned["cosine"].to_pylist() == exact["cosine"].to_pylist()
 
 
+def test_ivf_persisted_index_equals_bruteforce(ray_session, tmp_path):
+    """write_ivf_index + ivf_search_index == brute force, membership
+    AND scores, on a clustered corpus — and the artifact is REUSED
+    across queries (no rebuild: the second search runs off the same
+    on-disk centroids/cells, which stay byte-identical)."""
+    import os
+
+    import ray.data as rd
+
+    from brinkray.textproc.similarity import (
+        cosine_topk,
+        ivf_search_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((5, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.standard_normal((40, 16)) * 0.3 for c in centers]
+    )
+    ds = _emb_ds(vecs).repartition(6)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(ds, idx, n_centroids=8)
+    assert os.path.exists(f"{idx}/centroids.parquet")
+    cell_dirs = [d for d in os.listdir(f"{idx}/cells") if d.startswith("cell=")]
+    assert len(cell_dirs) >= 2  # genuinely partitioned
+    sizes = {
+        d: sorted(os.listdir(os.path.join(idx, "cells", d)))
+        for d in cell_dirs
+    }
+    for qi in (7, 63, 155):
+        q = vecs[qi]
+        exact = cosine_topk(ds, q, k=10)
+        got = ivf_search_index(idx, q, k=10, nprobe=2)
+        assert got["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+        # scores agree to the last few ulps (BLAS dot summation order
+        # differs with block shape — membership is the driver contract)
+        assert np.allclose(got["cosine"].to_numpy(),
+                           exact["cosine"].to_numpy(), rtol=0, atol=1e-12)
+    # reuse: three searches later the artifact is untouched
+    assert {
+        d: sorted(os.listdir(os.path.join(idx, "cells", d)))
+        for d in cell_dirs
+    } == sizes
+
+
 def test_dup_span_scrub_removes_planted_span(ray_session):
     """A 12-token span planted in two docs is removed from BOTH; unique
     text survives; short docs pass through untouched."""

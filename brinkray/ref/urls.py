@@ -76,7 +76,22 @@ class _AnchorParser(HTMLParser):
     StartTagToken with tag "a" counts — a self-closing ``<a/>`` is a
     SelfClosingTagToken in x/net/html and is NOT matched, hence
     ``handle_startendtag`` is a no-op here.
+
+    ``CDATA_CONTENT_ELEMENTS`` is widened to the x/net/html
+    tokenizer's full raw-text/RCDATA list (tokenizer.go readStartTag:
+    iframe, noembed, noframes, noscript, plaintext, script, style,
+    textarea, title, xmp) — Python's default covers only script/style,
+    which leaked anchors out of ``<textarea>``/``<title>``/... bodies
+    that the Go tokenizer treats as text. Known residual divergence:
+    after ``<plaintext>`` the Go tokenizer consumes to EOF
+    unconditionally, while this parser resumes at a literal
+    ``</plaintext>`` end tag (one never emitted by real pages).
     """
+
+    CDATA_CONTENT_ELEMENTS = (
+        "script", "style", "title", "textarea", "iframe",
+        "noembed", "noframes", "noscript", "plaintext", "xmp",
+    )
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -114,6 +129,12 @@ def links_in(linked_from: str, body: bytes | str, ignore_anchors: bool) -> list[
     """Extract anchors (urls.go:73-106). Malformed HTML never errors."""
     if isinstance(body, bytes):
         body = body.decode("utf-8", "surrogateescape")
+    # WHATWG tokenizer NUL rule (implemented by x/net/html): U+0000 in
+    # tag-name/attribute states becomes U+FFFD; data-state NULs never
+    # reach an anchor, so a whole-body replacement reproduces the
+    # attribute-value behavior exactly
+    if "\x00" in body:
+        body = body.replace("\x00", "�")
     p = _AnchorParser()
     try:
         p.feed(body)
@@ -134,6 +155,12 @@ _TOKEN_RE = re.compile(
     rb"|(?:<style\b.*?(?:</style\s*>|$))"
     rb"|(?:<title\b.*?(?:</title\s*>|$))"
     rb"|(?:<textarea\b.*?(?:</textarea\s*>|$))"
+    rb"|(?:<iframe\b.*?(?:</iframe\s*>|$))"
+    rb"|(?:<noembed\b.*?(?:</noembed\s*>|$))"
+    rb"|(?:<noframes\b.*?(?:</noframes\s*>|$))"
+    rb"|(?:<noscript\b.*?(?:</noscript\s*>|$))"
+    rb"|(?:<xmp\b.*?(?:</xmp\s*>|$))"
+    rb"|(?:<plaintext\b.*$)"
     rb"|<a(?=[\s/>])(?P<tag>[^>]*)>",
     re.IGNORECASE | re.DOTALL,
 )

@@ -17,9 +17,12 @@ libraries exist in this environment):
   frame sampling (``frame_sample_plan``) + per-frame image decode,
   features averaged over sampled frames.
 
-Compressed formats (JPEG/PNG/MP3/MP4) need external codecs and stay
-behind a clearly-marked NotImplementedError (import-gated PIL would
-slot into ``_decode_image`` unchanged).
+Compressed IMAGE formats (JPEG/PNG/WebP) decode through an
+import-gated PIL slot in ``_decode_image`` — absent in this sandbox,
+so they raise a clearly-marked NotImplementedError here, but the same
+stage picks them up unmodified wherever PIL is installed (the slot is
+pytest-proven via a stub). Compressed audio/video (MP3/MP4) still
+need external codecs and stay NotImplementedError-gated.
 """
 
 from __future__ import annotations
@@ -55,6 +58,31 @@ MEDIA_SCHEMA = pa.schema(
         ("duration_ms", pa.int32()),
     ]
 )
+
+
+try:  # optional dependency: absent in this sandbox, import-gated
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - exercised via the stub test
+    _PILImage = None
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """binary image payload -> (h, w, 3) uint8 RGB. BMP decodes on the
+    numpy-only path (always available, deterministic); any other format
+    (JPEG/PNG/WebP/...) decodes through PIL when the environment
+    provides it — the import is gated, so the same stage works in a
+    codec-less sandbox on BMP and picks up compressed formats the
+    moment PIL is installed — and raises a clearly-marked
+    NotImplementedError otherwise."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if _PILImage is not None:
+        img = _PILImage.open(io.BytesIO(payload))
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    raise NotImplementedError(
+        "compressed image formats need PIL (not present in this "
+        "environment); BMP decodes on the built-in numpy path"
+    )
 
 
 # ---------------------------------------------------------------- codecs
@@ -178,7 +206,7 @@ class MediaDecoder:
 
     # -- per-kind feature extractors ------------------------------------
     def _image_features(self, payload: bytes) -> np.ndarray:
-        img = decode_bmp(payload)
+        img = _decode_image(payload)
         small = block_mean_resize(img, 3, 3) / 255.0  # 27 dims
         stats = np.array(
             [img.mean() / 255.0, img.std() / 255.0, img.shape[0], img.shape[1], 0.0]

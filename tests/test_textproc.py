@@ -400,6 +400,57 @@ def test_media_decode_real(ray_session):
     assert frame_sample_plan(3500, fps=1.0) == [0, 1000, 2000, 3000]
 
 
+def test_media_pil_slot_wired(monkeypatch):
+    """The import-gated PIL slot in _decode_image is REAL: with a stub
+    'PIL' present, a non-BMP payload decodes through Image.open(...)
+    .convert('RGB') and yields the same features as its BMP twin;
+    with PIL absent (this sandbox) the same payload raises the
+    clearly-marked NotImplementedError."""
+    import io as _io
+
+    from brinkray.textproc import media
+
+    rng = np.random.default_rng(3)
+    pixels = rng.integers(0, 255, size=(6, 5, 3), dtype=np.uint8)
+    fake_png = b"\x89PNG\r\n" + pixels.shape[0].to_bytes(2, "big") \
+        + pixels.shape[1].to_bytes(2, "big") + pixels.tobytes()
+
+    class _StubImage:
+        @staticmethod
+        def open(buf):
+            payload = buf.read()
+            assert payload[:6] == b"\x89PNG\r\n"
+            h = int.from_bytes(payload[6:8], "big")
+            w = int.from_bytes(payload[8:10], "big")
+            arr = np.frombuffer(payload[10:], dtype=np.uint8).reshape(h, w, 3)
+
+            class _Img:
+                def convert(self, mode):
+                    assert mode == "RGB"
+                    return arr
+
+            return _Img()
+
+    # PIL absent (the sandbox): loud, specific refusal
+    assert media._PILImage is None
+    with pytest.raises(NotImplementedError, match="PIL"):
+        media._decode_image(fake_png)
+
+    # PIL present (stubbed): the non-BMP payload decodes through the
+    # slot and matches the BMP-encoded twin bit for bit
+    monkeypatch.setattr(media, "_PILImage", _StubImage)
+    via_pil = media._decode_image(fake_png)
+    assert np.array_equal(via_pil, pixels)
+    dec = media.MediaDecoder()
+    f_pil = dec._image_features(fake_png)
+    f_bmp = dec._image_features(media.encode_bmp(pixels))
+    assert np.array_equal(f_pil, f_bmp)
+    # BMP stays on the numpy path even with PIL present
+    assert np.array_equal(
+        media._decode_image(media.encode_bmp(pixels)), pixels
+    )
+
+
 def test_media_decode_fake_plumbing(ray_session):
     import ray.data as rd
 

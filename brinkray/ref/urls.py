@@ -82,10 +82,16 @@ class _AnchorParser(HTMLParser):
     iframe, noembed, noframes, noscript, plaintext, script, style,
     textarea, title, xmp) — Python's default covers only script/style,
     which leaked anchors out of ``<textarea>``/``<title>``/... bodies
-    that the Go tokenizer treats as text. Known residual divergence:
-    after ``<plaintext>`` the Go tokenizer consumes to EOF
-    unconditionally, while this parser resumes at a literal
-    ``</plaintext>`` end tag (one never emitted by real pages).
+    that the Go tokenizer treats as text.
+
+    Two further readStartTag rules Python's HTMLParser lacks:
+    - ``z.rawTag`` is set BEFORE the self-closing check, so
+      ``<script/>`` still swallows raw text up to ``</script`` —
+      replicated by entering cdata mode from ``handle_startendtag``.
+    - ``rawTag == "plaintext"`` reads to EOF unconditionally (there is
+      no end tag), while Python's cdata mode would resume at a literal
+      ``</plaintext>`` — replicated by a sticky flag that drops every
+      later anchor.
     """
 
     CDATA_CONTENT_ELEMENTS = (
@@ -96,13 +102,19 @@ class _AnchorParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.anchors: list[list[tuple[str, str | None]]] = []
+        self._plaintext = False
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        if tag == "a":
+        if tag == "plaintext":
+            self._plaintext = True
+        elif tag == "a" and not self._plaintext:
             self.anchors.append(attrs)
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        pass
+        if tag == "plaintext":
+            self._plaintext = True
+        if tag in self.CDATA_CONTENT_ELEMENTS:
+            self.set_cdata_mode(tag)
 
 
 def _anchors_to_links(

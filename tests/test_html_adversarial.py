@@ -6,8 +6,10 @@ documents itself as an implementation of the WHATWG HTML5 tokenization
 algorithm, so each case below is pinned to the DOCUMENTED tokenizer
 rule it exercises — unclosed tags, bare '<', attribute quirks, raw-text
 elements, NUL handling — and ``links_in`` must match that behavior.
-One known residual divergence (<plaintext> resumption at a literal end
-tag) is documented on _AnchorParser.
+The readStartTag quirks Python's HTMLParser lacks are replicated on
+_AnchorParser and pinned below: <plaintext> reads to EOF (no literal
+</plaintext> ever resumes tokenizing), and rawTag is set BEFORE the
+self-closing check, so <script/> still swallows text up to </script.
 
 The hypothesis section fuzzes the never-crashes envelope: LinksIn
 returns a (possibly empty) list for ANY byte soup; it never raises.
@@ -124,6 +126,28 @@ def test_tokenizer_envelope(html, want, rule):
     assert _hrefs(html) == want, rule
 
 
+def test_plaintext_reads_to_eof():
+    # tokenizer.go Next(): rawTag "plaintext" reads everything up to EOF;
+    # a literal </plaintext> end tag never resumes tokenizing
+    assert _hrefs("<plaintext><a href=x>") == []
+    assert _hrefs("<plaintext></plaintext><a href=x>") == []
+    assert _hrefs("<a href=before><plaintext><a href=after>") == ["before"]
+    # self-closing: rawTag is set BEFORE the '/' check (readStartTag), so
+    # <plaintext/> consumes to EOF exactly like <plaintext>
+    assert _hrefs("<plaintext/><a href=x></plaintext><a href=y>") == []
+    # <plaintext inside another raw-text body is text, not a tag
+    assert _hrefs("<script><plaintext></script><a href=ok>") == ["ok"]
+
+
+def test_selfclosing_rawtag_still_swallows():
+    # readStartTag sets rawTag before returning SelfClosingTagToken, so
+    # <script/> swallows raw text up to the matching end tag
+    assert _hrefs("<script/><a href=x></script><a href=ok>") == ["ok"]
+    assert _hrefs("<title/><a href=x></title><a href=ok>") == ["ok"]
+    # unterminated self-closing raw tag swallows to EOF (EOF-is-success)
+    assert _hrefs("<textarea/><a href=x>") == []
+
+
 def test_ignore_anchors_filter():
     # urls.go:97: '#'-prefixed hrefs drop only when ignoreAnchors is set,
     # and the check happens BEFORE the space trim
@@ -158,7 +182,8 @@ def test_links_in_never_raises_on_bytes(body):
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.text(alphabet=st.characters(blacklist_characters="<"),
+@given(st.text(alphabet=st.characters(blacklist_characters="<",
+                                      blacklist_categories=("Cs",)),
                max_size=200))
 def test_no_tags_no_links(text):
     # without '<' the tokenizer can never leave the data state

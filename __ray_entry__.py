@@ -1811,6 +1811,19 @@ def _q_vocab_growth(sf_dir: str):
     return out.sort_values("n_prefix").reset_index(drop=True)
 
 
+def _q_unigram_surprisal(sf_dir: str):
+    """CCNet-style corpus-LM quality score per doc, exact-integer:
+    each token occurrence contributes bit_length(U) - bit_length(c)
+    (the integer log2 surprisal band; float ln differs between numpy
+    and DuckDB libms, so the fixed-point rule applies). Broadcast
+    count-table path under the gate; hash-join + groupby(doc_id) past
+    it (both pinned equal in pytest)."""
+    from brinkray.textproc.curation import unigram_surprisal
+
+    out = unigram_surprisal(_ds(sf_dir, "documents")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_top_bigrams(sf_dir: str):
     """Corpus-wide top-20 token bigrams (LM n-gram statistics pass)."""
     from brinkray.textproc.curation import top_bigrams
@@ -5364,6 +5377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "postings_varint_bytes": _q_postings_varint_bytes,
         "vocab_growth": _q_vocab_growth,
+        "unigram_surprisal": _q_unigram_surprisal,
         "script_ratios": _q_script_ratios,
         "proportional_sample": _q_proportional_sample,
         "embedding_top_component": _q_embedding_top_component,
@@ -7337,6 +7351,21 @@ def _oracle_sql_dict() -> dict[str, str]:
         # Heaps curve: global first-occurrence positions via a window
         # SUM over doc token counts + zip-unnest ordinality, thresholds
         # 2^k (power(2,k) is exact in float64) plus the full corpus.
+        "unigram_surprisal": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents), "
+            "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok "
+            "GROUP BY token), "
+            "u AS (SELECT CAST(COUNT(*) AS BIGINT) AS u FROM tok) "
+            "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(length(bin(u.u)) - length(bin(c.c))) AS BIGINT) "
+            "AS surprisal_bits, "
+            "CAST(CAST(SUM(length(bin(u.u)) - length(bin(c.c))) AS BIGINT) "
+            "* 1000 // COUNT(*) AS BIGINT) AS mean_surprisal_milli "
+            "FROM tok t JOIN c USING (token) CROSS JOIN u "
+            "GROUP BY t.doc_id ORDER BY t.doc_id"
+        ),
         "vocab_growth": (
             "WITH d AS (SELECT doc_id, "
             "regexp_extract_all(lower(text), '[a-z0-9]+') AS t "

@@ -278,6 +278,9 @@ def bench_queries() -> dict[str, float]:
         "warcish_roundtrip",
         "ann_filtered_topk",
         "sitemap_extract",
+        # round 5
+        "ann_ivf_persisted",
+        "unigram_surprisal",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -2570,3 +2570,160 @@ def mixture_weights(docs, alpha_sqrt: bool = True, by: str = "source",
     out = pd.DataFrame({by: agg[by], "n_tokens": n,
                         "w_isqrt": w, "share_ppm": share})
     return out.sort_values(by).reset_index(drop=True)
+
+
+def unigram_surprisal(docs, scale: int = 1000, text_col="text",
+                      id_col="doc_id",
+                      max_broadcast_bytes: int = 256 << 20,
+                      num_partitions: int | None = None):
+    """CCNet-style corpus-LM quality score per document (Wenzek et al.
+    2019 filter on LM perplexity), kept exact-integer: each token
+    occurrence contributes ``bit_length(U) - bit_length(c)`` (U = total
+    corpus token occurrences, c = corpus count of the token) — the
+    integer log2 band of the occurrence's surprisal ``-log2 p(token)``,
+    within 1 bit of the float value, so the distributed result is
+    bit-reproducible and SQL-certifiable (the repo-wide fixed-point
+    rule; float ``ln`` differs between numpy and DuckDB libms, measured
+    this round). High mean surprisal = rare-token / low-LM-likelihood
+    text, the tail CCNet's head/middle/tail split discards.
+
+    Scale shape: token counts reduce through per-batch vocabulary
+    partials + one ``groupby(token)`` (the heavy_hitters shape); U is
+    one tiny aggregate over the vocab table. Under
+    ``max_broadcast_bytes`` (vocab rows x ~32 B) the count table
+    broadcasts once via ``ray.put`` and scoring is a stateless
+    map_batches; past the gate NOTHING corpus-proportional reaches the
+    driver — per-doc (doc_id, token, occ) rows hash-join the
+    distributed count table and one ``groupby(doc_id)`` sums the
+    contributions (the ngram_novelty_shuffled shape). Both paths are
+    pinned equal in pytest. Returns
+    (doc_id, n_tokens, surprisal_bits, mean_surprisal_milli) for docs
+    with >= 1 token; mean is ``surprisal_bits * scale // n_tokens``
+    (non-negative, so floor == truncate and the DuckDB ``//`` twin is
+    exact)."""
+    from ray.data.aggregate import Sum
+
+    base = docs.select_columns([id_col, text_col])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for x in t[text_col].to_pylist():
+            for tok in tokens_of(x):
+                cnt[tok] = cnt.get(tok, 0) + 1
+        ks = list(cnt)
+        return pa.table({
+            "token": pa.array(ks, pa.string()),
+            "n": pa.array([cnt[k] for k in ks], pa.int64()),
+        })
+
+    counts = (
+        base.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="c"))
+        .materialize()  # vocab-bounded; consumed twice (U + attach)
+    )
+    total = counts.sum("c") or 0
+    if total == 0:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "surprisal_bits": pa.array([], pa.int64()),
+            "mean_surprisal_milli": pa.array([], pa.int64()),
+        }))
+    bit_u = int(total).bit_length()
+    n_vocab = counts.count()
+
+    if n_vocab * 32 <= max_broadcast_bytes:
+        # broadcast path: one (token -> bit_length(count)) dict per node
+        pdf = counts.to_pandas()
+        bits = {t: int(c).bit_length()
+                for t, c in zip(pdf["token"], pdf["c"])}
+        ref = ray.put(bits)
+
+        def score(t: pa.Table) -> pa.Table:
+            lut = ray.get(ref)
+            ids, nt, sb = [], [], []
+            for did, x in zip(t[id_col].to_pylist(),
+                              t[text_col].to_pylist()):
+                toks = tokens_of(x)
+                if not toks:
+                    continue
+                ids.append(did)
+                nt.append(len(toks))
+                sb.append(sum(bit_u - lut[tok] for tok in toks))
+            nta = np.asarray(nt, dtype=np.int64)
+            sba = np.asarray(sb, dtype=np.int64)
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nta, pa.int64()),
+                "surprisal_bits": pa.array(sba, pa.int64()),
+                "mean_surprisal_milli": pa.array(
+                    sba * scale // np.maximum(nta, 1), pa.int64()),
+            })
+
+        return base.map_batches(score, batch_format="pyarrow")
+
+    # join path: per-doc (token, occ) rows ⋈ counts, then one
+    # groupby(doc_id) — token rows never leave the cluster
+    if num_partitions is None:
+        from .joins import default_join_partitions
+
+        num_partitions = default_join_partitions()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, toks, occ, nt = [], [], [], []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            cnt: dict[str, int] = {}
+            for tok in tokens_of(x):
+                cnt[tok] = cnt.get(tok, 0) + 1
+            n = sum(cnt.values())
+            for tok, k in cnt.items():
+                ids.append(did)
+                toks.append(tok)
+                occ.append(k)
+                nt.append(n)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+            "occ": pa.array(occ, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+        })
+
+    rows = base.map_batches(explode, batch_format="pyarrow")
+    joined = rows.join(counts, join_type="inner",
+                       num_partitions=num_partitions, on=("token",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        occ = t["occ"].to_numpy(zero_copy_only=False)
+        # vectorized bit_length for positive int64 < 2^53 via frexp
+        bits = np.frexp(c.astype(np.float64))[1].astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": t["n_tokens"],
+            "sb": pa.array((bit_u - bits) * occ, pa.int64()),
+        })
+
+    # n_tokens repeats identically on every (doc, token) row; Max
+    # recovers it (Sum would multiply by the distinct-token count).
+    from ray.data.aggregate import Max
+
+    agg = (
+        joined.map_batches(contrib, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("sb", alias_name="surprisal_bits"),
+                   Max("n_tokens", alias_name="n_tokens"))
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        sb = t["surprisal_bits"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(nt, pa.int64()),
+            "surprisal_bits": pa.array(sb, pa.int64()),
+            "mean_surprisal_milli": pa.array(
+                sb * scale // np.maximum(nt, 1), pa.int64()),
+        })
+
+    return agg.map_batches(project, batch_format="pyarrow")

@@ -1042,3 +1042,67 @@ def test_tfidf_pair_packing_guard(ray_session):
     )
     with _pytest.raises(Exception, match="31 bits"):
         doc_similarity_tfidf(docs, df_min=1, df_max=10).materialize()
+
+
+def test_unigram_surprisal_bruteforce_and_join_path(ray_session):
+    """Both paths (broadcast LUT, hash-join past the gate) must equal
+    the per-doc brute force: sum over token occurrences of
+    bit_length(U) - bit_length(count)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+
+    from brinkray.textproc.curation import unigram_surprisal
+    from brinkray.textproc.hashing import tokens_of
+
+    texts = [
+        "the cat sat on the mat",
+        "the the the",
+        "zyxqj rare token here",
+        "",  # zero tokens: excluded from the result on both paths
+        "Cat CAT cat!",
+        "numbers 123 and 123 again 456",
+    ]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+    allt = [tok for x in texts for tok in tokens_of(x)]
+    counts = Counter(allt)
+    bit_u = len(allt).bit_length()
+    want = {}
+    for i, x in enumerate(texts):
+        toks = tokens_of(x)
+        if not toks:
+            continue
+        sb = sum(bit_u - counts[t].bit_length() for t in toks)
+        want[i] = (len(toks), sb, sb * 1000 // len(toks))
+
+    for kwargs in ({}, {"max_broadcast_bytes": 0, "num_partitions": 2}):
+        out = unigram_surprisal(docs, **kwargs).to_pandas()
+        got = {
+            int(r.doc_id): (int(r.n_tokens), int(r.surprisal_bits),
+                            int(r.mean_surprisal_milli))
+            for r in out.itertuples()
+        }
+        assert got == want, kwargs
+
+
+def test_unigram_surprisal_empty_corpus(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from brinkray.textproc.curation import unigram_surprisal
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([""], pa.string())})
+    )
+    out = unigram_surprisal(docs)
+    assert out.count() == 0
+    # to_pandas() on any 0-row dataset drops columns (Ray yields no
+    # batches); the typed schema is the stable contract
+    assert out.schema().names == [
+        "doc_id", "n_tokens", "surprisal_bits", "mean_surprisal_milli"
+    ]

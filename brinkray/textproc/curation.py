@@ -2133,7 +2133,9 @@ def read_warcish_manifest(in_dir: str):
 
 
 def dsir_weights(docs, target_col: str = "lang", target_value: str = "en",
-                 scale: int = 10**6, text_col="text", id_col="doc_id"):
+                 scale: int = 10**6, text_col="text", id_col="doc_id",
+                 max_broadcast_bytes: int = 256 << 20,
+                 num_partitions: int | None = None):
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling") on exact integer
     n-gram statistics: each bigram gets a target-affinity ratio
@@ -2146,11 +2148,15 @@ def dsir_weights(docs, target_col: str = "lang", target_value: str = "en",
     proxy for reweighting/resampling).
 
     Scale shape: one groupby builds the (bigram, n_all, n_target)
-    table via per-batch vocabulary partials; the ratio table
-    (vocab^2-bounded) broadcasts once via ray.put; the scoring pass is
-    stateless map_batches. A web-scale vocab swaps the broadcast for a
-    hash join (the ngram_novelty_shuffled pattern). Returns
-    (doc_id, n_bigrams, weight_ppm)."""
+    table via per-batch vocabulary partials. Under
+    ``max_broadcast_bytes`` (distinct bigrams x ~48 B) the ratio table
+    broadcasts once via ray.put and the scoring pass is stateless
+    map_batches; past the gate the ratio table stays distributed —
+    per-doc (doc_id, bigram, occ) rows hash-join it, one
+    groupby(doc_id) sums the contributions, and a left-outer join from
+    the per-doc totals restores zero-bigram docs (the
+    ngram_novelty_shuffled shape; both paths pinned equal in pytest).
+    Returns (doc_id, n_bigrams, weight_ppm)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -2178,40 +2184,120 @@ def dsir_weights(docs, target_col: str = "lang", target_value: str = "en",
             }
         )
 
-    ratios = (
+    ratio_ds = (
         docs.select_columns([target_col, text_col])
         .map_batches(pair_counts, batch_format="pyarrow")
         .groupby("bigram")
         .aggregate(Sum("n_all", alias_name="n_all"),
                    Sum("n_t", alias_name="n_t"))
-        .to_pandas()
-    )  # vocab^2-bounded
-    ratio = {
-        b: (int(nt) * scale) // int(na)
-        for b, na, nt in zip(ratios["bigram"], ratios["n_all"], ratios["n_t"])
-    }
-    ref = ray.put(ratio)
+        .materialize()  # vocab^2-bounded, consumed twice below
+    )
 
-    def score(t: pa.Table) -> pa.Table:
-        r = ray.get(ref)
-        ids = t[id_col].to_pylist()
-        n_bg, w = [], []
-        for x in t[text_col].to_pylist():
-            toks = tokens_of(x)
-            pairs = [f"{a} {b}" for a, b in zip(toks[:-1], toks[1:])]
-            n_bg.append(len(pairs))
-            w.append(sum(r[p] for p in pairs))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_bigrams": pa.array(n_bg, pa.int64()),
-                "weight_ppm": pa.array(w, pa.int64()),
-            }
+    if ratio_ds.count() * 48 <= max_broadcast_bytes:
+        ratios = ratio_ds.to_pandas()
+        ratio = {
+            b: (int(nt) * scale) // int(na)
+            for b, na, nt in zip(ratios["bigram"], ratios["n_all"],
+                                 ratios["n_t"])
+        }
+        ref = ray.put(ratio)
+
+        def score(t: pa.Table) -> pa.Table:
+            r = ray.get(ref)
+            ids = t[id_col].to_pylist()
+            n_bg, w = [], []
+            for x in t[text_col].to_pylist():
+                toks = tokens_of(x)
+                pairs = [f"{a} {b}" for a, b in zip(toks[:-1], toks[1:])]
+                n_bg.append(len(pairs))
+                w.append(sum(r[p] for p in pairs))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_bigrams": pa.array(n_bg, pa.int64()),
+                    "weight_ppm": pa.array(w, pa.int64()),
+                }
+            )
+
+        return docs.select_columns([id_col, target_col, text_col]).map_batches(
+            score, batch_format="pyarrow"
         )
 
-    return docs.select_columns([id_col, target_col, text_col]).map_batches(
-        score, batch_format="pyarrow"
+    # join path: nothing vocab-proportional reaches the driver. Per-doc
+    # (bigram, occ) rows ⋈ the distributed ratio table, one
+    # groupby(doc_id) sums occ * ratio, and a left-outer join from the
+    # per-doc totals restores zero-bigram docs.
+    if num_partitions is None:
+        from .joins import default_join_partitions
+
+        num_partitions = default_join_partitions()
+    base = docs.select_columns([id_col, text_col])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams, occ = [], [], []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = tokens_of(x)
+            cnt: dict[str, int] = {}
+            for a, b in zip(toks[:-1], toks[1:]):
+                g = f"{a} {b}"
+                cnt[g] = cnt.get(g, 0) + 1
+            for g, k in cnt.items():
+                ids.append(did)
+                grams.append(g)
+                occ.append(k)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "bigram": pa.array(grams, pa.string()),
+            "occ": pa.array(occ, pa.int64()),
+        })
+
+    def contrib(t: pa.Table) -> pa.Table:
+        na = t["n_all"].to_numpy(zero_copy_only=False).astype(object)
+        nt = t["n_t"].to_numpy(zero_copy_only=False).astype(object)
+        occ = t["occ"].to_numpy(zero_copy_only=False).astype(object)
+        # per-bigram ratio floor-divides BEFORE the occurrence multiply
+        # (matching the broadcast LUT); object ints dodge int64 overflow
+        # in nt * scale for hot bigrams at corpus scale
+        w = occ * (nt * scale // na)
+        return pa.table({
+            id_col: t[id_col],
+            "w": pa.array(w.astype(np.int64), pa.int64()),
+        })
+
+    weights = (
+        base.map_batches(explode, batch_format="pyarrow")
+        .join(ratio_ds, join_type="inner", num_partitions=num_partitions,
+              on=("bigram",))
+        .map_batches(contrib, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("w", alias_name="weight_ppm"))
+        .materialize()  # chained-join rule: break before the next join
     )
+
+    def totals(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        n_bg = [max(0, len(tokens_of(x)) - 1) for x in t[text_col].to_pylist()]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(n_bg, pa.int64()),
+        })
+
+    joined = base.map_batches(totals, batch_format="pyarrow").join(
+        weights, join_type="left_outer", num_partitions=num_partitions,
+        on=(id_col,),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t[id_col],
+            "n_bigrams": t["n_bigrams"],
+            "weight_ppm": pc.fill_null(
+                pc.cast(t["weight_ppm"], pa.int64()), 0),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def doc_similarity_tfidf(docs, threshold_cos2_ppm: int = 90_000,

@@ -1106,3 +1106,38 @@ def test_unigram_surprisal_empty_corpus(ray_session):
     assert out.schema().names == [
         "doc_id", "n_tokens", "surprisal_bits", "mean_surprisal_milli"
     ]
+
+
+def test_dsir_weights_join_path_equals_broadcast(ray_session):
+    """Past max_broadcast_bytes the ratio table stays distributed
+    (explode ⋈ ratios -> groupby(doc) -> left-outer totals); forced
+    with cap=0 and pinned bit-equal to the broadcast LUT path,
+    including zero-bigram docs and a bigram shared across target and
+    non-target slices (non-trivial floor ratio)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from brinkray.textproc.curation import dsir_weights
+
+    texts = [
+        "the cat sat on the mat",
+        "one",                      # zero bigrams
+        "",                         # zero tokens
+        "the cat runs fast",
+        "the cat eats fish",        # "the cat" appears in en and fr
+        "unique words only here",
+    ]
+    langs = ["en", "fr", "en", "en", "fr", "fr"]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts,
+                  "lang": langs})
+    )
+    b = (dsir_weights(docs).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    j = (dsir_weights(docs, max_broadcast_bytes=0, num_partitions=2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, j[b.columns])
+    # "the cat" ratio = floor(2e6/3): docs 0,3 (en) carry it once each
+    row0 = b.loc[b.doc_id == 0].iloc[0]
+    assert row0.n_bigrams == 5

@@ -1824,6 +1824,17 @@ def _q_unigram_surprisal(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact consecutive-token phrase search (the positional
+    posting-list query shape): docs containing 'batch window', with
+    overlap-counted match counts and the 1-based first position."""
+    from brinkray.textproc.curation import phrase_search
+
+    out = phrase_search(_ds(sf_dir, "documents"),
+                        ("batch", "window")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_top_bigrams(sf_dir: str):
     """Corpus-wide top-20 token bigrams (LM n-gram statistics pass)."""
     from brinkray.textproc.curation import top_bigrams
@@ -5378,6 +5389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_varint_bytes": _q_postings_varint_bytes,
         "vocab_growth": _q_vocab_growth,
         "unigram_surprisal": _q_unigram_surprisal,
+        "phrase_search": _q_phrase_search,
         "script_ratios": _q_script_ratios,
         "proportional_sample": _q_proportional_sample,
         "embedding_top_component": _q_embedding_top_component,
@@ -7351,6 +7363,19 @@ def _oracle_sql_dict() -> dict[str, str]:
         # Heaps curve: global first-occurrence positions via a window
         # SUM over doc token counts + zip-unnest ordinality, thresholds
         # 2^k (power(2,k) is exact in float64) plus the full corpus.
+        "phrase_search": (
+            "WITH d AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+            "FROM documents), "
+            "pos AS (SELECT doc_id, unnest(t) AS tok, "
+            "unnest(generate_series(1, len(t))) AS p FROM d), "
+            "m AS (SELECT p0.doc_id, p0.p AS p FROM pos p0 "
+            "JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1 "
+            "AND p1.tok = 'window' WHERE p0.tok = 'batch') "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, "
+            "CAST(MIN(p) AS BIGINT) AS first_pos "
+            "FROM m GROUP BY doc_id ORDER BY doc_id"
+        ),
         "unigram_surprisal": (
             "WITH tok AS (SELECT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "

@@ -281,6 +281,7 @@ def bench_queries() -> dict[str, float]:
         # round 5
         "ann_ivf_persisted",
         "unigram_surprisal",
+        "phrase_search",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -2813,3 +2813,51 @@ def unigram_surprisal(docs, scale: int = 1000, text_col="text",
         })
 
     return agg.map_batches(project, batch_format="pyarrow")
+
+
+def phrase_search(docs, phrase, text_col="text", id_col="doc_id"):
+    """Exact token-phrase search over the corpus: for every document
+    containing the phrase as a CONSECUTIVE token run (tokens_of
+    tokenization, overlapping matches counted — "a a a" contains
+    "a a" twice), returns (doc_id, n_matches, first_pos) with first_pos
+    the 1-based token position of the earliest match — the positional
+    posting-list query of a Lucene-family index, evaluated here as one
+    stateless scan.
+
+    Scale shape: a single stateless map_batches with a vectorized
+    per-doc window compare (numpy sliding equality over the token
+    array; no exchange, no driver state) — the right one-off shape.
+    A standing query workload amortizes this through a PERSISTED
+    positional index instead (the postings_varint_bytes layout plus a
+    position column, bucketed by token like write_ivf_index buckets by
+    cell); this scan is also that index's build-side verifier."""
+    phrase = [p.lower() for p in phrase]
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one token")
+    k = len(phrase)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, nm, fp = [], [], []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = tokens_of(x)
+            n = len(toks)
+            if n < k:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            mask = arr[: n - k + 1] == phrase[0]
+            for j in range(1, k):
+                mask &= arr[j: n - k + 1 + j] == phrase[j]
+            c = int(mask.sum())
+            if c:
+                ids.append(did)
+                nm.append(c)
+                fp.append(int(np.argmax(mask)) + 1)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_matches": pa.array(nm, pa.int64()),
+            "first_pos": pa.array(fp, pa.int64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow"
+    )

@@ -1141,3 +1141,31 @@ def test_dsir_weights_join_path_equals_broadcast(ray_session):
     # "the cat" ratio = floor(2e6/3): docs 0,3 (en) carry it once each
     row0 = b.loc[b.doc_id == 0].iloc[0]
     assert row0.n_bigrams == 5
+
+
+def test_phrase_search_overlaps_and_positions(ray_session):
+    import ray.data as rd
+
+    from brinkray.textproc.curation import phrase_search
+
+    texts = [
+        "a a a b",          # "a a" overlaps: matches at 1 and 2
+        "x a a y a a",      # matches at 2 and 5
+        "a b a b",          # no consecutive "a a"
+        "",                 # shorter than the phrase
+        "A a",              # tokens_of lowercases: match at 1
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = (phrase_search(ds, ("a", "a")).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = {int(r.doc_id): (int(r.n_matches), int(r.first_pos))
+           for r in out.itertuples()}
+    assert got == {0: (2, 1), 1: (2, 2), 4: (1, 1)}
+    # single-token phrase degenerates to term frequency + first position
+    one = phrase_search(ds, ("b",)).to_pandas()
+    got1 = {int(r.doc_id): (int(r.n_matches), int(r.first_pos))
+            for r in one.itertuples()}
+    assert got1 == {0: (1, 4), 2: (2, 2)}

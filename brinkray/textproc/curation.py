@@ -981,7 +981,9 @@ def ngram_novelty_shuffled(docs, k: int = SHINGLE_K, text_col="text",
 
 
 # ------------------------------------------------------------- tf / df
-def tf_df_scores(docs, text_col="text", id_col="doc_id"):
+def tf_df_scores(docs, text_col="text", id_col="doc_id",
+                 max_broadcast_bytes: int = 256 << 20,
+                 num_partitions: int | None = None):
     """Per (document, distinct token): term frequency ``tf``, corpus
     document frequency ``df``, and ``tfidf_ppm = (tf * 1e6) // df`` —
     a rational-exact integer relevance score (monotone in tf/df, so
@@ -994,9 +996,10 @@ def tf_df_scores(docs, text_col="text", id_col="doc_id"):
     moves (hash, partial df) rows, never the token stream; the df
     table comes back as sorted uint64 + int64 arrays, ``ray.put``
     once, and pass 2 re-derives per-doc tf locally and probes df with
-    one searchsorted per batch. The broadcast is vocab-size — fine to
-    ~1e8 tokens; a larger-vocab corpus wants the two-shuffle join
-    shape instead (the jaccard_verify machinery). Token identity in
+    one searchsorted per batch. The broadcast is gated at
+    ``max_broadcast_bytes`` (vocab rows x 16 B); past it the df table
+    stays a distributed dataset and attaches by one hash join on the
+    token hash (both paths pinned equal in pytest). Token identity in
     the df table is the 64-bit blake2b hash: a collision would merge
     two tokens' dfs (birthday-bounded, ~2.7e-3 at 1e8 vocab) —
     deterministic, never silent row loss.
@@ -1025,13 +1028,64 @@ def tf_df_scores(docs, text_col="text", id_col="doc_id"):
              "nd": pa.array(c.astype(np.int64))}
         )
 
-    df_tbl = (
+    df_ds = (
         docs.select_columns([id_col, text_col])
         .map_batches(df_partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Sum("nd", alias_name="df"))
-        .to_pandas()
+        .materialize()  # vocab-bounded; counted for the gate + reused
     )
+
+    if df_ds.count() * 16 > max_broadcast_bytes:
+        # join path: the df table stays distributed — per-doc
+        # (doc_id, token, tf, h) rows inner-join it on the token hash.
+        # The inner join can only drop a row if the two tokenizer
+        # passes disagree, the exact condition the broadcast path's
+        # missing-hash raise guards (deterministic tokenizer => never).
+        if num_partitions is None:
+            from .joins import default_join_partitions
+
+            num_partitions = default_join_partitions()
+
+        def explode(t: pa.Table) -> pa.Table:
+            d = _tok_frame(t)
+            g = d.groupby(["i", "tok"], sort=False).size()
+            idx = g.index
+            doc_ids = idx.get_level_values(0).to_numpy().astype(np.int64)
+            toks = idx.get_level_values(1).to_numpy()
+            tf = g.to_numpy().astype(np.int64)
+            codes, uniq = pd.factorize(toks, sort=False)
+            hu = np.fromiter(
+                (_token_hash(s) for s in uniq), dtype=np.uint64,
+                count=len(uniq),
+            )
+            return pa.table({
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tf, pa.int64()),
+                "h": pa.array(hu[codes].view(np.int64), pa.int64()),
+            })
+
+        def project(t: pa.Table) -> pa.Table:
+            tf = t["tf"].to_numpy(zero_copy_only=False)
+            dfv = t["df"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "token": t["token"],
+                "tf": t["tf"],
+                "df": pa.array(dfv.astype(np.int64), pa.int64()),
+                "tfidf_ppm": pa.array((tf * 1_000_000) // dfv, pa.int64()),
+            })
+
+        return (
+            docs.select_columns([id_col, text_col])
+            .map_batches(explode, batch_format="pyarrow")
+            .join(df_ds, join_type="inner", num_partitions=num_partitions,
+                  on=("h",))
+            .map_batches(project, batch_format="pyarrow")
+        )
+
+    df_tbl = df_ds.to_pandas()
     hs = df_tbl["h"].to_numpy().astype(np.int64)
     order = np.argsort(hs)
     h_sorted = hs[order]
@@ -2374,18 +2428,28 @@ def doc_similarity_tfidf(docs, threshold_cos2_ppm: int = 90_000,
         return pa.table({"h": pa.array(u.view(np.int64), pa.int64()),
                          "nd": pa.array(c.astype(np.int64))})
 
+    def keep_band(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.greater_equal(t["df"], df_min),
+                    pc.less_equal(t["df"], df_max))
+        return t.filter(m)
+
+    # band filter pushed into the distributed aggregate: only banded
+    # rows (the exact broadcast payload) ever reach the driver — the
+    # full-vocab df table never does
     df_tbl = (
         docs.select_columns([id_col, text_col])
         .map_batches(df_partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Sum("nd", alias_name="df"))
+        .map_batches(keep_band, batch_format="pyarrow")
         .to_pandas()
     )
     dfv = df_tbl["df"].to_numpy().astype(np.int64)
-    band = (dfv >= df_min) & (dfv <= df_max)
-    hs = df_tbl["h"].to_numpy().astype(np.int64)[band]
+    hs = df_tbl["h"].to_numpy().astype(np.int64)
     order = np.argsort(hs)
-    ref = ray.put((hs[order], dfv[band][order]))
+    ref = ray.put((hs[order], dfv[order]))
 
     def _banded_weights(t: pa.Table):
         sh, sdf = ray.get(ref)

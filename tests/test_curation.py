@@ -1169,3 +1169,28 @@ def test_phrase_search_overlaps_and_positions(ray_session):
     got1 = {int(r.doc_id): (int(r.n_matches), int(r.first_pos))
             for r in one.itertuples()}
     assert got1 == {0: (1, 4), 2: (2, 2)}
+
+
+def test_tf_df_scores_join_path_equals_broadcast(ray_session):
+    """Past max_broadcast_bytes the df table attaches by hash join
+    instead of the ray.put sorted-array probe; forced with cap=0 and
+    pinned equal row-for-row."""
+    import pandas as pd
+
+    from brinkray.textproc.curation import tf_df_scores
+
+    ds = _docs_ds([
+        "the cat sat on the mat",
+        "the dog",
+        "cat cat cat",
+        "",
+    ])
+    key = ["doc_id", "token"]
+    b = (tf_df_scores(ds).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    j = (tf_df_scores(ds, max_broadcast_bytes=0, num_partitions=2)
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, j[b.columns])
+    # spot-check: 'the' df=2, doc0 tf=2 -> 1_000_000
+    row = b[(b.doc_id == 0) & (b.token == "the")].iloc[0]
+    assert (row.tf, row.df, row.tfidf_ppm) == (2, 2, 1_000_000)

@@ -1483,7 +1483,8 @@ def postings_varint_bytes(docs, df_min: int = 2, df_max: int = 1000,
 
 
 def bigram_pmi(docs, min_count: int = 5, scale: int = 10**6,
-               text_col="text"):
+               text_col="text", max_broadcast_bytes: int = 256 << 20,
+               num_partitions: int | None = None):
     """Pointwise-mutual-information collocation scores for token
     bigrams, as the EXACT integer ratio
 
@@ -1498,9 +1499,13 @@ def bigram_pmi(docs, min_count: int = 5, scale: int = 10**6,
 
     Scale shape: bigram and unigram counts reduce through per-batch
     vocabulary partials + one groupby each (the heavy_hitters shape);
-    the unigram table (vocab-bounded) broadcasts once via ray.put into
-    the final vectorized scorer over distinct-bigram rows. Returns
-    (bigram, n_ab, pmi_ppm) for bigrams with n_ab >= min_count."""
+    the scorer runs distributed over the bigram dataset either way.
+    Under ``max_broadcast_bytes`` (vocab rows x ~32 B) the unigram
+    table broadcasts once via ray.put; past it it stays a distributed
+    dataset and n_a / n_b attach by two hash joins on the split tokens
+    (materialized between, the chained-join rule; both paths pinned
+    equal in pytest). Returns (bigram, n_ab, pmi_ppm) for bigrams with
+    n_ab >= min_count."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1534,14 +1539,17 @@ def bigram_pmi(docs, min_count: int = 5, scale: int = 10**6,
         )
 
     base = docs.select_columns([text_col])
-    uni = (
+    uni_ds = (
         base.map_batches(unigram_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )  # vocab-bounded
-    u_total = int(uni["n"].sum())
-    uni_ref = ray.put(dict(zip(uni["tok"], uni["n"].astype(int))))
+        .materialize()  # vocab-bounded; gate-counted + reused below
+    )
+    u_total = int(uni_ds.sum("n") or 0)
+    broadcast_uni = uni_ds.count() * 32 <= max_broadcast_bytes
+    if broadcast_uni:
+        uni = uni_ds.to_pandas()
+        uni_ref = ray.put(dict(zip(uni["tok"], uni["n"].astype(int))))
 
     bg = (
         base.map_batches(bigram_partial, batch_format="pyarrow")
@@ -1552,28 +1560,88 @@ def bigram_pmi(docs, min_count: int = 5, scale: int = 10**6,
     agg = bg.aggregate(Sum("n", alias_name="n"))
     b_total = int(agg["n"]) if agg and agg.get("n") is not None else 0
 
-    def score(t: pa.Table) -> pa.Table:
+    if broadcast_uni:
+
+        def score(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.greater_equal(t["n"], min_count))
+            udict = ray.get(uni_ref)
+            out_pmi = []
+            for bgram, n_ab in zip(t["bigram"].to_pylist(),
+                                   t["n"].to_pylist()):
+                a, b = bgram.split(" ", 1)
+                # exact big-int arithmetic; result fits int64 by
+                # construction
+                out_pmi.append(
+                    (int(n_ab) * u_total * u_total * scale)
+                    // (b_total * udict[a] * udict[b])
+                )
+            return pa.table(
+                {
+                    "bigram": t["bigram"],
+                    "n_ab": t["n"],
+                    "pmi_ppm": pa.array(out_pmi, pa.int64()),
+                }
+            )
+
+        return bg.map_batches(score, batch_format="pyarrow")
+
+    # join path: the unigram table stays distributed — min_count
+    # bigram rows split into their two tokens and attach n_a / n_b by
+    # two hash joins (materialized between, the chained-join rule);
+    # nothing vocab-proportional ever reaches the driver.
+    if num_partitions is None:
+        from .joins import default_join_partitions
+
+        num_partitions = default_join_partitions()
+
+    def split_tokens(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         t = t.filter(pc.greater_equal(t["n"], min_count))
-        udict = ray.get(uni_ref)
-        out_pmi = []
-        for bgram, n_ab in zip(t["bigram"].to_pylist(), t["n"].to_pylist()):
-            a, b = bgram.split(" ", 1)
-            # exact big-int arithmetic; result fits int64 by construction
-            out_pmi.append(
-                (int(n_ab) * u_total * u_total * scale)
-                // (b_total * udict[a] * udict[b])
-            )
-        return pa.table(
-            {
-                "bigram": t["bigram"],
-                "n_ab": t["n"],
-                "pmi_ppm": pa.array(out_pmi, pa.int64()),
-            }
-        )
+        grams = t["bigram"].to_pylist()
+        a = [g.split(" ", 1)[0] for g in grams]
+        b = [g.split(" ", 1)[1] for g in grams]
+        return pa.table({
+            "bigram": t["bigram"],
+            "n_ab": t["n"],
+            "tok_a": pa.array(a, pa.string()),
+            "tok_b": pa.array(b, pa.string()),
+        })
 
-    return bg.map_batches(score, batch_format="pyarrow")
+    def rename_uni(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"tok": t["tok"], name: t["n"]})
+
+        return fn
+
+    uni_a = uni_ds.map_batches(rename_uni("n_a"), batch_format="pyarrow")
+    uni_b = uni_ds.map_batches(rename_uni("n_b"), batch_format="pyarrow")
+    j1 = (
+        bg.map_batches(split_tokens, batch_format="pyarrow")
+        .join(uni_a, join_type="inner", num_partitions=num_partitions,
+              on=("tok_a",), right_on=("tok",))
+        .materialize()
+    )
+    j2 = j1.join(uni_b, join_type="inner", num_partitions=num_partitions,
+                 on=("tok_b",), right_on=("tok",))
+
+    def score_joined(t: pa.Table) -> pa.Table:
+        out_pmi = [
+            (int(n_ab) * u_total * u_total * scale)
+            // (b_total * int(na) * int(nb))
+            for n_ab, na, nb in zip(t["n_ab"].to_pylist(),
+                                    t["n_a"].to_pylist(),
+                                    t["n_b"].to_pylist())
+        ]
+        return pa.table({
+            "bigram": t["bigram"],
+            "n_ab": t["n_ab"],
+            "pmi_ppm": pa.array(out_pmi, pa.int64()),
+        })
+
+    return j2.map_batches(score_joined, batch_format="pyarrow")
 
 
 def top_bigrams(docs, k: int = 20, text_col="text"):

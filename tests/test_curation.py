@@ -1194,3 +1194,26 @@ def test_tf_df_scores_join_path_equals_broadcast(ray_session):
     # spot-check: 'the' df=2, doc0 tf=2 -> 1_000_000
     row = b[(b.doc_id == 0) & (b.token == "the")].iloc[0]
     assert (row.tf, row.df, row.tfidf_ppm) == (2, 2, 1_000_000)
+
+
+def test_bigram_pmi_join_path_equals_broadcast(ray_session):
+    """Past max_broadcast_bytes the unigram table attaches by two hash
+    joins instead of the ray.put dict; forced with cap=0 and pinned
+    equal."""
+    import pandas as pd
+
+    from brinkray.textproc.curation import bigram_pmi
+
+    ds = _docs_ds([
+        "new york new york city",
+        "new york is a city",
+        "a brand new day in york",
+        "city of york",
+    ])
+    b = (bigram_pmi(ds, min_count=2).to_pandas()
+         .sort_values("bigram").reset_index(drop=True))
+    j = (bigram_pmi(ds, min_count=2, max_broadcast_bytes=0,
+                    num_partitions=2).to_pandas()
+         .sort_values("bigram").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, j[b.columns])
+    assert "new york" in set(b["bigram"])

@@ -1835,6 +1835,32 @@ def _q_phrase_search(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_phrase_search_indexed(sf_dir: str):
+    """Same phrase query as phrase_search, answered from a PERSISTED
+    positional inverted index (build-once artifact under /tmp, reused
+    across calls): postings hive-partitioned by token-hash bucket, the
+    query reads ONLY the phrase tokens' bucket directories with the
+    token-set filter pushed into the parquet scan. manifest.parquet is
+    written last, so a crashed partial build never looks complete.
+    Shares phrase_search's SQL twin — the scan certifies the index."""
+    import os
+
+    from brinkray.textproc.curation import (
+        phrase_search_index,
+        write_positional_index,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/brinkray_posidx_{tag}"
+    if not os.path.exists(f"{idx}/manifest.parquet"):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)  # clear any partial build
+        write_positional_index(_ds(sf_dir, "documents"), idx)
+    out = phrase_search_index(idx, ("batch", "window")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_top_bigrams(sf_dir: str):
     """Corpus-wide top-20 token bigrams (LM n-gram statistics pass)."""
     from brinkray.textproc.curation import top_bigrams
@@ -5390,6 +5416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "unigram_surprisal": _q_unigram_surprisal,
         "phrase_search": _q_phrase_search,
+        "phrase_search_indexed": _q_phrase_search_indexed,
         "script_ratios": _q_script_ratios,
         "proportional_sample": _q_proportional_sample,
         "embedding_top_component": _q_embedding_top_component,
@@ -5861,6 +5888,9 @@ def oracle_sql() -> dict[str, str]:
     # the shuffle-join novelty path computes the identical quantity —
     # it shares the broadcast path's twin verbatim
     d["ngram_novelty_shuffled"] = d["ngram_novelty"]
+    # the persisted positional index answers the identical phrase
+    # query — the scan twin certifies the index end to end
+    d["phrase_search_indexed"] = d["phrase_search"]
     # the join-based paragraph-dedup path computes the identical
     # quantity — it shares the broadcast path's twin verbatim
     d["paragraph_dedup_shuffled"] = d["paragraph_dedup"]

@@ -282,6 +282,7 @@ def bench_queries() -> dict[str, float]:
         "ann_ivf_persisted",
         "unigram_surprisal",
         "phrase_search",
+        "phrase_search_indexed",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

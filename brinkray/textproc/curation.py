@@ -2993,3 +2993,176 @@ def phrase_search(docs, phrase, text_col="text", id_col="doc_id"):
     return docs.select_columns([id_col, text_col]).map_batches(
         scan, batch_format="pyarrow"
     )
+
+
+def write_positional_index(docs, out_dir: str, num_buckets: int = 64,
+                           text_col="text", id_col="doc_id") -> int:
+    """Persist a BUILD-ONCE positional inverted index — the amortized
+    standing-query path phrase_search's one-off scan names:
+
+    * ``postings/bucket=B/*.parquet`` — (doc_id, token, pos) rows
+      (1-based token positions), hive-partitioned by
+      ``bucket = blake64(token) % num_buckets`` and written
+      DISTRIBUTED via partition_cols: a query for a phrase touches
+      only its tokens' bucket directories, so bytes read scale with
+      the probed fraction, never the corpus.
+    * ``manifest.parquet`` — (num_buckets, n_docs, n_postings),
+      written LAST as the build-complete marker (a crashed partial
+      build never looks finished — the write_ivf_index discipline).
+
+    Deterministic: same corpus -> same artifact. Returns n_postings."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .hashing import _token_hash
+
+    base = docs.select_columns([id_col, text_col])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, toks, pos, bks = [], [], [], []
+        for did, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for p, tok in enumerate(tokens_of(x), start=1):
+                ids.append(did)
+                toks.append(tok)
+                pos.append(p)
+                bks.append(int(_token_hash(tok)) % num_buckets)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+            "pos": pa.array(pos, pa.int64()),
+            "bucket": pa.array(bks, pa.int64()),
+        })
+
+    rows = base.map_batches(explode, batch_format="pyarrow").materialize()
+    n_postings = rows.count()
+    n_docs = docs.count()
+    os.makedirs(out_dir, exist_ok=True)
+    rows.write_parquet(f"{out_dir}/postings", partition_cols=["bucket"])
+    pq.write_table(
+        pa.table({
+            "num_buckets": pa.array([num_buckets], pa.int64()),
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+        }),
+        f"{out_dir}/manifest.parquet",
+    )
+    return int(n_postings)
+
+
+def phrase_search_index(index_dir: str, phrase, id_col="doc_id"):
+    """Phrase query against a write_positional_index artifact: reads
+    ONLY the phrase tokens' bucket directories, with the token-set row
+    filter pushed into the parquet scan (row groups whose token
+    statistics exclude the phrase never leave storage). Same output
+    contract as phrase_search (overlap-counted n_matches, 1-based
+    first_pos); equality is pinned in pytest.
+
+    Match logic: a posting (doc, tok, pos) serves every phrase slot j
+    with ``phrase[j] == tok`` as a vote for base position ``pos - j``;
+    a base with votes from all k DISTINCT slots is a match ((doc, pos)
+    rows are unique per slot, so votes are distinct by construction —
+    one groupby((doc, base)) count == k, then one tiny groupby(doc)).
+    Both exchanges carry only the phrase's posting rows."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from .hashing import _token_hash
+
+    man_path = f"{index_dir}/manifest.parquet"
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(
+            f"no completed positional index at {index_dir} (manifest "
+            "missing — build with write_positional_index)"
+        )
+    man = pq.read_table(man_path)
+    num_buckets = int(man["num_buckets"][0].as_py())
+
+    phrase = [p.lower() for p in phrase]
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one token")
+    k = len(phrase)
+    slots: dict[str, list[int]] = {}
+    for j, tok in enumerate(phrase):
+        slots.setdefault(tok, []).append(j)
+    dirs = sorted({
+        f"{index_dir}/postings/bucket={int(_token_hash(t)) % num_buckets}"
+        for t in slots
+    })
+    import glob
+
+    files = sorted(
+        f for d in dirs if os.path.isdir(d)
+        for f in glob.glob(f"{d}/*.parquet")
+    )
+    if not files:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64()),
+        }))
+    postings = rd.read_parquet(
+        files,
+        columns=[id_col, "token", "pos"],
+        filter=pads.field("token").isin(list(slots)),
+    )
+
+    def votes(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        toks = t["token"].to_pylist()
+        vi, vb = [], []
+        for i in range(len(toks)):
+            for j in slots.get(toks[i], ()):
+                b = int(pos[i]) - j
+                if b >= 1:
+                    vi.append(int(ids[i]))
+                    vb.append(b)
+        return pa.table({
+            id_col: pa.array(vi, pa.int64()),
+            "base": pa.array(vb, pa.int64()),
+        })
+
+    vote_rows = postings.map_batches(votes, batch_format="pyarrow").materialize()
+    if vote_rows.count() == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64()),
+        }))
+    full = vote_rows.groupby([id_col, "base"]).aggregate(
+        Count(alias_name="nv"))
+
+    def keep_full(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["nv"], k)).select([id_col, "base"])
+
+    matched = full.map_batches(keep_full, batch_format="pyarrow").materialize()
+    if matched.count() == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64()),
+        }))
+    agg = matched.groupby(id_col).aggregate(
+        Count(alias_name="n_matches"), Min("base", alias_name="first_pos"),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_matches": pa.array(
+                t["n_matches"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+            "first_pos": pa.array(
+                t["first_pos"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+        })
+
+    return agg.map_batches(project, batch_format="pyarrow")

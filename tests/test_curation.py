@@ -1217,3 +1217,59 @@ def test_bigram_pmi_join_path_equals_broadcast(ray_session):
          .sort_values("bigram").reset_index(drop=True))
     pd.testing.assert_frame_equal(b, j[b.columns])
     assert "new york" in set(b["bigram"])
+
+
+def test_positional_index_build_search_and_resume(ray_session, tmp_path):
+    """phrase_search_index over a write_positional_index artifact must
+    equal the one-off scan (overlaps, repeated phrase tokens, misses),
+    read only the phrase buckets, and leave the artifact byte-identical
+    across repeated searches."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from brinkray.textproc.curation import (
+        phrase_search,
+        phrase_search_index,
+        write_positional_index,
+    )
+
+    texts = ["a a a b", "x a a y a a", "a b a b", "", "A a",
+             "batch window batch window end"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    idx = str(tmp_path / "posidx")
+    n = write_positional_index(docs, idx, num_buckets=8)
+    assert n == sum(len(t.split()) for t in texts)
+    assert os.path.exists(f"{idx}/manifest.parquet")
+
+    for phrase in (("a", "a"), ("batch", "window"), ("b",), ("zz", "qq")):
+        scan = (phrase_search(docs, phrase).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True)
+                if phrase != ("zz", "qq") else None)
+        via = phrase_search_index(idx, phrase).to_pandas()
+        if phrase == ("zz", "qq"):
+            assert len(via) == 0
+            continue
+        via = via.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(scan, via[scan.columns])
+
+    # repeated searches never touch the artifact
+    stamps = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, fs in os.walk(idx) for p in fs
+    }
+    phrase_search_index(idx, ("a", "a")).to_pandas()
+    stamps2 = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, fs in os.walk(idx) for p in fs
+    }
+    assert stamps == stamps2
+
+    # a build without the manifest marker is not a usable index
+    os.remove(f"{idx}/manifest.parquet")
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        phrase_search_index(idx, ("a", "a"))

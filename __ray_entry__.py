@@ -948,6 +948,42 @@ def _q_embedding_dups_exact(sf_dir: str):
     return out[["vec_a", "vec_b"]]
 
 
+def _q_embedding_dedup_survivors(sf_dir: str):
+    """SemDeDup-shaped semantic dedup end to end (Abbas et al. 2023
+    keep-one-per-semantic-cluster, with LSH buckets standing in for
+    the k-means cells): hyperplane-LSH candidates -> exact in-bucket
+    cosine >= 0.4 verify -> distributed connected components
+    (large/small-star rounds; the pair graph never touches the
+    driver) -> survivors = per-cluster minimum vec_id + every
+    unclustered vector (distributed anti_join — no driver-side set).
+    Twin re-derives components as a recursive reachability closure
+    over the brute-force pair graph."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from brinkray.textproc.dedup import embedding_dup_pairs
+    from brinkray.textproc.joins import anti_join, cluster_pairs
+
+    pairs = embedding_dup_pairs(
+        _ds(sf_dir, "embeddings"), threshold=0.4, n_tables=48, bits=3,
+        bucket_cap=1 << 20,
+    ).select_columns(["doc_a", "doc_b"]).materialize()
+    allv = _ds(sf_dir, "embeddings").select_columns(["vec_id"])
+    if pairs.count() == 0:
+        out = allv.to_pandas()
+    else:
+        clusters = cluster_pairs(pairs).materialize()  # (doc_id, cluster)
+        reps = clusters.map_batches(
+            lambda t: pa.table(
+                {"vec_id": t.filter(pc.equal(t["doc_id"],
+                                             t["cluster"]))["doc_id"]}),
+            batch_format="pyarrow",
+        )
+        rest = anti_join(allv, clusters, on="vec_id", right_on="doc_id")
+        out = rest.union(reps).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _bench_doc_ids(sf_dir: str) -> list[int]:
     """The 'benchmark set' for decontamination: the 5 smallest doc_ids
     (SQL-reproducible; a real pipeline would pass its eval-set ids)."""
@@ -5320,6 +5356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # benchmark decontamination, repetition signals, stratified
         # sampling, corpus-wide heavy hitters, exact components
         "embedding_dups_exact": _q_embedding_dups_exact,
+        "embedding_dedup_survivors": _q_embedding_dedup_survivors,
         "decontamination": _q_decontamination,
         "repetition_signals": _q_repetition_signals,
         "stratified_sample_lang": _q_stratified_sample,
@@ -6926,6 +6963,22 @@ def _oracle_sql_dict() -> dict[str, str]:
         # cosine independently (list_cosine_similarity); membership at
         # the 0.4 boundary has >= 1e-5 margin on all sfs (measured), so
         # the last-ulp summation-order difference cannot flip a pair.
+        "embedding_dedup_survivors": (
+            "WITH RECURSIVE p AS ("
+            "SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4), "
+            "e AS (SELECT va AS a, vb AS b FROM p "
+            "UNION ALL SELECT vb, va FROM p), "
+            "r AS (SELECT a AS v, a AS w FROM e "
+            "UNION SELECT r.v, e.b FROM r JOIN e ON e.a = r.w), "
+            "lbl AS (SELECT v, MIN(w) AS cluster FROM r GROUP BY v) "
+            "SELECT vec_id FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT v FROM lbl) "
+            "UNION ALL SELECT DISTINCT cluster AS vec_id FROM lbl "
+            "ORDER BY vec_id"
+        ),
         "embedding_dups_exact": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

@@ -283,6 +283,7 @@ def bench_queries() -> dict[str, float]:
         "unigram_surprisal",
         "phrase_search",
         "phrase_search_indexed",
+        "embedding_dedup_survivors",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -126,6 +126,16 @@ def test_tokenizer_envelope(html, want, rule):
     assert _hrefs(html) == want, rule
 
 
+def test_numeric_charref_unescapes_like_go():
+    # x/net/html TagAttr unescapes attribute values; an invalid numeric
+    # reference (0, surrogates, > 0x10FFFF) becomes U+FFFD per WHATWG —
+    # Go's unescapeEntity and Python's html.unescape agree, with or
+    # without the trailing semicolon on numeric refs
+    assert _hrefs('<a href="&#0">') == ["�"]
+    assert _hrefs('<a href="&#97;b">') == ["ab"]
+    assert _hrefs('<a href="&#x61">') == ["a"]
+
+
 def test_plaintext_reads_to_eof():
     # tokenizer.go Next(): rawTag "plaintext" reads everything up to EOF;
     # a literal </plaintext> end tag never resumes tokenizing
@@ -192,9 +202,14 @@ def test_no_tags_no_links(text):
 
 @settings(max_examples=100, deadline=None)
 @given(st.lists(
-    st.text(alphabet="abcxyz:/.#?=&%20", min_size=1, max_size=20),
+    # no '&': a numeric charref like '&#0' is UNESCAPED by both sides
+    # (the WHATWG rule, pinned separately below), so it would not
+    # round-trip literally
+    st.text(alphabet="abcxyz:/.#?=%20", min_size=1, max_size=20),
     min_size=0, max_size=8,
-), st.text(alphabet=st.characters(blacklist_characters="<&"), max_size=30))
+), st.text(alphabet=st.characters(blacklist_characters="<&",
+                                  blacklist_categories=("Cs",)),
+           max_size=30))
 def test_planted_anchors_survive_junk(hrefs, junk):
     # well-formed anchors interleaved with arbitrary tag-free junk are
     # extracted exactly, in document order

@@ -61,6 +61,10 @@ __all__ = [
     "doc_similarity_tfidf",
     "bpe_merge_candidates",
     "mixture_weights",
+    "unigram_surprisal",
+    "phrase_search",
+    "write_positional_index",
+    "phrase_search_index",
 ]
 
 

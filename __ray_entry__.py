@@ -1004,6 +1004,23 @@ def _q_decontamination(sf_dir: str):
     return _to_pandas(decontaminate(docs, _bench_doc_ids(sf_dir)))
 
 
+def _q_embedding_decontamination(sf_dir: str):
+    """Semantic eval-set decontamination (the embedding-side sibling of
+    the n-gram op): corpus vectors with cosine >= 0.3 against ANY of
+    the 5 smallest-vec_id 'benchmark' vectors. The bench matrix is
+    |bench|-bounded and broadcasts once; the corpus pass is one
+    stateless matmul — no exchange. Membership only (the cosine value
+    differs from DuckDB in the last ulp; the 0.3 boundary margin is
+    >= 4.5e-4 on every sf, measured — the embedding_dups argument)."""
+    from brinkray.textproc.curation import embedding_semantic_decontaminate
+
+    out = embedding_semantic_decontaminate(
+        _ds(sf_dir, "embeddings"), bench_ids=range(5), threshold=0.3,
+    ).to_pandas()
+    return (out[["vec_id"]].sort_values("vec_id").reset_index(drop=True)
+            if len(out) else out.reindex(columns=["vec_id"]))
+
+
 def _q_repetition_signals(sf_dir: str):
     from brinkray.textproc.curation import repetition_signals
 
@@ -5357,6 +5374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling, corpus-wide heavy hitters, exact components
         "embedding_dups_exact": _q_embedding_dups_exact,
         "embedding_dedup_survivors": _q_embedding_dedup_survivors,
+        "embedding_decontamination": _q_embedding_decontamination,
         "decontamination": _q_decontamination,
         "repetition_signals": _q_repetition_signals,
         "stratified_sample_lang": _q_stratified_sample,
@@ -6963,6 +6981,17 @@ def _oracle_sql_dict() -> dict[str, str]:
         # cosine independently (list_cosine_similarity); membership at
         # the 0.4 boundary has >= 1e-5 margin on all sfs (measured), so
         # the last-ulp summation-order difference cannot flip a pair.
+        "embedding_decontamination": (
+            "WITH b AS (SELECT vec_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 5), "
+            "m AS (SELECT e.vec_id, "
+            "MAX(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[]))) AS mx "
+            "FROM embeddings e CROSS JOIN b "
+            "WHERE e.vec_id NOT IN (SELECT vec_id FROM b) "
+            "GROUP BY e.vec_id) "
+            "SELECT vec_id FROM m WHERE mx >= 0.3 ORDER BY vec_id"
+        ),
         "embedding_dedup_survivors": (
             "WITH RECURSIVE p AS ("
             "SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a "

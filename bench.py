@@ -284,6 +284,7 @@ def bench_queries() -> dict[str, float]:
         "phrase_search",
         "phrase_search_indexed",
         "embedding_dedup_survivors",
+        "embedding_decontamination",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

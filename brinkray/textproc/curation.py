@@ -3170,3 +3170,63 @@ def phrase_search_index(index_dir: str, phrase, id_col="doc_id"):
         })
 
     return agg.map_batches(project, batch_format="pyarrow")
+
+
+def embedding_semantic_decontaminate(ds, bench_ids, threshold: float = 0.4,
+                                     vec_col="embedding", id_col="vec_id"):
+    """Semantic eval-set decontamination — the embedding-side sibling
+    of the n-gram ``decontaminate``: corpus vectors whose cosine
+    against ANY benchmark vector reaches ``threshold`` are flagged
+    (the contamination e.g. paraphrased eval questions leave when
+    n-gram overlap misses them). Returns (vec_id, max_cos) for flagged
+    non-bench vectors.
+
+    Scale shape: the benchmark matrix is |bench|-bounded (gathered via
+    a distributed filter, broadcast ONCE via ray.put), and the corpus
+    pass is one stateless map_batches matmul — no exchange, no driver
+    state proportional to the corpus. The ANN/IVF artifact is the
+    amortized path when the bench set itself is huge."""
+    import ray
+
+    bench_ids = sorted(int(b) for b in bench_ids)
+    bset = set(bench_ids)
+
+    def keep_bench(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[id_col], pa.array(bench_ids, pa.int64())))
+
+    bench_tbl = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(keep_bench, batch_format="pyarrow")
+        .to_pandas()  # |bench|-bounded by construction
+    )
+    if len(bench_tbl) == 0:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "max_cos": pa.array([], pa.float64()),
+        }))
+    from .similarity import _as_matrix, _unit
+
+    bm = _unit(_as_matrix(pa.array(list(bench_tbl[vec_col]))))
+    ref = ray.put(bm)
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "max_cos": pa.array([], pa.float64()),
+            })
+        b = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        unit = _unit(_as_matrix(t[vec_col]))
+        mx = (unit @ b.T).max(axis=1)
+        keep = (mx >= threshold) & ~np.isin(ids, list(bset))
+        return pa.table({
+            id_col: pa.array(ids[keep].astype(np.int64), pa.int64()),
+            "max_cos": pa.array(mx[keep], pa.float64()),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        scan, batch_format="pyarrow"
+    )

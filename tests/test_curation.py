@@ -1273,3 +1273,32 @@ def test_positional_index_build_search_and_resume(ray_session, tmp_path):
     os.remove(f"{idx}/manifest.parquet")
     with pytest.raises(FileNotFoundError, match="manifest"):
         phrase_search_index(idx, ("a", "a"))
+
+
+def test_embedding_semantic_decontaminate(ray_session):
+    """Planted paraphrase (near-copy of a bench vector) is flagged,
+    orthogonal vectors are not, bench vectors never self-flag."""
+    import ray.data as rd
+
+    from brinkray.textproc.curation import embedding_semantic_decontaminate
+
+    rng = np.random.default_rng(11)
+    d = 8
+    bench = rng.normal(size=(2, d))
+    contaminated = bench[0] + 0.05 * rng.normal(size=d)
+    clean = rng.normal(size=d)
+    # make 'clean' genuinely orthogonal to both bench vectors
+    for b in bench:
+        clean -= (clean @ b) / (b @ b) * b
+    vecs = [bench[0], bench[1], contaminated, clean]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs]),
+    }))
+    out = embedding_semantic_decontaminate(
+        ds, bench_ids=[0, 1], threshold=0.8).to_pandas()
+    assert list(out["vec_id"]) == [2]
+    assert out["max_cos"].iloc[0] > 0.9
+    # empty bench set -> typed empty result
+    empty = embedding_semantic_decontaminate(ds, bench_ids=[99])
+    assert empty.count() == 0

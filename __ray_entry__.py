@@ -489,6 +489,42 @@ def _q_ann_ivf_persisted(sf_dir: str):
     return out[["vec_id"]]
 
 
+def _q_ann_ivf_multi_persisted(sf_dir: str):
+    """Batched retrieval over the persisted IVF artifact: top-10 per
+    query for the 5 smallest-id embeddings in ONE multi-query search —
+    within each probe round the union of the queries' cells is read
+    once and scored against all of them (a cell shared by m queries is
+    read once, not m times). Exact per query by the radius bound;
+    shares ann_multi_topk's brute-force twin (membership per qid)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from brinkray.textproc.similarity import (
+        ivf_search_index_multi,
+        write_ivf_index,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/brinkray_ivf_{tag}"
+    if not os.path.exists(f"{idx}/centroids.parquet"):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)  # clear any partial build
+        write_ivf_index(_ds(sf_dir, "embeddings"), idx, n_centroids=16)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.sort_by("vec_id").slice(0, 5)
+    import numpy as np
+
+    out = ivf_search_index_multi(
+        idx,
+        np.array(t["embedding"].to_pylist(), dtype=np.float64),
+        k=10, nprobe=4, query_ids=t["vec_id"].to_pylist(),
+    ).to_pandas()
+    return (out[["qid", "vec_id"]].sort_values(["qid", "vec_id"])
+            .reset_index(drop=True))
+
+
 def _q_ann_ivf_exhaustive(sf_dir: str):
     """IVF with nprobe == n_centroids probes every cluster => exact
     top-k membership == brute force == the ann_cosine SQL twin. Puts a
@@ -5366,6 +5402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         "ann_ivf_persisted": _q_ann_ivf_persisted,
+        "ann_ivf_multi_persisted": _q_ann_ivf_multi_persisted,
         "deterministic_sample": _q_deterministic_sample,
         # end-to-end curation (dedup x quality x lang -> corpus filter)
         "corpus_curation": _q_corpus_curation,
@@ -5946,6 +5983,9 @@ def oracle_sql() -> dict[str, str]:
     # the persisted positional index answers the identical phrase
     # query — the scan twin certifies the index end to end
     d["phrase_search_indexed"] = d["phrase_search"]
+    # the batched persisted-IVF search answers the identical 5-query
+    # top-10 — the brute-force multi-query twin certifies it
+    d["ann_ivf_multi_persisted"] = d["ann_multi_topk"]
     # the join-based paragraph-dedup path computes the identical
     # quantity — it shares the broadcast path's twin verbatim
     d["paragraph_dedup_shuffled"] = d["paragraph_dedup"]

@@ -285,6 +285,7 @@ def bench_queries() -> dict[str, float]:
         "phrase_search_indexed",
         "embedding_dedup_survivors",
         "embedding_decontamination",
+        "ann_ivf_multi_persisted",
     ]:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()

@@ -667,3 +667,116 @@ def label_centroids(ds, vec_col="embedding", label_col="label",
         .groupby([label_col, "dim"])
         .aggregate(Sum("s_micro", alias_name="s_micro"), Sum("n", alias_name="n"))
     )
+
+
+def ivf_search_index_multi(index_dir: str, queries: np.ndarray, k: int = 10,
+                           nprobe: int = 4, vec_col="embedding",
+                           id_col="vec_id", query_ids=None):
+    """Batched EXACT top-k over a persisted :func:`write_ivf_index`
+    artifact — the retrieval-stack amortization the per-query loop
+    leaves on the table: within each probe round the UNION of the
+    unfinished queries' next cells is read once and every cell batch is
+    scored against all the queries probing it in one matmul, so a cell
+    shared by m queries is read once per round instead of m times
+    (round 1 covers each query's full nprobe set; later rounds fire
+    only for queries whose radius bound is not yet beaten — rare).
+    Per-query exactness is the same angular-radius argument as
+    ``ivf_search_index``. Returns (qid, vec_id, cosine), k rows per
+    query, ties broken by vec_id asc. ``query_ids`` defaults to
+    0..m-1."""
+    import glob
+
+    import ray.data as rd
+
+    cells, centers, radii = read_ivf_index(index_dir)
+    Q = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    m = len(Q)
+    qids = (np.arange(m, dtype=np.int64) if query_ids is None
+            else np.asarray(list(query_ids), dtype=np.int64))
+    theta = np.arccos(np.clip(centers @ Q.T, -1.0, 1.0))  # (n_cells, m)
+    bound = np.cos(np.maximum(0.0, theta - radii[:, None] - 1e-9)) + 1e-12
+
+    schema = pa.schema([("qi", pa.int64()), (id_col, pa.int64()),
+                        ("cosine", pa.float64())])
+    orders = [np.argsort(-bound[:, j], kind="stable") for j in range(m)]
+    probed = np.zeros((len(cells), m), dtype=bool)
+    cursors = np.zeros(m, dtype=np.int64)
+    done = np.zeros(m, dtype=bool)
+    acc_ids = [np.array([], dtype=np.int64) for _ in range(m)]
+    acc_cos = [np.array([], dtype=np.float64) for _ in range(m)]
+
+    while not done.all():
+        round_map: dict[int, list[int]] = {}
+        for j in range(m):
+            if done[j]:
+                continue
+            todo = [int(i) for i in orders[j][cursors[j]:]
+                    if not probed[i, j]][:nprobe]
+            if not todo:
+                done[j] = True
+                continue
+            cursors[j] += len(todo)
+            for i in todo:
+                probed[i, j] = True
+                round_map.setdefault(i, []).append(j)
+        if not round_map:
+            break
+        for i in sorted(round_map):
+            js = round_map[i]
+            sub = Q[js]
+
+            def partial(t: pa.Table, sub=sub, js=js) -> pa.Table:
+                if t.num_rows == 0:
+                    return schema.empty_table()
+                ids = _ids_of(t[id_col])
+                cos = _unit(_as_matrix(t[vec_col])) @ sub.T  # (n, |js|)
+                out_q, out_i, out_c = [], [], []
+                for c, j in zip(cos.T, js):
+                    if len(ids) > k:
+                        idx = np.argpartition(-c, k)[:k]
+                    else:
+                        idx = np.arange(len(ids))
+                    out_q.append(np.full(len(idx), j, dtype=np.int64))
+                    out_i.append(ids[idx])
+                    out_c.append(c[idx])
+                return pa.table({
+                    "qi": pa.array(np.concatenate(out_q), pa.int64()),
+                    id_col: pa.array(np.concatenate(out_i), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+                })
+
+            paths = sorted(glob.glob(
+                f"{index_dir}/cells/cell={int(cells[i])}/*.parquet"))
+            if not paths:
+                continue
+            part = _collect(
+                rd.read_parquet(paths, columns=[id_col, vec_col])
+                .map_batches(partial, batch_format="pyarrow"),
+                schema,
+            )
+            pq_j = part["qi"].to_numpy(zero_copy_only=False)
+            pids = _ids_of(part[id_col])
+            pcos = part["cosine"].to_numpy(zero_copy_only=False)
+            for j in js:
+                sel = pq_j == j
+                acc_ids[j] = np.concatenate([acc_ids[j], pids[sel]])
+                acc_cos[j] = np.concatenate([acc_cos[j], pcos[sel]])
+        for j in range(m):
+            if done[j] or len(acc_cos[j]) < k:
+                continue
+            kth = np.sort(acc_cos[j])[-k]
+            remaining = bound[~probed[:, j], j]
+            if len(remaining) == 0 or remaining.max() < kth:
+                done[j] = True
+
+    out_q, out_i, out_c = [], [], []
+    for j in range(m):
+        sel = np.lexsort((acc_ids[j], -acc_cos[j]))[:k]
+        out_q.append(np.full(len(sel), qids[j], dtype=np.int64))
+        out_i.append(acc_ids[j][sel])
+        out_c.append(acc_cos[j][sel])
+    return pa.table({
+        "qid": pa.array(np.concatenate(out_q), pa.int64()),
+        id_col: pa.array(np.concatenate(out_i), pa.int64()),
+        "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+    })

@@ -853,3 +853,43 @@ def test_cdc_chunk_dedup_matches_bruteforce(ray_session):
     # shares most chunks with the original
     assert want[1][1] >= want[1][0] // 2
     assert 4 not in got_map  # empty doc emits nothing
+
+
+def test_ivf_persisted_multi_query_equals_bruteforce(ray_session, tmp_path):
+    """Batched search over the persisted IVF artifact: per-query
+    results equal brute force AND the single-query search, on a
+    clustered corpus where pruning genuinely fires."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from brinkray.textproc.similarity import (
+        ivf_search_index,
+        ivf_search_index_multi,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 600, 12
+    centers = rng.normal(size=(6, d)) * 4
+    E = np.vstack([c + rng.normal(size=(n // 6, d)) for c in centers])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(E.tolist()),
+    }))
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(ds, idx, n_centroids=6)
+
+    qids = [3, 77, 205, 599]
+    Q = E[qids]
+    multi = ivf_search_index_multi(
+        idx, Q, k=5, nprobe=2, query_ids=qids).to_pandas()
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for qi, qv in zip(qids, Q):
+        qn = qv / np.linalg.norm(qv)
+        cos = En @ qn
+        want = set(np.lexsort((np.arange(n), -cos))[:5])
+        got = set(multi[multi.qid == qi]["vec_id"])
+        single = set(ivf_search_index(idx, qv, k=5, nprobe=2)
+                     .to_pandas()["vec_id"])
+        assert got == want == single, qi

@@ -2518,8 +2518,15 @@ def doc_similarity_tfidf(docs, threshold_cos2_ppm: int = 90_000,
         .map_batches(keep_band, batch_format="pyarrow")
         .to_pandas()
     )
-    dfv = df_tbl["df"].to_numpy().astype(np.int64)
-    hs = df_tbl["h"].to_numpy().astype(np.int64)
+    if len(df_tbl) == 0:
+        # band matched no token corpus-wide (hit at sf0.1: the 10x
+        # corpus pushes every df past df_max) — an all-empty dataset
+        # comes back COLUMN-LESS from to_pandas, so index nothing
+        hs = np.array([], dtype=np.int64)
+        dfv = np.array([], dtype=np.int64)
+    else:
+        dfv = df_tbl["df"].to_numpy().astype(np.int64)
+        hs = df_tbl["h"].to_numpy().astype(np.int64)
     order = np.argsort(hs)
     ref = ray.put((hs[order], dfv[order]))
 

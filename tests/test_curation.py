@@ -1302,3 +1302,18 @@ def test_embedding_semantic_decontaminate(ray_session):
     # empty bench set -> typed empty result
     empty = embedding_semantic_decontaminate(ds, bench_ids=[99])
     assert empty.count() == 0
+
+
+def test_doc_similarity_tfidf_empty_band(ray_session):
+    """Every token's df above df_max (the sf0.1 bench shape): the
+    banded df table is EMPTY and comes back column-less from Ray —
+    the operator must return the typed empty pair table, not KeyError
+    (regression: the round-5 band pushdown broke this until the bench
+    sweep caught it)."""
+    from brinkray.textproc.curation import doc_similarity_tfidf
+
+    # 4 docs sharing one token -> df=4 > df_max=3
+    ds = _docs_ds(["common", "common", "common", "common"])
+    out = doc_similarity_tfidf(ds, df_min=2, df_max=3)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_a", "doc_b", "dot_w", "cos2_ppm"]

@@ -706,7 +706,8 @@ def ivf_search_index_multi(index_dir: str, queries: np.ndarray, k: int = 10,
     acc_cos = [np.array([], dtype=np.float64) for _ in range(m)]
 
     while not done.all():
-        round_map: dict[int, list[int]] = {}
+        round_cells: set[int] = set()
+        live: list[int] = []
         for j in range(m):
             if done[j]:
                 continue
@@ -716,39 +717,47 @@ def ivf_search_index_multi(index_dir: str, queries: np.ndarray, k: int = 10,
                 done[j] = True
                 continue
             cursors[j] += len(todo)
-            for i in todo:
-                probed[i, j] = True
-                round_map.setdefault(i, []).append(j)
-        if not round_map:
+            live.append(j)
+            round_cells.update(todo)
+        if not round_cells:
             break
-        for i in sorted(round_map):
-            js = round_map[i]
-            sub = Q[js]
+        # ONE read over the round's cell union, every row scored against
+        # every live query in one matmul — a cell shared by many queries
+        # is read once per round, not once per query. Marking the whole
+        # union probed for every live query is sound: each of those
+        # cells was fully scanned and scored for each of them.
+        for i in round_cells:
+            probed[i, np.asarray(live)] = True
+        js = live
+        sub = Q[js]
 
-            def partial(t: pa.Table, sub=sub, js=js) -> pa.Table:
-                if t.num_rows == 0:
-                    return schema.empty_table()
-                ids = _ids_of(t[id_col])
-                cos = _unit(_as_matrix(t[vec_col])) @ sub.T  # (n, |js|)
-                out_q, out_i, out_c = [], [], []
-                for c, j in zip(cos.T, js):
-                    if len(ids) > k:
-                        idx = np.argpartition(-c, k)[:k]
-                    else:
-                        idx = np.arange(len(ids))
-                    out_q.append(np.full(len(idx), j, dtype=np.int64))
-                    out_i.append(ids[idx])
-                    out_c.append(c[idx])
-                return pa.table({
-                    "qi": pa.array(np.concatenate(out_q), pa.int64()),
-                    id_col: pa.array(np.concatenate(out_i), pa.int64()),
-                    "cosine": pa.array(np.concatenate(out_c), pa.float64()),
-                })
+        def partial(t: pa.Table, sub=sub, js=js) -> pa.Table:
+            if t.num_rows == 0:
+                return schema.empty_table()
+            ids = _ids_of(t[id_col])
+            cos = _unit(_as_matrix(t[vec_col])) @ sub.T  # (n, |js|)
+            out_q, out_i, out_c = [], [], []
+            for c, j in zip(cos.T, js):
+                if len(ids) > k:
+                    idx = np.argpartition(-c, k)[:k]
+                else:
+                    idx = np.arange(len(ids))
+                out_q.append(np.full(len(idx), j, dtype=np.int64))
+                out_i.append(ids[idx])
+                out_c.append(c[idx])
+            return pa.table({
+                "qi": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_i), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            })
 
-            paths = sorted(glob.glob(
-                f"{index_dir}/cells/cell={int(cells[i])}/*.parquet"))
-            if not paths:
-                continue
+        paths = sorted(
+            f
+            for i in round_cells
+            for f in glob.glob(
+                f"{index_dir}/cells/cell={int(cells[i])}/*.parquet")
+        )
+        if paths:
             part = _collect(
                 rd.read_parquet(paths, columns=[id_col, vec_col])
                 .map_batches(partial, batch_format="pyarrow"),
@@ -761,6 +770,16 @@ def ivf_search_index_multi(index_dir: str, queries: np.ndarray, k: int = 10,
                 sel = pq_j == j
                 acc_ids[j] = np.concatenate([acc_ids[j], pids[sel]])
                 acc_cos[j] = np.concatenate([acc_cos[j], pcos[sel]])
+                if len(acc_ids[j]):
+                    # a cell can reach a query twice (re-read in a later
+                    # round for ANOTHER query's probe while this one is
+                    # still live) — dedup by id, keeping the max cosine,
+                    # so the kth-bound termination never sees a double-
+                    # counted candidate
+                    uniq, inv = np.unique(acc_ids[j], return_inverse=True)
+                    best = np.full(len(uniq), -np.inf)
+                    np.maximum.at(best, inv, acc_cos[j])
+                    acc_ids[j], acc_cos[j] = uniq, best
         for j in range(m):
             if done[j] or len(acc_cos[j]) < k:
                 continue
